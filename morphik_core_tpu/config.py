@@ -1,0 +1,197 @@
+"""Configuration system: `morphik_tpu.toml` -> cached pydantic Settings.
+
+Mirrors the reference's single-TOML config surface (reference
+core/config.py:175-458, morphik.toml) with TPU-native knobs added
+([tpu] mesh/dtype/bucketing) and GPU/external-service knobs removed.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import tomllib
+from pathlib import Path
+from typing import Any, Dict, List, Literal, Optional
+
+from pydantic import BaseModel, Field
+
+DEFAULT_CONFIG_FILENAME = "morphik_tpu.toml"
+
+
+class ApiConfig(BaseModel):
+    host: str = "0.0.0.0"
+    port: int = 8000
+
+
+class AuthConfig(BaseModel):
+    jwt_algorithm: str = "HS256"
+    jwt_secret_key: str = "dev-secret-key"
+    bypass_auth_mode: bool = True
+    dev_user_id: str = "dev_user"
+    dev_entity_type: str = "developer"
+    dev_permissions: List[str] = Field(default_factory=lambda: ["read", "write", "admin"])
+
+
+class ServiceConfig(BaseModel):
+    environment: Literal["development", "staging", "production"] = "development"
+    version: str = "0.1.0"
+    enable_profiling: bool = False
+
+
+class TPUConfig(BaseModel):
+    """TPU-native execution knobs (no analogue in the reference)."""
+
+    # Mesh axes: data-parallel over pages/batches, model-parallel over
+    # the tower's hidden dims. (-1 = infer from device count.)
+    mesh_shape: List[int] = Field(default_factory=lambda: [-1, 1])
+    mesh_axis_names: List[str] = Field(default_factory=lambda: ["data", "model"])
+    compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
+    # Static-shape buckets for variable-resolution pages (Qwen2-VL
+    # NaViT-style patching is ragged; XLA wants static shapes).
+    token_buckets: List[int] = Field(default_factory=lambda: [256, 512, 1024, 2048])
+    embed_batch_size: int = 8
+    # Pallas MaxSim kernel tiling.
+    maxsim_candidate_tile: int = 128
+    maxsim_doc_token_tile: int = 256
+    use_pallas: bool = True  # fall back to pure-XLA scoring when False / non-TPU
+
+
+class ModelConfig(BaseModel):
+    """ColPali-family checkpoint to serve."""
+
+    name: str = "colqwen2.5-3b"
+    checkpoint_path: Optional[str] = None  # local HF-format dir (safetensors)
+    embedding_dim: int = 128
+    max_query_tokens: int = 64
+    # Qwen2-VL style image token budget per page.
+    min_pixels: int = 4 * 28 * 28
+    max_pixels: int = 768 * 28 * 28
+
+
+class EmbeddingConfig(BaseModel):
+    model: str = "colqwen2.5-3b"
+    dimensions: int = 128
+    similarity_metric: Literal["cosine", "dotProduct"] = "cosine"
+
+
+class CompletionConfig(BaseModel):
+    model: str = "stub"
+    default_max_tokens: int = 1000
+    default_temperature: float = 0.3
+
+
+class ParserConfig(BaseModel):
+    chunk_size: int = 6000
+    chunk_overlap: int = 300
+    use_contextual_chunking: bool = False
+    xml_max_tokens: int = 350
+    frame_sample_rate: int = 120  # video: sample 1 frame / N frames
+
+
+class PdfConfig(BaseModel):
+    colpali_pdf_dpi: int = 150
+    high_density_threshold_bytes: int = 1_000_000
+    high_density_batch_pages: int = 2
+
+
+class StorageConfig(BaseModel):
+    provider: Literal["local"] = "local"
+    storage_path: str = "./storage"
+    cache_enabled: bool = True
+    cache_path: str = "./storage/cache"
+    cache_max_bytes: int = 10 * 1024**3
+
+
+class DatabaseConfig(BaseModel):
+    provider: Literal["sqlite"] = "sqlite"
+    path: str = "./storage/morphik.db"
+    max_retries: int = 3
+    retry_delay: float = 1.0
+
+
+class VectorStoreConfig(BaseModel):
+    provider: Literal["tpu", "memory"] = "tpu"
+    # FDE (MUVERA) prefilter configuration — mirrors the reference's
+    # FixedDimensionalEncodingConfig (fast_multivector_store.py:325-331).
+    fde_dimension: int = 128
+    fde_num_repetitions: int = 20
+    fde_num_simhash_projections: int = 5
+    fde_projection_dimension: int = 16
+    fde_seed: int = 42
+    # ANN candidate pool before exact rerank: min(prefilter_multiplier*k, prefilter_cap)
+    prefilter_multiplier: int = 10
+    prefilter_cap: int = 75
+    index_path: str = "./storage/index"
+
+
+class WorkerConfig(BaseModel):
+    max_jobs: int = 1
+    job_timeout_s: int = 7200
+    colpali_store_batch_size: int = 16
+    raster_processes: int = 0  # 0 = cpu_count
+
+
+class MorphikFlags(BaseModel):
+    enable_colpali: bool = True
+    colpali_mode: Literal["off", "local"] = "local"
+    mode: Literal["self_hosted", "cloud"] = "self_hosted"
+
+
+class TelemetryConfig(BaseModel):
+    enabled: bool = True
+    telemetry_dir: str = "./logs/telemetry"
+
+
+class Settings(BaseModel):
+    api: ApiConfig = Field(default_factory=ApiConfig)
+    auth: AuthConfig = Field(default_factory=AuthConfig)
+    service: ServiceConfig = Field(default_factory=ServiceConfig)
+    tpu: TPUConfig = Field(default_factory=TPUConfig)
+    model: ModelConfig = Field(default_factory=ModelConfig)
+    embedding: EmbeddingConfig = Field(default_factory=EmbeddingConfig)
+    completion: CompletionConfig = Field(default_factory=CompletionConfig)
+    parser: ParserConfig = Field(default_factory=ParserConfig)
+    pdf: PdfConfig = Field(default_factory=PdfConfig)
+    storage: StorageConfig = Field(default_factory=StorageConfig)
+    database: DatabaseConfig = Field(default_factory=DatabaseConfig)
+    vector_store: VectorStoreConfig = Field(default_factory=VectorStoreConfig)
+    worker: WorkerConfig = Field(default_factory=WorkerConfig)
+    morphik: MorphikFlags = Field(default_factory=MorphikFlags)
+    telemetry: TelemetryConfig = Field(default_factory=TelemetryConfig)
+    registered_models: Dict[str, Dict[str, Any]] = Field(default_factory=dict)
+
+
+_settings_lock = threading.Lock()
+_settings: Optional[Settings] = None
+_settings_path: Optional[str] = None
+
+
+def load_settings(path: Optional[str | Path] = None) -> Settings:
+    """Parse the TOML config at `path` (or defaults if absent)."""
+    if path is None:
+        env = os.environ.get("MORPHIK_TPU_CONFIG")
+        path = env if env else DEFAULT_CONFIG_FILENAME
+    p = Path(path)
+    if not p.exists():
+        return Settings()
+    with open(p, "rb") as f:
+        raw = tomllib.load(f)
+    return Settings.model_validate(raw)
+
+
+def get_settings(path: Optional[str | Path] = None, *, reload: bool = False) -> Settings:
+    """Cached settings singleton (reference core/config.py get_settings)."""
+    global _settings, _settings_path
+    with _settings_lock:
+        key = str(path) if path is not None else None
+        if _settings is None or reload or (key is not None and key != _settings_path):
+            _settings = load_settings(path)
+            _settings_path = key
+        return _settings
+
+
+def override_settings(settings: Settings) -> None:
+    """Inject settings (tests)."""
+    global _settings
+    with _settings_lock:
+        _settings = settings

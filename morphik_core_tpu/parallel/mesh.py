@@ -1,0 +1,56 @@
+"""Device mesh construction.
+
+The engine scales by sharding over a `jax.sharding.Mesh`:
+  - axis "data":   data-parallel over pages / candidate rows (ICI)
+  - axis "model":  tensor-parallel over the tower's hidden dims
+
+This replaces the reference's HTTP fan-out across GPU embedding
+endpoints (reference core/embedding/colpali_api_embedding_model.py:135-209)
+with XLA collectives over the TPU interconnect.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def local_device_count() -> int:
+    return len(jax.devices())
+
+
+def make_mesh(shape: Sequence[int], axis_names: Sequence[str] = ("data", "model")) -> Mesh:
+    """Build a mesh of the given logical shape. A single -1 entry is
+    inferred from the device count (like a reshape)."""
+    devices = np.array(jax.devices())
+    n = devices.size
+    shape = list(shape)
+    if shape.count(-1) > 1:
+        raise ValueError("at most one -1 axis")
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1])) or 1
+        if n % known != 0:
+            raise ValueError(f"{n} devices not divisible by {known}")
+        shape[shape.index(-1)] = n // known
+    total = int(np.prod(shape))
+    if total > n:
+        raise ValueError(f"mesh shape {shape} needs {total} devices, have {n}")
+    return Mesh(devices[:total].reshape(shape), axis_names=tuple(axis_names))
+
+
+def best_mesh(axis_names: Tuple[str, str] = ("data", "model"), model_parallel: int = 1) -> Mesh:
+    """Default mesh: all devices data-parallel, optional model axis."""
+    return make_mesh((-1, model_parallel), axis_names)
+
+
+def data_sharding(mesh: Mesh, ndim: int, data_axis: str = "data") -> NamedSharding:
+    """Shard the leading axis over `data_axis`, replicate the rest."""
+    spec = [data_axis] + [None] * (ndim - 1)
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
