@@ -1,0 +1,137 @@
+"""HF checkpoint -> JAX pytree weight conversion.
+
+The safetensors naming follows colpali_engine's ColQwen2_5 (a
+Qwen2_5_VLForConditionalGeneration subclass + `custom_text_proj`); we
+accept both the legacy flat names (`model.layers.*`, `visual.*`) and
+the namespaced ones (`model.language_model.*`, `model.visual.*`).
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from morphik_core_tpu.models.colqwen.config import ColQwenConfig
+
+logger = logging.getLogger(__name__)
+
+
+def _find(state: Dict[str, np.ndarray], *names: str) -> np.ndarray:
+    for n in names:
+        if n in state:
+            return state[n]
+    raise KeyError(f"none of {names} found (have {len(state)} keys, e.g. {list(state)[:5]})")
+
+
+def convert_state_dict(state: Dict[str, np.ndarray], cfg: ColQwenConfig, dtype=jnp.bfloat16) -> dict:
+    """torch-layout state dict (numpy values) -> stacked-layer JAX pytree."""
+
+    def t(x):  # torch Linear weight (out, in) -> (in, out)
+        return jnp.asarray(np.ascontiguousarray(x.T), dtype)
+
+    def a(x):
+        return jnp.asarray(x, dtype)
+
+    v = cfg.vision
+    vp = "visual."
+    if f"{vp}patch_embed.proj.weight" not in state and "model.visual.patch_embed.proj.weight" in state:
+        vp = "model.visual."
+
+    pe = _find(state, f"{vp}patch_embed.proj.weight")  # (h, C, T, ps, ps)
+    visual = {
+        "patch_embed_w": t(pe.reshape(pe.shape[0], -1)),
+        "blocks": {},
+        "merger": {
+            "ln_q": a(_find(state, f"{vp}merger.ln_q.weight")),
+            "fc1_w": t(_find(state, f"{vp}merger.mlp.0.weight")),
+            "fc1_b": a(_find(state, f"{vp}merger.mlp.0.bias")),
+            "fc2_w": t(_find(state, f"{vp}merger.mlp.2.weight")),
+            "fc2_b": a(_find(state, f"{vp}merger.mlp.2.bias")),
+        },
+    }
+    stack = lambda xs: jnp.stack(xs)  # noqa: E731
+    b = {k: [] for k in (
+        "norm1", "norm2", "qkv_w", "qkv_b", "proj_w", "proj_b",
+        "gate_w", "gate_b", "up_w", "up_b", "down_w", "down_b",
+    )}
+    for i in range(v.depth):
+        p = f"{vp}blocks.{i}."
+        b["norm1"].append(a(_find(state, p + "norm1.weight")))
+        b["norm2"].append(a(_find(state, p + "norm2.weight")))
+        b["qkv_w"].append(t(_find(state, p + "attn.qkv.weight")))
+        b["qkv_b"].append(a(_find(state, p + "attn.qkv.bias")))
+        b["proj_w"].append(t(_find(state, p + "attn.proj.weight")))
+        b["proj_b"].append(a(_find(state, p + "attn.proj.bias")))
+        b["gate_w"].append(t(_find(state, p + "mlp.gate_proj.weight")))
+        b["gate_b"].append(a(_find(state, p + "mlp.gate_proj.bias")))
+        b["up_w"].append(t(_find(state, p + "mlp.up_proj.weight")))
+        b["up_b"].append(a(_find(state, p + "mlp.up_proj.bias")))
+        b["down_w"].append(t(_find(state, p + "mlp.down_proj.weight")))
+        b["down_b"].append(a(_find(state, p + "mlp.down_proj.bias")))
+    visual["blocks"] = {k: stack(vv) for k, vv in b.items()}
+
+    tp = "model."
+    if "model.layers.0.self_attn.q_proj.weight" not in state:
+        if "model.language_model.layers.0.self_attn.q_proj.weight" in state:
+            tp = "model.language_model."
+        elif "language_model.model.layers.0.self_attn.q_proj.weight" in state:
+            tp = "language_model.model."
+
+    tl = {k: [] for k in (
+        "input_ln", "post_ln", "q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
+        "o_w", "gate_w", "up_w", "down_w",
+    )}
+    for i in range(cfg.text.num_hidden_layers):
+        p = f"{tp}layers.{i}."
+        tl["input_ln"].append(a(_find(state, p + "input_layernorm.weight")))
+        tl["post_ln"].append(a(_find(state, p + "post_attention_layernorm.weight")))
+        tl["q_w"].append(t(_find(state, p + "self_attn.q_proj.weight")))
+        tl["q_b"].append(a(_find(state, p + "self_attn.q_proj.bias")))
+        tl["k_w"].append(t(_find(state, p + "self_attn.k_proj.weight")))
+        tl["k_b"].append(a(_find(state, p + "self_attn.k_proj.bias")))
+        tl["v_w"].append(t(_find(state, p + "self_attn.v_proj.weight")))
+        tl["v_b"].append(a(_find(state, p + "self_attn.v_proj.bias")))
+        tl["o_w"].append(t(_find(state, p + "self_attn.o_proj.weight")))
+        tl["gate_w"].append(t(_find(state, p + "mlp.gate_proj.weight")))
+        tl["up_w"].append(t(_find(state, p + "mlp.up_proj.weight")))
+        tl["down_w"].append(t(_find(state, p + "mlp.down_proj.weight")))
+
+    text = {
+        "embed": a(_find(state, f"{tp}embed_tokens.weight")),
+        "layers": {k: stack(vv) for k, vv in tl.items()},
+        "norm": a(_find(state, f"{tp}norm.weight")),
+    }
+
+    params = {"visual": visual, "text": text}
+    try:
+        params["proj_w"] = t(_find(state, "custom_text_proj.weight"))
+        params["proj_b"] = a(_find(state, "custom_text_proj.bias"))
+    except KeyError:
+        logger.warning("checkpoint has no custom_text_proj — using identity-ish random projection")
+        import jax
+
+        k = jax.random.PRNGKey(0)
+        params["proj_w"] = (
+            jax.random.normal(k, (cfg.text.hidden_size, cfg.embedding_dim), jnp.float32) * 0.02
+        ).astype(dtype)
+        params["proj_b"] = jnp.zeros((cfg.embedding_dim,), dtype)
+    return params
+
+
+def load_hf_checkpoint(path: Path, cfg: ColQwenConfig, dtype=jnp.bfloat16) -> dict:
+    """Read all *.safetensors under `path` and convert."""
+    from safetensors import safe_open
+
+    state: Dict[str, np.ndarray] = {}
+    files = sorted(Path(path).glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no safetensors in {path}")
+    for f in files:
+        with safe_open(str(f), framework="np") as sf:
+            for key in sf.keys():
+                state[key] = sf.get_tensor(key)
+    return convert_state_dict(state, cfg, dtype)

@@ -1,0 +1,78 @@
+"""Shared transformer building blocks (functional JAX).
+
+Numerics follow the Qwen2.5-VL semantics (RMSNorm in fp32, rotary in
+fp32, fp32 softmax) so bf16 forwards stay close to the torch reference.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(dtype)
+
+
+def rotate_half(x: jax.Array) -> jax.Array:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
+    """q, k: (..., S, H, hd); cos/sin: broadcastable (..., S, 1, hd). fp32 math."""
+    qd, kd = q.dtype, k.dtype
+    q, k = q.astype(jnp.float32), k.astype(jnp.float32)
+    cos, sin = cos.astype(jnp.float32), sin.astype(jnp.float32)
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+    return q.astype(qd), k.astype(kd)
+
+
+def swiglu(x: jax.Array, gate_w, up_w, down_w, gate_b=None, up_b=None, down_b=None) -> jax.Array:
+    g = x @ gate_w
+    u = x @ up_w
+    if gate_b is not None:
+        g = g + gate_b
+    if up_b is not None:
+        u = u + up_b
+    h = jax.nn.silu(g) * u
+    out = h @ down_w
+    if down_b is not None:
+        out = out + down_b
+    return out
+
+
+def attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Plain XLA attention; fp32 softmax.
+
+    q: (..., S, Hq, hd); k/v: (..., S, Hkv, hd). GQA via head repeat.
+    mask: broadcastable to (..., Hq, Sq, Sk), True = attend.
+    """
+    hq, hkv = q.shape[-2], k.shape[-2]
+    if hq != hkv:
+        k = jnp.repeat(k, hq // hkv, axis=-2)
+        v = jnp.repeat(v, hq // hkv, axis=-2)
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    qt = jnp.swapaxes(q, -3, -2)  # (..., H, S, hd)
+    kt = jnp.swapaxes(k, -3, -2)
+    vt = jnp.swapaxes(v, -3, -2)
+    scores = jnp.einsum("...qd,...kd->...qk", qt, kt).astype(jnp.float32) * scale
+    if mask is not None:
+        scores = jnp.where(mask, scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    out = jnp.einsum("...qk,...kd->...qd", probs, vt)
+    return jnp.swapaxes(out, -3, -2)  # (..., S, H, hd)

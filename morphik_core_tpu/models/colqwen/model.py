@@ -1,0 +1,241 @@
+"""ColQwen2.5 late-interaction embedder (vision tower + LM + projection).
+
+Replaces the reference's torch/colpali_engine ColQwen2_5 stack
+(reference core/embedding/colpali_embedding_model.py:25-338). Images
+and queries map to per-token 128-d L2-normalized multivectors.
+
+Execution model: one jitted program per (batch, grid-bucket) for images
+and per (batch, length-bucket) for queries; programs are compiled
+lazily and cached. Sharding: batch ("data") axis over the mesh via
+explicit device_put of inputs; params replicated (3B params fit one
+chip in bf16; tensor-parallel sharding hooks live in parallel/).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morphik_core_tpu.models.colqwen.config import ColQwenConfig
+from morphik_core_tpu.models.colqwen.text import (
+    init_text_params,
+    mrope_cos_sin,
+    mrope_position_ids,
+    text_forward,
+)
+from morphik_core_tpu.models.colqwen.vision import (
+    init_vision_params,
+    vision_forward,
+    vision_rotary_cos_sin,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def init_colqwen_params(key: jax.Array, cfg: ColQwenConfig, dtype=jnp.float32) -> dict:
+    kv, kt, kp = jax.random.split(key, 3)
+    h = cfg.text.hidden_size
+    return {
+        "visual": init_vision_params(kv, cfg.vision, dtype),
+        "text": init_text_params(kt, cfg.text, dtype),
+        "proj_w": (jax.random.normal(kp, (h, cfg.embedding_dim), jnp.float32) * 0.02).astype(dtype),
+        "proj_b": jnp.zeros((cfg.embedding_dim,), dtype),
+    }
+
+
+def colqwen_image_forward(
+    params: dict,
+    cfg: ColQwenConfig,
+    patches: jax.Array,  # (B, S_patches, 1176)
+    cos_v: jax.Array,
+    sin_v: jax.Array,  # vision rotary (S_patches, hd_v)
+    input_ids: jax.Array,  # (B, S_seq) with image-token placeholders
+    cos_t: jax.Array,
+    sin_t: jax.Array,  # (B or 1, S_seq, hd_t) mrope tables
+    h_units: int,
+    w_units: int,
+) -> jax.Array:
+    """-> (B, S_seq, embedding_dim) L2-normalized multivectors."""
+    vis = vision_forward(params["visual"], patches, cos_v, sin_v, h_units, w_units, cfg.vision)
+    embeds = params["text"]["embed"][input_ids]  # (B, S_seq, H)
+    # scatter visual tokens into the image-pad positions: those positions
+    # are contiguous and identical across the batch (static template), so
+    # a boolean where() with a padded visual stream suffices.
+    is_img = (input_ids == cfg.image_token_id)[..., None]
+    # positions of image tokens are a contiguous run: build aligned visual
+    # stream via cumsum index
+    idx = jnp.cumsum(is_img.squeeze(-1).astype(jnp.int32), axis=1) - 1
+    idx = jnp.clip(idx, 0, vis.shape[1] - 1)
+    vis_aligned = jnp.take_along_axis(vis, idx[..., None], axis=1)
+    embeds = jnp.where(is_img, vis_aligned.astype(embeds.dtype), embeds)
+
+    mask = jnp.ones(input_ids.shape, dtype=jnp.float32)
+    hidden = text_forward(params["text"], embeds, cos_t, sin_t, mask, cfg.text)
+    return _project(params, hidden, mask)
+
+
+def colqwen_text_forward(
+    params: dict,
+    cfg: ColQwenConfig,
+    input_ids: jax.Array,  # (B, S)
+    attention_mask: jax.Array,  # (B, S)
+    cos_t: jax.Array,
+    sin_t: jax.Array,
+) -> jax.Array:
+    embeds = params["text"]["embed"][input_ids]
+    hidden = text_forward(params["text"], embeds, cos_t, sin_t, attention_mask, cfg.text)
+    return _project(params, hidden, attention_mask)
+
+
+def _project(params, hidden, mask):
+    proj = hidden @ params["proj_w"] + params["proj_b"]
+    proj = proj.astype(jnp.float32)
+    norm = jnp.linalg.norm(proj, axis=-1, keepdims=True)
+    proj = proj / jnp.maximum(norm, 1e-12)
+    return proj * mask[..., None]
+
+
+class ColQwenModel:
+    """Stateful wrapper: params + tokenizer + compiled-program cache."""
+
+    # Default prompt templates (colpali_engine ColQwen2.5 conventions:
+    # image chat template + 'Query: ' prefix with <|endoftext|> query
+    # augmentation suffix).
+    IMAGE_PREFIX = "<|im_start|>user\n<|vision_start|>"
+    IMAGE_SUFFIX = "<|vision_end|>Describe the image.<|im_end|>\n"
+    QUERY_PREFIX = "Query: "
+    QUERY_AUGMENTATION_TOKENS = 10
+
+    def __init__(
+        self,
+        cfg: ColQwenConfig,
+        params: dict,
+        tokenizer=None,
+        dtype=jnp.bfloat16,
+        query_buckets: Sequence[int] = (32, 64, 128, 256),
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.dtype = dtype
+        self.query_buckets = tuple(query_buckets)
+        self._image_fn_cache: Dict[Tuple[int, int], object] = {}
+        self._text_fn = jax.jit(
+            functools.partial(colqwen_text_forward, cfg=cfg),
+            static_argnames=(),
+        )
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def init_random(cls, key: jax.Array, cfg: Optional[ColQwenConfig] = None, dtype=jnp.float32, **kw):
+        cfg = cfg or ColQwenConfig.tiny()
+        return cls(cfg, init_colqwen_params(key, cfg, dtype), dtype=dtype, **kw)
+
+    @classmethod
+    def from_checkpoint(cls, path: str | Path, dtype=jnp.bfloat16, **kw):
+        """Load an HF-format ColQwen2.5 checkpoint directory
+        (config.json + *.safetensors + tokenizer.json)."""
+        from morphik_core_tpu.models.colqwen.convert import load_hf_checkpoint
+
+        path = Path(path)
+        cfg = ColQwenConfig.from_hf_config(path / "config.json")
+        params = load_hf_checkpoint(path, cfg, dtype)
+        tokenizer = None
+        tok_file = path / "tokenizer.json"
+        if tok_file.exists():
+            from tokenizers import Tokenizer
+
+            tokenizer = Tokenizer.from_file(str(tok_file))
+        return cls(cfg, params, tokenizer=tokenizer, dtype=dtype, **kw)
+
+    # -- image path --------------------------------------------------------
+
+    def _image_fn(self, h_units: int, w_units: int):
+        key = (h_units, w_units)
+        if key not in self._image_fn_cache:
+            fn = functools.partial(
+                colqwen_image_forward, cfg=self.cfg, h_units=h_units, w_units=w_units
+            )
+            self._image_fn_cache[key] = jax.jit(fn)
+        return self._image_fn_cache[key]
+
+    def image_sequence_ids(self, n_units: int) -> np.ndarray:
+        """Token id sequence for one image: prefix + n image pads + suffix."""
+        prefix = self._encode(self.IMAGE_PREFIX)
+        suffix = self._encode(self.IMAGE_SUFFIX)
+        return np.array(
+            list(prefix) + [self.cfg.image_token_id] * n_units + list(suffix), dtype=np.int32
+        )
+
+    def embed_image_batch(self, patches: np.ndarray, h_units: int, w_units: int) -> np.ndarray:
+        """patches: (B, S, 1176) for one grid bucket -> (B, S_seq, dim) f32.
+        All rows valid (no padding inside a bucket)."""
+        b = patches.shape[0]
+        cos_v, sin_v = vision_rotary_cos_sin(h_units, w_units, self.cfg.vision)
+        n_units = h_units * w_units
+        ids = self.image_sequence_ids(n_units)
+        input_ids = np.tile(ids[None], (b, 1))
+        grids = [(1, h_units, w_units)] * b
+        pos = mrope_position_ids(input_ids, self.cfg.image_token_id, grids)
+        cos_t, sin_t = mrope_cos_sin(pos, self.cfg.text)
+        fn = self._image_fn(h_units, w_units)
+        out = fn(
+            self.params,
+            patches=jnp.asarray(patches, self.dtype),
+            cos_v=jnp.asarray(cos_v),
+            sin_v=jnp.asarray(sin_v),
+            input_ids=jnp.asarray(input_ids),
+            cos_t=jnp.asarray(cos_t),
+            sin_t=jnp.asarray(sin_t),
+        )
+        return np.asarray(out, dtype=np.float32)
+
+    # -- query path ---------------------------------------------------------
+
+    def _encode(self, text: str) -> List[int]:
+        if self.tokenizer is None:
+            # deterministic fallback "tokenizer" for tests: bytes -> ids
+            return [b % (self.cfg.text.vocab_size - 8) for b in text.encode()]
+        return self.tokenizer.encode(text, add_special_tokens=False).ids
+
+    def query_token_ids(self, query: str) -> List[int]:
+        ids = self._encode(self.QUERY_PREFIX + query)
+        # query augmentation tokens (endoftext padding the reference model
+        # attends to as soft expansion slots)
+        eot = self._encode("<|endoftext|>")
+        aug = (eot if len(eot) == 1 else [self.cfg.text.vocab_size - 1]) * self.QUERY_AUGMENTATION_TOKENS
+        return ids + aug
+
+    def embed_queries(self, queries: Sequence[str]) -> List[np.ndarray]:
+        """-> list of (n_tokens_i, dim) f32 multivectors."""
+        if not queries:
+            return []
+        all_ids = [self.query_token_ids(q) for q in queries]
+        max_len = max(len(i) for i in all_ids)
+        bucket = next((b for b in self.query_buckets if b >= max_len), max_len)
+        b = len(all_ids)
+        input_ids = np.zeros((b, bucket), dtype=np.int32)
+        mask = np.zeros((b, bucket), dtype=np.float32)
+        for i, ids in enumerate(all_ids):
+            n = min(len(ids), bucket)
+            input_ids[i, :n] = ids[:n]
+            mask[i, :n] = 1.0
+        pos = mrope_position_ids(input_ids, -1, [None] * b, attention_mask=mask)
+        cos_t, sin_t = mrope_cos_sin(pos, self.cfg.text)
+        out = self._text_fn(
+            self.params,
+            input_ids=jnp.asarray(input_ids),
+            attention_mask=jnp.asarray(mask),
+            cos_t=jnp.asarray(cos_t),
+            sin_t=jnp.asarray(sin_t),
+        )
+        out = np.asarray(out, dtype=np.float32)
+        return [out[i, : len(all_ids[i])] for i in range(b)]

@@ -235,7 +235,7 @@ class CompletionRequest(BaseModel):
     prompt_template: Optional[str] = None
     chat_history: Optional[List[ChatMessage]] = None
     stream_response: bool = False
-    schema_json: Optional[Dict[str, Any]] = None
+    response_schema: Optional[Dict[str, Any]] = None
     llm_config: Optional[Dict[str, Any]] = None
     inline_citations: bool = False
 

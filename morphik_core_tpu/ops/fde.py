@@ -133,6 +133,10 @@ def _encode_one_rep(
 
 
 def _encode(x: jax.Array, mask: Optional[jax.Array], cfg: FDEConfig, is_query: bool) -> jax.Array:
+    if x.shape[-1] != cfg.dimension:
+        raise ValueError(
+            f"multivector dim {x.shape[-1]} != FDEConfig.dimension {cfg.dimension}"
+        )
     x = jnp.asarray(x, dtype=jnp.float32)
     if mask is None:
         mask = jnp.ones(x.shape[0], dtype=jnp.float32)

@@ -1,0 +1,60 @@
+"""ColQwenModel wrapper smoke tests (random weights): shapes, masking,
+normalization, preprocessing — mirrors the reference's real-model shape
+test (SURVEY.md §4, test_colpali_embedding.py)."""
+
+import numpy as np
+import pytest
+import jax
+
+from PIL import Image
+
+from morphik_core_tpu.models.colqwen.config import ColQwenConfig
+from morphik_core_tpu.models.colqwen.model import ColQwenModel
+from morphik_core_tpu.models.colqwen.preprocess import (
+    bucket_images,
+    preprocess_image,
+    smart_resize,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return ColQwenModel.init_random(jax.random.PRNGKey(0), ColQwenConfig.tiny())
+
+
+def test_smart_resize_multiples_of_112():
+    h, w = smart_resize(793, 612)
+    assert h % 112 == 0 and w % 112 == 0
+    # aspect roughly preserved
+    assert abs((h / w) - (793 / 612)) < 0.4
+
+
+def test_preprocess_image_shapes():
+    img = Image.new("RGB", (400, 300), (200, 30, 90))
+    patches, (hu, wu) = preprocess_image(img)
+    assert hu % 4 == 0 and wu % 4 == 0
+    assert patches.shape == (hu * wu * 4, 1176)
+
+
+def test_bucket_images():
+    grids = [(4, 4), (4, 8), (8, 8)]
+    assert bucket_images([(4, 4), (4, 6), (8, 8), (9, 9)], grids) == [0, 1, 2, -1]
+
+
+def test_embed_image_batch_shape_and_norm(model):
+    rng = np.random.default_rng(0)
+    b, hu, wu = 2, 4, 4
+    patches = rng.standard_normal((b, hu * wu * 4, 1176)).astype(np.float32)
+    out = model.embed_image_batch(patches, hu, wu)
+    assert out.ndim == 3 and out.shape[0] == b and out.shape[2] == model.cfg.embedding_dim
+    norms = np.linalg.norm(out, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_embed_queries_ragged(model):
+    outs = model.embed_queries(["what is revenue?", "a much longer query about the quarterly financial report"])
+    assert len(outs) == 2
+    for o in outs:
+        assert o.ndim == 2 and o.shape[1] == model.cfg.embedding_dim
+        np.testing.assert_allclose(np.linalg.norm(o, axis=-1), 1.0, atol=1e-4)
+    assert outs[1].shape[0] > outs[0].shape[0]
