@@ -1,0 +1,156 @@
+"""ColPali embedding service: chunks -> per-token multivectors on TPU.
+
+The TPU-native replacement for both of the reference's embedding
+deployments (SURVEY.md §2.2):
+  - local torch model (reference core/embedding/colpali_embedding_model.py:25-338)
+  - HTTP fan-out to N GPU endpoints with health tracking
+    (reference core/embedding/colpali_api_embedding_model.py:38-390)
+
+Scaling here is a device mesh, not an endpoint pool: batches are
+grouped by static grid bucket and dispatched to pjit-compiled programs;
+the "data" axis of the mesh data-parallelizes pages over ICI.
+
+Behavioral parity kept from the reference:
+  - chunks split into image vs text streams on metadata["is_image"]
+    (ref :83-100), image decode failure falls back to text;
+  - order-preserving result assembly;
+  - per-phase timing metrics (ref :198-216);
+  - batch size from settings (ref :61).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import logging
+import time
+from typing import Dict, List, Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+from morphik_core_tpu.config import Settings, get_settings
+from morphik_core_tpu.embedding.base_embedding_model import BaseEmbeddingModel
+from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+from morphik_core_tpu.models.colqwen.preprocess import preprocess_image
+from morphik_core_tpu.models.schemas import Chunk
+from morphik_core_tpu.utils.fast_ops import data_uri_to_bytes
+
+logger = logging.getLogger(__name__)
+
+
+class ColpaliEmbeddingModel(BaseEmbeddingModel):
+    def __init__(self, settings: Optional[Settings] = None, model: Optional[ColQwenModel] = None):
+        self.settings = settings or get_settings()
+        t0 = time.time()
+        if model is not None:
+            self.model = model
+        elif self.settings.model.checkpoint_path:
+            self.model = ColQwenModel.from_checkpoint(self.settings.model.checkpoint_path)
+        else:
+            logger.warning(
+                "No model.checkpoint_path configured — initializing a tiny random "
+                "ColQwen (dev/test mode; retrieval quality is meaningless)"
+            )
+            self.model = ColQwenModel.init_random(jax.random.PRNGKey(0), ColQwenConfig.tiny())
+        self.batch_size = self.settings.tpu.embed_batch_size
+        self.min_pixels = self.settings.model.min_pixels
+        self.max_pixels = self.settings.model.max_pixels
+        self.last_metrics: Dict[str, float] = {}
+        logger.info(
+            "ColpaliEmbeddingModel ready in %.2fs (dim=%d, batch=%d, backend=%s)",
+            time.time() - t0,
+            self.embedding_dim,
+            self.batch_size,
+            jax.default_backend(),
+        )
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.model.cfg.embedding_dim
+
+    # ------------------------------------------------------------------
+
+    def _decode_image(self, chunk: Chunk) -> Image.Image:
+        raw = chunk.metadata.get("_image_bytes")
+        if isinstance(raw, (bytes, bytearray, memoryview)):
+            data = bytes(raw)
+        else:
+            data = data_uri_to_bytes(chunk.content)
+        img = Image.open(io.BytesIO(data))
+        chunk.metadata.pop("_image_bytes", None)
+        return img
+
+    def embed_images(self, images: List[Image.Image]) -> List[np.ndarray]:
+        """Preprocess -> bucket-group -> batched TPU forward. Order-preserving."""
+        prep_start = time.perf_counter()
+        buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray]]] = {}
+        for i, img in enumerate(images):
+            patches, grid = preprocess_image(img, min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+            buckets.setdefault(grid, []).append((i, patches))
+        prep_s = time.perf_counter() - prep_start
+
+        model_start = time.perf_counter()
+        out: List[Optional[np.ndarray]] = [None] * len(images)
+        for (hu, wu), items in buckets.items():
+            for s in range(0, len(items), self.batch_size):
+                batch = items[s : s + self.batch_size]
+                arr = np.stack([p for _, p in batch])
+                embs = self.model.embed_image_batch(arr, hu, wu)
+                for j, (i, _) in enumerate(batch):
+                    out[i] = embs[j]
+        model_s = time.perf_counter() - model_start
+        self.last_metrics.update(
+            image_preprocess_s=prep_s, image_model_s=model_s, image_count=len(images), buckets=len(buckets)
+        )
+        return out  # type: ignore[return-value]
+
+    def embed_texts(self, texts: List[str]) -> List[np.ndarray]:
+        t0 = time.perf_counter()
+        out: List[np.ndarray] = []
+        for s in range(0, len(texts), max(self.batch_size, 1)):
+            out.extend(self.model.embed_queries(texts[s : s + self.batch_size]))
+        self.last_metrics.update(text_model_s=time.perf_counter() - t0, text_count=len(texts))
+        return out
+
+    # ------------------------------------------------------------------
+
+    async def embed_for_ingestion(self, chunks: Union[Chunk, List[Chunk]]) -> List[np.ndarray]:
+        if isinstance(chunks, Chunk):
+            chunks = [chunks]
+        if not chunks:
+            return []
+        self.last_metrics = {}
+        job_start = time.perf_counter()
+
+        image_items: List[Tuple[int, Image.Image]] = []
+        text_items: List[Tuple[int, str]] = []
+        for i, chunk in enumerate(chunks):
+            if chunk.metadata.get("is_image"):
+                try:
+                    image_items.append((i, self._decode_image(chunk)))
+                except Exception as e:  # noqa: BLE001
+                    logger.error("image chunk %d decode failed (%s); falling back to text", i, e)
+                    text_items.append((i, chunk.content))
+            else:
+                text_items.append((i, chunk.content))
+
+        results: List[Optional[np.ndarray]] = [None] * len(chunks)
+        if image_items:
+            embs = self.embed_images([im for _, im in image_items])
+            for (i, _), e in zip(image_items, embs):
+                results[i] = e
+        if text_items:
+            embs = self.embed_texts([t for _, t in text_items])
+            for (i, _), e in zip(text_items, embs):
+                results[i] = e
+        self.last_metrics["total_s"] = time.perf_counter() - job_start
+        return results  # type: ignore[return-value]
+
+    async def embed_for_query(self, query: Union[str, Image.Image]) -> np.ndarray:
+        """Text query or PIL image query -> (n_tokens, dim) f32."""
+        if isinstance(query, Image.Image):
+            return self.embed_images([query])[0]
+        return self.embed_texts([query])[0]

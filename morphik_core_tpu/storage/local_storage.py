@@ -1,0 +1,51 @@
+"""Filesystem-backed storage (reference core/storage/local_storage.py)."""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional, Tuple
+
+from morphik_core_tpu.storage.base_storage import BaseStorage
+from morphik_core_tpu.utils.fast_ops import decode_base64
+
+logger = logging.getLogger(__name__)
+
+
+class LocalStorage(BaseStorage):
+    def __init__(self, storage_path: str | Path = "./storage"):
+        self.root = Path(storage_path)
+        self.root.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, bucket: str, key: str) -> Path:
+        p = (self.root / bucket / key) if bucket else (self.root / key)
+        resolved = p.resolve()
+        if not str(resolved).startswith(str(self.root.resolve())):
+            raise ValueError(f"storage key escapes root: {key}")
+        return resolved
+
+    async def upload_file(self, file: bytes, key: str, content_type: Optional[str] = None, bucket: str = "") -> Tuple[str, str]:
+        p = self._path(bucket, key)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(file)
+        return bucket, key
+
+    async def upload_from_base64(self, content: str, key: str, content_type: Optional[str] = None, bucket: str = "") -> Tuple[str, str]:
+        return await self.upload_file(decode_base64(content), key, content_type, bucket)
+
+    async def download_file(self, bucket: str, key: str) -> bytes:
+        return self._path(bucket, key).read_bytes()
+
+    async def get_download_url(self, bucket: str, key: str, expires_in: int = 3600) -> str:
+        return f"file://{self._path(bucket, key)}"
+
+    async def delete_file(self, bucket: str, key: str) -> bool:
+        p = self._path(bucket, key)
+        if p.exists():
+            p.unlink()
+            return True
+        return False
+
+    async def get_object_size(self, bucket: str, key: str) -> Optional[int]:
+        p = self._path(bucket, key)
+        return p.stat().st_size if p.exists() else None
