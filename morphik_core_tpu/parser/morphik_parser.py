@@ -1,0 +1,145 @@
+"""File-type parse router (reference core/parser/morphik_parser.py:196-664).
+
+Routes by detected content type:
+  text/*            -> read-through
+  xlsx              -> markdown tables (office.py)
+  docx              -> paragraphs (office.py)
+  pptx              -> per-slide text (office.py)
+  pdf               -> extract_pages_text (pdf.py)
+  xml               -> XMLChunker structural chunks
+  video/*           -> VideoParser (frame descriptions; requires a
+                       vision describe_fn)
+  everything else   -> best-effort utf-8 decode
+
+split_text applies the recursive splitter; an optional ContextualChunker
+(LLM chunk-situating, reference :110-193) wraps it when configured."""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Awaitable, Callable, Dict, List, Optional, Tuple
+
+from morphik_core_tpu.config import Settings, get_settings
+from morphik_core_tpu.models.schemas import Chunk
+from morphik_core_tpu.parser.office import docx_to_text, pptx_to_slides, xlsx_to_markdown
+from morphik_core_tpu.parser.pdf import extract_pages_text
+from morphik_core_tpu.parser.text_splitter import RecursiveCharacterTextSplitter
+from morphik_core_tpu.parser.xml_chunker import XMLChunker
+from morphik_core_tpu.storage.content_types import DOCX, PPTX, XLSX, detect_content_type
+from morphik_core_tpu.utils.fast_ops import clean_control_chars
+
+logger = logging.getLogger(__name__)
+
+CompleteFn = Callable[[str], Awaitable[str]]
+
+
+class ContextualChunker:
+    """LLM-prefixes each chunk with situating context (reference :110-193)."""
+
+    PROMPT = (
+        "<document>\n{document}\n</document>\n"
+        "Here is the chunk we want to situate within the whole document\n"
+        "<chunk>\n{chunk}\n</chunk>\n"
+        "Please give a short succinct context to situate this chunk within "
+        "the overall document for the purposes of improving search retrieval "
+        "of the chunk. Answer only with the succinct context and nothing else."
+    )
+
+    def __init__(self, splitter: RecursiveCharacterTextSplitter, complete_fn: CompleteFn):
+        self.splitter = splitter
+        self.complete_fn = complete_fn
+
+    async def split_text(self, text: str) -> List[Chunk]:
+        base = self.splitter.split_text(text)
+        out = []
+        for c in base:
+            try:
+                ctx = await self.complete_fn(self.PROMPT.format(document=text[:40000], chunk=c))
+                out.append(Chunk(content=f"{ctx}; {c}", metadata={}))
+            except Exception as e:  # noqa: BLE001
+                logger.warning("contextual chunking failed (%s); using raw chunk", e)
+                out.append(Chunk(content=c, metadata={}))
+        return out
+
+
+class MorphikParser:
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        describe_fn=None,
+        complete_fn: Optional[CompleteFn] = None,
+    ):
+        self.settings = settings or get_settings()
+        p = self.settings.parser
+        self.splitter = RecursiveCharacterTextSplitter(p.chunk_size, p.chunk_overlap)
+        self.xml_chunker = XMLChunker(max_tokens=p.xml_max_tokens)
+        self.frame_sample_rate = p.frame_sample_rate
+        self.describe_fn = describe_fn
+        self.contextual = (
+            ContextualChunker(self.splitter, complete_fn)
+            if p.use_contextual_chunking and complete_fn
+            else None
+        )
+
+    # ------------------------------------------------------------------
+
+    async def parse_file_to_text(
+        self, file: bytes, filename: Optional[str] = None, content_type: Optional[str] = None
+    ) -> Tuple[Dict[str, Any], str]:
+        """-> (additional_metadata, text)."""
+        ctype = content_type or detect_content_type(file, filename)
+        try:
+            if ctype.startswith("text/") or ctype in ("application/json",):
+                return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
+            if ctype == XLSX:
+                return {}, xlsx_to_markdown(file)
+            if ctype == DOCX:
+                return {}, docx_to_text(file)
+            if ctype == PPTX:
+                slides = pptx_to_slides(file)
+                return {"slide_count": len(slides)}, "\n\n".join(
+                    f"## Slide {i + 1}\n{s}" for i, s in enumerate(slides)
+                )
+            if ctype == "application/pdf":
+                pages = extract_pages_text(file)
+                return {"page_count": len(pages)}, "\n\n".join(pages)
+            if ctype.startswith("video/"):
+                return await self._parse_video(file)
+            if ctype in ("application/xml", "text/xml") or (filename or "").lower().endswith(".xml"):
+                return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
+        except Exception as e:  # noqa: BLE001
+            logger.warning("parse of %s (%s) failed: %s — falling back to utf-8 decode", filename, ctype, e)
+        return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
+
+    async def _parse_video(self, file: bytes) -> Tuple[Dict[str, Any], str]:
+        from morphik_core_tpu.parser.video_parser import VideoParser
+
+        parser = VideoParser(file, describe_fn=self.describe_fn, frame_sample_rate=self.frame_sample_rate)
+        result = await parser.process_video()
+        frames = result["frame_descriptions"]
+        transcript = result["transcript"]
+        meta = {
+            "frame_description": frames.time_to_content,
+            "transcript": transcript.time_to_content,
+        }
+        text = "\n".join(frames.contents) + ("\n" + "\n".join(transcript.contents) if transcript.contents else "")
+        return meta, text
+
+    # ------------------------------------------------------------------
+
+    async def split_text(self, text: str) -> List[Chunk]:
+        if self.contextual is not None:
+            return await self.contextual.split_text(text)
+        return [Chunk(content=c, metadata={}) for c in self.splitter.split_text(text)]
+
+    def parse_and_chunk_xml(self, xml_text: str) -> List[Chunk]:
+        return [
+            Chunk(content=c["content"], metadata={"xml": {"breadcrumbs": c["breadcrumbs"], "tag": c["tag"]}})
+            for c in self.xml_chunker.chunk(xml_text)
+        ]
+
+    @staticmethod
+    def is_xml_file(filename: Optional[str], content_type: Optional[str]) -> bool:
+        if content_type in ("application/xml", "text/xml"):
+            return True
+        return bool(filename and filename.lower().endswith(".xml"))

@@ -1,0 +1,211 @@
+"""Parser layer tests: splitter invariants, XML chunking, office
+extraction (hand-built OOXML zips), minimal PDF text extraction and the
+rasterization fallback ladder."""
+
+import io
+import zipfile
+import zlib
+
+import asyncio
+import numpy as np
+import pytest
+
+from morphik_core_tpu.parser.text_splitter import RecursiveCharacterTextSplitter
+from morphik_core_tpu.parser.xml_chunker import XMLChunker
+from morphik_core_tpu.parser.office import docx_to_text, pptx_to_slides, xlsx_to_markdown
+from morphik_core_tpu.parser.pdf import extract_pages_text, rasterize_pdf
+from morphik_core_tpu.parser.morphik_parser import MorphikParser
+from morphik_core_tpu.storage.content_types import DOCX, PPTX, XLSX, detect_content_type
+
+
+def run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+# ------------------------------------------------------------- splitter
+
+
+def test_splitter_respects_chunk_size():
+    text = "para one.\n\n" + ("word " * 500) + "\n\nlast para."
+    s = RecursiveCharacterTextSplitter(chunk_size=200, chunk_overlap=20)
+    chunks = s.split_text(text)
+    assert all(len(c) <= 200 for c in chunks)
+    assert "".join(c[20:] if i else c for i, c in enumerate(chunks)).replace(" ", "") in text.replace(" ", "") + "x"
+
+
+def test_splitter_short_text_passthrough():
+    s = RecursiveCharacterTextSplitter(chunk_size=100, chunk_overlap=10)
+    assert s.split_text("hello") == ["hello"]
+    assert s.split_text("") == []
+
+
+def test_splitter_content_preserved():
+    text = "s1. s2. s3. " * 100
+    s = RecursiveCharacterTextSplitter(chunk_size=64, chunk_overlap=0)
+    chunks = s.split_text(text)
+    assert "".join(chunks) == text
+
+
+def test_splitter_overlap():
+    text = ("a" * 90 + " ") * 10
+    s = RecursiveCharacterTextSplitter(chunk_size=100, chunk_overlap=20)
+    chunks = s.split_text(text)
+    for prev, nxt in zip(chunks, chunks[1:]):
+        assert nxt.startswith(prev[-20:])
+
+
+# ------------------------------------------------------------------ xml
+
+
+def test_xml_chunker_breadcrumbs():
+    xml = """<doc><section id="intro"><p>Hello world.</p></section>
+    <section id="body"><item name="a">Content A here.</item>
+    <item name="b">Content B here.</item></section></doc>"""
+    chunks = XMLChunker(max_tokens=50).chunk(xml)
+    contents = [c["content"] for c in chunks]
+    assert any("section[intro]" in c and "Hello world." in c for c in contents)
+    assert any("section[body]" in c and "Content A here." in c for c in contents)
+    # a tighter budget forces descent to item granularity
+    tight = XMLChunker(max_tokens=5).chunk(xml)
+    tight_contents = [c["content"] for c in tight]
+    assert any("item[a]" in c for c in tight_contents)
+    assert any("item[b]" in c for c in tight_contents)
+
+
+def test_xml_chunker_token_budget_splits_large_leaf():
+    big = "token " * 1000
+    xml = f"<doc><p>{big}</p></doc>"
+    chunks = XMLChunker(max_tokens=100).chunk(xml)
+    assert len(chunks) > 1
+    assert all(len(c["content"]) <= 100 * 4 + 50 for c in chunks)
+
+
+def test_xml_chunker_invalid_xml_fallback():
+    chunks = XMLChunker(max_tokens=50).chunk("not <valid <xml at all")
+    assert chunks and all(c["tag"] == "text" for c in chunks)
+
+
+# ---------------------------------------------------------------- office
+
+
+def _zipbytes(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in files.items():
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+W = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def test_docx_extraction_and_detection():
+    doc = f"""<?xml version="1.0"?><w:document {W}><w:body>
+      <w:p><w:r><w:t>First paragraph.</w:t></w:r></w:p>
+      <w:p><w:r><w:t>Second </w:t></w:r><w:r><w:t>paragraph.</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    data = _zipbytes({"word/document.xml": doc})
+    assert detect_content_type(data, "report.docx") == DOCX
+    text = docx_to_text(data)
+    assert text == "First paragraph.\n\nSecond paragraph."
+
+
+def test_pptx_extraction():
+    A = 'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+    slide = f'<?xml version="1.0"?><p:sld xmlns:p="x" {A}><a:t>Title here</a:t><a:t>Bullet</a:t></p:sld>'
+    data = _zipbytes({"ppt/slides/slide1.xml": slide, "ppt/slides/slide2.xml": slide.replace("Title here", "Slide two")})
+    assert detect_content_type(data, "deck.pptx") == PPTX
+    slides = pptx_to_slides(data)
+    assert len(slides) == 2 and "Title here" in slides[0] and "Slide two" in slides[1]
+
+
+def test_xlsx_extraction():
+    S = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = f'<?xml version="1.0"?><sst {S}><si><t>name</t></si><si><t>alice</t></si></sst>'
+    sheet = f"""<?xml version="1.0"?><worksheet {S}><sheetData>
+      <row r="1"><c t="s"><v>0</v></c><c><v>42</v></c></row>
+      <row r="2"><c t="s"><v>1</v></c><c><v>7</v></c></row>
+    </sheetData></worksheet>"""
+    wb = f'<?xml version="1.0"?><workbook {S}><sheets><sheet name="People" sheetId="1"/></sheets></workbook>'
+    data = _zipbytes({"xl/sharedStrings.xml": shared, "xl/worksheets/sheet1.xml": sheet, "xl/workbook.xml": wb})
+    assert detect_content_type(data, "t.xlsx") == XLSX
+    md = xlsx_to_markdown(data)
+    assert "## People" in md and "| name | 42 |" in md and "| alice | 7 |" in md
+
+
+# ------------------------------------------------------------------- pdf
+
+
+def make_pdf(pages_text):
+    """Hand-built minimal PDF with FlateDecode content streams."""
+    objs = []
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(len(pages_text)))
+    objs.append(b"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n")
+    objs.append(
+        f"2 0 obj<</Type/Pages/Kids[{kids}]/Count {len(pages_text)}>>endobj\n".encode()
+    )
+    for i, text in enumerate(pages_text):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{page_num} 0 obj<</Type/Page/Parent 2 0 R/MediaBox[0 0 612 792]/Contents {content_num} 0 R>>endobj\n".encode()
+        )
+        lines = text.split("\n")
+        ops = b"BT /F1 12 Tf 72 720 Td "
+        for j, line in enumerate(lines):
+            esc = line.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            if j:
+                ops += b"0 -14 Td "
+            ops += b"(" + esc.encode("latin-1") + b") Tj "
+        ops += b"ET"
+        comp = zlib.compress(ops)
+        objs.append(
+            f"{content_num} 0 obj<</Length {len(comp)}/Filter/FlateDecode>>stream\n".encode()
+            + comp
+            + b"\nendstream endobj\n"
+        )
+    body = b"%PDF-1.4\n" + b"".join(objs) + b"trailer<</Root 1 0 R>>\n%%EOF"
+    return body
+
+
+def test_pdf_text_extraction_multipage():
+    pdf = make_pdf(["Hello page one.\nWith a second line.", "Page two content (parens) here."])
+    pages = extract_pages_text(pdf)
+    assert len(pages) == 2
+    assert "Hello page one." in pages[0] and "second line" in pages[0]
+    assert "(parens)" not in pages[0]
+    assert "Page two content (parens) here." in pages[1]
+
+
+def test_pdf_rasterize_fallback():
+    pdf = make_pdf(["Rasterize me."])
+    images, backend = rasterize_pdf(pdf, dpi=72)
+    assert backend in ("pymupdf", "pdf2image", "textrender")
+    assert len(images) == 1
+    arr = np.asarray(images[0])
+    assert arr.shape[0] > 500 and arr.shape[2] == 3
+    assert (arr < 128).any()  # some dark pixels (drawn text)
+
+
+def test_detect_content_type_pdf_and_text():
+    assert detect_content_type(make_pdf(["x"]), "a.bin") == "application/pdf"
+    assert detect_content_type(b"plain words here", "notes.txt") == "text/plain"
+    assert detect_content_type(b"\x89PNG\r\n\x1a\nxxxx") == "image/png"
+
+
+# ------------------------------------------------------------ router
+
+
+def test_morphik_parser_routes(tmp_path):
+    async def go():
+        p = MorphikParser()
+        meta, text = await p.parse_file_to_text(b"hello world", "a.txt")
+        assert text == "hello world"
+        pdf = make_pdf(["Route me via pdf."])
+        meta, text = await p.parse_file_to_text(pdf, "x.pdf")
+        assert "Route me" in text and meta["page_count"] == 1
+        chunks = await p.split_text("abc. " * 3000)
+        assert len(chunks) > 1
+        xml_chunks = p.parse_and_chunk_xml("<doc><section id='s'>Some xml text.</section></doc>")
+        assert xml_chunks and "Some xml text." in xml_chunks[0].content
+
+    run(go())
