@@ -1,0 +1,217 @@
+"""Completion layer (the reference's LiteLLM routing,
+reference core/completion/litellm_completion.py:285-740).
+
+Providers:
+  - OpenAICompatCompletionModel: any OpenAI-compatible /chat/completions
+    endpoint (OpenAI, Ollama, vLLM...). Vision chunks (data URIs) are
+    passed as image_url blocks; streaming via SSE; structured output via
+    JSON-schema instruction + parse (graceful fallback to text, mirroring
+    the reference's instructor fallback :680-731).
+  - StubCompletionModel: deterministic offline completion that
+    extractively answers from the retrieved context — keeps the full
+    RAG path runnable in air-gapped dev/test.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import re
+from abc import ABC, abstractmethod
+from typing import Any, AsyncIterator, Dict, List, Optional
+
+from morphik_core_tpu.models.schemas import CompletionRequest, CompletionResponse
+
+logger = logging.getLogger(__name__)
+
+DEFAULT_PROMPT = (
+    "You are a helpful assistant. Answer the question using ONLY the provided context.\n"
+    "Context:\n{context}\n\nQuestion: {question}"
+)
+
+
+def _is_image_content(chunk: str) -> bool:
+    return chunk.startswith("data:image/")
+
+
+class BaseCompletionModel(ABC):
+    @abstractmethod
+    async def complete(self, request: CompletionRequest) -> CompletionResponse:
+        ...
+
+    async def complete_stream(self, request: CompletionRequest) -> AsyncIterator[str]:
+        """Default streaming: yield the non-streaming completion at once."""
+        resp = await self.complete(request)
+        yield resp.completion if isinstance(resp.completion, str) else json.dumps(resp.completion)
+
+    def _build_messages(self, request: CompletionRequest) -> List[Dict[str, Any]]:
+        texts = [c for c in request.context_chunks if not _is_image_content(c)]
+        images = [c for c in request.context_chunks if _is_image_content(c)]
+        template = request.prompt_template or DEFAULT_PROMPT
+        prompt = template.format(context="\n---\n".join(texts), question=request.query)
+        messages: List[Dict[str, Any]] = []
+        if request.chat_history:
+            messages.extend({"role": m.role, "content": m.content} for m in request.chat_history)
+        if images:
+            content: List[Dict[str, Any]] = [{"type": "text", "text": prompt}]
+            content.extend({"type": "image_url", "image_url": {"url": u}} for u in images)
+            messages.append({"role": "user", "content": content})
+        else:
+            messages.append({"role": "user", "content": prompt})
+        if request.response_schema:
+            messages.insert(
+                0,
+                {
+                    "role": "system",
+                    "content": "Respond ONLY with JSON matching this schema:\n"
+                    + json.dumps(request.response_schema),
+                },
+            )
+        return messages
+
+
+class StubCompletionModel(BaseCompletionModel):
+    """Extractive offline answerer: returns the most question-relevant
+    sentences from the context (word-overlap scored)."""
+
+    def __init__(self, model_name: str = "stub"):
+        self.model_name = model_name
+
+    async def complete(self, request: CompletionRequest) -> CompletionResponse:
+        texts = [c for c in request.context_chunks if not _is_image_content(c)]
+        n_images = len(request.context_chunks) - len(texts)
+        q_words = set(re.findall(r"[a-z0-9]+", request.query.lower()))
+        sentences: List[tuple] = []
+        for t in texts:
+            for s in re.split(r"(?<=[.!?])\s+|\n", t):
+                words = set(re.findall(r"[a-z0-9]+", s.lower()))
+                overlap = len(q_words & words)
+                if s.strip():
+                    sentences.append((overlap, s.strip()))
+        sentences.sort(key=lambda x: -x[0])
+        best = [s for _, s in sentences[:3] if _]
+        if request.response_schema:
+            props = (request.response_schema.get("properties") or {}).keys()
+            completion: Any = {p: (best[0] if best else "") for p in props}
+        elif best:
+            completion = " ".join(best)
+        else:
+            completion = (
+                f"[offline-stub] No matching context found for: {request.query!r} "
+                f"({len(texts)} text chunks, {n_images} image chunks retrieved)"
+            )
+        tokens_in = sum(len(t.split()) for t in texts) + len(request.query.split())
+        return CompletionResponse(
+            completion=completion,
+            usage={"prompt_tokens": tokens_in, "completion_tokens": len(str(completion).split()),
+                   "total_tokens": tokens_in + len(str(completion).split())},
+            finish_reason="stop",
+            metadata={"model": self.model_name},
+        )
+
+    async def complete_stream(self, request: CompletionRequest) -> AsyncIterator[str]:
+        resp = await self.complete(request)
+        text = resp.completion if isinstance(resp.completion, str) else json.dumps(resp.completion)
+        for i in range(0, len(text), 24):
+            yield text[i : i + 24]
+
+
+class OpenAICompatCompletionModel(BaseCompletionModel):
+    def __init__(
+        self,
+        base_url: str,
+        model: str,
+        api_key: Optional[str] = None,
+        timeout: float = 120.0,
+        extra_params: Optional[Dict[str, Any]] = None,
+    ):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.timeout = timeout
+        self.extra_params = extra_params or {}
+
+    def _headers(self) -> Dict[str, str]:
+        h = {"Content-Type": "application/json"}
+        if self.api_key:
+            h["Authorization"] = f"Bearer {self.api_key}"
+        return h
+
+    def _payload(self, request: CompletionRequest, stream: bool = False) -> Dict[str, Any]:
+        payload: Dict[str, Any] = {
+            "model": self.model,
+            "messages": self._build_messages(request),
+            "stream": stream,
+            **self.extra_params,
+        }
+        if request.max_tokens:
+            payload["max_tokens"] = request.max_tokens
+        if request.temperature is not None:
+            payload["temperature"] = request.temperature
+        if request.llm_config:
+            payload.update({k: v for k, v in request.llm_config.items() if k not in ("model",)})
+            if request.llm_config.get("model"):
+                payload["model"] = request.llm_config["model"]
+        return payload
+
+    async def complete(self, request: CompletionRequest) -> CompletionResponse:
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            r = await client.post(
+                f"{self.base_url}/chat/completions", json=self._payload(request), headers=self._headers()
+            )
+            r.raise_for_status()
+            data = r.json()
+        text = data["choices"][0]["message"]["content"]
+        completion: Any = text
+        if request.response_schema:
+            try:
+                completion = json.loads(re.sub(r"^```(json)?|```$", "", text.strip(), flags=re.M))
+            except (json.JSONDecodeError, TypeError):
+                logger.warning("structured output parse failed; returning raw text")
+        return CompletionResponse(
+            completion=completion,
+            usage=data.get("usage", {}),
+            finish_reason=data["choices"][0].get("finish_reason"),
+            metadata={"model": data.get("model", self.model)},
+        )
+
+    async def complete_stream(self, request: CompletionRequest) -> AsyncIterator[str]:
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            async with client.stream(
+                "POST",
+                f"{self.base_url}/chat/completions",
+                json=self._payload(request, stream=True),
+                headers=self._headers(),
+            ) as r:
+                r.raise_for_status()
+                async for line in r.aiter_lines():
+                    if not line.startswith("data: "):
+                        continue
+                    payload = line[6:]
+                    if payload.strip() == "[DONE]":
+                        break
+                    try:
+                        delta = json.loads(payload)["choices"][0]["delta"].get("content")
+                    except (json.JSONDecodeError, KeyError, IndexError):
+                        continue
+                    if delta:
+                        yield delta
+
+
+def build_completion_model(registered: Dict[str, Dict[str, Any]], model_key: str) -> BaseCompletionModel:
+    """Resolve a registered_models entry (reference morphik.toml:17-63) to
+    a provider. api_base present -> OpenAI-compatible; else stub."""
+    cfg = registered.get(model_key, {})
+    api_base = cfg.get("api_base")
+    if api_base:
+        return OpenAICompatCompletionModel(
+            base_url=api_base,
+            model=cfg.get("model_name", model_key),
+            api_key=cfg.get("api_key"),
+        )
+    logger.warning("model %s has no api_base — using offline stub completion", model_key)
+    return StubCompletionModel(model_name=model_key)

@@ -328,6 +328,7 @@ class SQLiteDatabase:
         if doc is None:
             return False
         data = doc.model_dump()
+        updates = dict(updates)  # don't mutate the caller's dict
         sm_update = updates.pop("system_metadata", None)
         data.update({k: v for k, v in updates.items() if k in data})
         if sm_update:

@@ -1,0 +1,149 @@
+"""Service container: builds the full singleton stack from Settings
+(reference core/services_init.py:43-243 builds the same graph at import
+time; here it's an explicit, testable factory)."""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Optional
+
+from morphik_core_tpu.completion.models import BaseCompletionModel, build_completion_model
+from morphik_core_tpu.config import Settings, get_settings
+from morphik_core_tpu.database.sqlite_database import SQLiteDatabase
+from morphik_core_tpu.embedding.colpali_embedding_model import ColpaliEmbeddingModel
+from morphik_core_tpu.embedding.text_embedding import HashingEmbeddingModel, OpenAICompatEmbeddingModel
+from morphik_core_tpu.ops.fde import FDEConfig
+from morphik_core_tpu.parser.morphik_parser import MorphikParser
+from morphik_core_tpu.reranker.rerankers import build_reranker
+from morphik_core_tpu.services.document_service import DocumentService
+from morphik_core_tpu.services.ingestion_service import IngestionService
+from morphik_core_tpu.services.telemetry import TelemetryService
+from morphik_core_tpu.storage.local_storage import LocalStorage
+from morphik_core_tpu.vector_store.text_vector_store import TextVectorStore
+from morphik_core_tpu.vector_store.tpu_multivector_store import TPUMultiVectorStore
+from morphik_core_tpu.workers.job_queue import JobQueue
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class Services:
+    settings: Settings
+    database: SQLiteDatabase
+    storage: LocalStorage
+    parser: MorphikParser
+    embedding_model: object
+    vector_store: TextVectorStore
+    colpali_embedding_model: Optional[ColpaliEmbeddingModel]
+    colpali_vector_store: Optional[TPUMultiVectorStore]
+    completion_model: BaseCompletionModel
+    document_service: DocumentService
+    ingestion_service: IngestionService
+    telemetry: TelemetryService
+    job_queue: JobQueue
+
+    async def initialize(self) -> None:
+        await self.database.initialize()
+        await self.vector_store.initialize()
+        if self.colpali_vector_store is not None:
+            await self.colpali_vector_store.initialize()
+        self.job_queue.register("process_ingestion_job", self._process_ingestion_job)
+        await self.job_queue.start()
+
+    async def shutdown(self) -> None:
+        await self.job_queue.stop()
+        if self.colpali_vector_store is not None:
+            self.colpali_vector_store.save()
+        self.vector_store.save()
+        self.telemetry.flush()
+
+    async def _process_ingestion_job(self, document_id: str, auth: dict, use_colpali: bool = True):
+        from morphik_core_tpu.models.schemas import AuthContext
+
+        ctx = AuthContext(**auth) if isinstance(auth, dict) else auth
+        await self.ingestion_service.process_ingestion_job(document_id, ctx, use_colpali)
+
+
+def build_services(
+    settings: Optional[Settings] = None,
+    *,
+    mesh=None,
+    colqwen_model=None,
+) -> Services:
+    settings = settings or get_settings()
+    storage_root = Path(settings.storage.storage_path)
+    database = SQLiteDatabase(settings.database.path)
+    storage = LocalStorage(storage_root)
+    parser = MorphikParser(settings)
+    embedding_model = HashingEmbeddingModel(dim=settings.embedding.dimensions)
+
+    colpali_embedding_model = None
+    colpali_vector_store = None
+    if settings.morphik.enable_colpali and settings.morphik.colpali_mode != "off":
+        colpali_embedding_model = ColpaliEmbeddingModel(settings, model=colqwen_model)
+        fde_cfg = FDEConfig(
+            dimension=colpali_embedding_model.embedding_dim,
+            num_repetitions=settings.vector_store.fde_num_repetitions,
+            num_simhash_projections=settings.vector_store.fde_num_simhash_projections,
+            projection_dimension=settings.vector_store.fde_projection_dimension,
+            seed=settings.vector_store.fde_seed,
+        )
+        colpali_vector_store = TPUMultiVectorStore(
+            storage=storage,
+            fde_config=fde_cfg,
+            index_path=settings.vector_store.index_path,
+            mesh=mesh,
+            prefilter_multiplier=settings.vector_store.prefilter_multiplier,
+            prefilter_cap=settings.vector_store.prefilter_cap,
+            # None = auto (Pallas on TPU backends only); False = force XLA path
+            use_pallas=None if settings.tpu.use_pallas else False,
+        )
+
+    vector_store = TextVectorStore(path=storage_root / "text_index")
+    completion_model = build_completion_model(settings.registered_models, settings.completion.model)
+    reranker = build_reranker(None)
+    telemetry = TelemetryService(settings.telemetry.telemetry_dir, settings.telemetry.enabled)
+
+    ingestion_service = IngestionService(
+        database=database,
+        storage=storage,
+        parser=parser,
+        embedding_model=embedding_model,
+        vector_store=vector_store,
+        colpali_embedding_model=colpali_embedding_model,
+        colpali_vector_store=colpali_vector_store,
+        settings=settings,
+    )
+    document_service = DocumentService(
+        database=database,
+        vector_store=vector_store,
+        embedding_model=embedding_model,
+        storage=storage,
+        completion_model=completion_model,
+        reranker=reranker,
+        colpali_embedding_model=colpali_embedding_model,
+        colpali_vector_store=colpali_vector_store,
+        settings=settings,
+    )
+    job_queue = JobQueue(
+        path=storage_root / "jobs.db",
+        max_jobs=settings.worker.max_jobs,
+        job_timeout_s=settings.worker.job_timeout_s,
+    )
+    return Services(
+        settings=settings,
+        database=database,
+        storage=storage,
+        parser=parser,
+        embedding_model=embedding_model,
+        vector_store=vector_store,
+        colpali_embedding_model=colpali_embedding_model,
+        colpali_vector_store=colpali_vector_store,
+        completion_model=completion_model,
+        document_service=document_service,
+        ingestion_service=ingestion_service,
+        telemetry=telemetry,
+        job_queue=job_queue,
+    )

@@ -1,0 +1,183 @@
+"""Single-vector text store (the reference's pgvector path,
+reference core/vector_store/pgvector_store.py:98-594): cosine top-k over
+the stored embedding matrix on device, per-namespace, with oversampling
+hooks for the reranker and npz persistence."""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from morphik_core_tpu.models.schemas import DocumentChunk
+from morphik_core_tpu.vector_store.base_vector_store import BaseVectorStore
+
+logger = logging.getLogger(__name__)
+
+_DEFAULT_NS = "default"
+
+
+class _Namespace:
+    def __init__(self, dim: Optional[int] = None):
+        self.dim = dim
+        self.vectors = np.zeros((0, dim or 1), dtype=np.float32)
+        self.rows: List[DocumentChunk] = []
+        self._id_to_row: Dict[str, int] = {}
+        self.alive: List[bool] = []
+
+
+class TextVectorStore(BaseVectorStore):
+    def __init__(self, path: Optional[str | Path] = None):
+        self.path = Path(path) if path else None
+        self._ns_map: Dict[str, _Namespace] = {}
+        self._lock = threading.RLock()
+        if self.path and self.path.exists():
+            self._load()
+
+    def _ns(self, app_id: Optional[str]) -> _Namespace:
+        key = app_id or _DEFAULT_NS
+        if key not in self._ns_map:
+            self._ns_map[key] = _Namespace()
+        return self._ns_map[key]
+
+    async def initialize(self) -> bool:
+        return True
+
+    async def store_embeddings(
+        self, chunks: List[DocumentChunk], app_id: Optional[str] = None
+    ) -> Tuple[bool, List[str], Dict[str, Any]]:
+        if not chunks:
+            return True, [], {}
+        ns = self._ns(app_id)
+        ids = []
+        with self._lock:
+            vecs = [np.asarray(c.embedding, dtype=np.float32).reshape(-1) for c in chunks]
+            if ns.dim is None:
+                ns.dim = vecs[0].shape[0]
+                ns.vectors = np.zeros((0, ns.dim), dtype=np.float32)
+            for c, v in zip(chunks, vecs):
+                sid = f"{c.document_id}-{c.chunk_number}"
+                old = ns._id_to_row.get(sid)
+                if old is not None:
+                    ns.alive[old] = False
+                row = len(ns.rows)
+                stored = DocumentChunk(
+                    document_id=c.document_id,
+                    chunk_number=c.chunk_number,
+                    content=c.content,
+                    embedding=[],
+                    metadata=c.metadata,
+                )
+                ns.rows.append(stored)
+                ns.alive.append(True)
+                ns._id_to_row[sid] = row
+                n = float(np.linalg.norm(v))
+                ns.vectors = np.vstack([ns.vectors, (v / n if n else v)[None]])
+                ids.append(sid)
+        return True, ids, {"vector_store_backend": "tpu_text", "vector_store_rows": len(chunks)}
+
+    async def query_similar(
+        self,
+        query_embedding: Union[np.ndarray, List[float]],
+        k: int,
+        doc_ids: Optional[Sequence[str]] = None,
+        app_id: Optional[str] = None,
+        skip_image_content: bool = False,
+    ) -> List[DocumentChunk]:
+        ns = self._ns(app_id)
+        if not ns.rows:
+            return []
+        q = np.asarray(query_embedding, dtype=np.float32).reshape(-1)
+        qn = np.linalg.norm(q)
+        if qn:
+            q = q / qn
+        mask = np.array(ns.alive, dtype=bool)
+        if doc_ids is not None:
+            allowed = set(doc_ids)
+            mask &= np.array([r.document_id in allowed for r in ns.rows], dtype=bool)
+        if not mask.any():
+            return []
+        scores = np.array(jnp.asarray(ns.vectors) @ jnp.asarray(q))
+        scores[~mask] = -np.inf
+        k = min(k, int(mask.sum()))
+        top = np.argpartition(-scores, k - 1)[:k]
+        top = top[np.argsort(-scores[top])]
+        out = []
+        for i in top:
+            c = ns.rows[int(i)]
+            out.append(
+                DocumentChunk(
+                    document_id=c.document_id,
+                    chunk_number=c.chunk_number,
+                    content=c.content,
+                    embedding=[],
+                    metadata=c.metadata,
+                    score=float(scores[int(i)]),
+                )
+            )
+        return out
+
+    async def get_chunks_by_id(
+        self,
+        chunk_identifiers: Sequence[Tuple[str, int]],
+        app_id: Optional[str] = None,
+        skip_image_content: bool = False,
+    ) -> List[DocumentChunk]:
+        ns = self._ns(app_id)
+        out = []
+        for doc_id, num in chunk_identifiers:
+            row = ns._id_to_row.get(f"{doc_id}-{num}")
+            if row is not None and ns.alive[row]:
+                out.append(ns.rows[row])
+        return out
+
+    async def delete_chunks_by_document_id(self, document_id: str, app_id: Optional[str] = None) -> bool:
+        ns = self._ns(app_id)
+        with self._lock:
+            for i, r in enumerate(ns.rows):
+                if r.document_id == document_id and ns.alive[i]:
+                    ns.alive[i] = False
+                    ns._id_to_row.pop(f"{r.document_id}-{r.chunk_number}", None)
+        return True
+
+    # ------------------------------------------------------------- persist
+
+    def save(self) -> None:
+        if not self.path:
+            return
+        self.path.mkdir(parents=True, exist_ok=True)
+        for key, ns in self._ns_map.items():
+            np.save(self.path / f"{key}.vectors.npy", ns.vectors)
+            with open(self.path / f"{key}.rows.json", "w") as f:
+                json.dump(
+                    {
+                        "alive": ns.alive,
+                        "rows": [r.model_dump(exclude={"embedding"}) for r in ns.rows],
+                    },
+                    f,
+                )
+
+    def _load(self) -> None:
+        for vec_file in self.path.glob("*.vectors.npy"):
+            key = vec_file.name[: -len(".vectors.npy")]
+            rows_file = self.path / f"{key}.rows.json"
+            if not rows_file.exists():
+                continue
+            ns = _Namespace()
+            ns.vectors = np.load(vec_file)
+            ns.dim = ns.vectors.shape[1] if ns.vectors.size else None
+            with open(rows_file) as f:
+                data = json.load(f)
+            ns.alive = data["alive"]
+            for i, rd in enumerate(data["rows"]):
+                rd["embedding"] = []
+                c = DocumentChunk(**rd)
+                ns.rows.append(c)
+                if ns.alive[i]:
+                    ns._id_to_row[f"{c.document_id}-{c.chunk_number}"] = i
+            self._ns_map[key] = ns

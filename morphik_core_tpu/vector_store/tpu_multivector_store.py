@@ -1,0 +1,201 @@
+"""TPU multivector store: the serving-side replacement for BOTH reference
+multivector stores (SURVEY.md §2.4) — Turbopuffer+storage
+(fast_multivector_store.py) and Postgres max_sim (multi_vector_store.py).
+
+Layout:
+  - one MultiVectorIndex per namespace (app_id), lazily created and
+    persisted under {index_path}/{namespace}/;
+  - chunk payloads: inline for text, offloaded to storage for images
+    with key {app_id}/{doc_id}/{chunk_number}{ext} (same key scheme as
+    reference multi_vector_store.py:400-456) and restored on read;
+  - store metrics dict per call (reference utils.build_store_metrics).
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from morphik_core_tpu.index.multivector_index import IndexRecord, MultiVectorIndex
+from morphik_core_tpu.models.schemas import DocumentChunk
+from morphik_core_tpu.ops.fde import FDEConfig
+from morphik_core_tpu.storage.base_storage import BaseStorage
+from morphik_core_tpu.utils.fast_ops import bytes_to_data_uri, data_uri_to_bytes
+from morphik_core_tpu.vector_store.base_vector_store import BaseVectorStore
+
+logger = logging.getLogger(__name__)
+
+MULTIVECTOR_CHUNKS_BUCKET = "multivector-chunks"
+_DEFAULT_NS = "default"
+
+
+def _detect_ext(content: str) -> str:
+    m = re.match(r"data:image/(\w+);base64,", content)
+    return f".{m.group(1)}" if m else ".png"
+
+
+class TPUMultiVectorStore(BaseVectorStore):
+    def __init__(
+        self,
+        storage: Optional[BaseStorage] = None,
+        fde_config: Optional[FDEConfig] = None,
+        index_path: Optional[str | Path] = None,
+        mesh=None,
+        prefilter_multiplier: int = 10,
+        prefilter_cap: int = 75,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.storage = storage
+        self.fde_config = fde_config or FDEConfig()
+        self.index_path = Path(index_path) if index_path else None
+        self.mesh = mesh
+        self.prefilter_multiplier = prefilter_multiplier
+        self.prefilter_cap = prefilter_cap
+        self.use_pallas = use_pallas
+        self._indexes: Dict[str, MultiVectorIndex] = {}
+        self.last_store_metrics: Dict[str, Any] = {}
+
+    async def initialize(self) -> bool:
+        return True
+
+    def _ns(self, app_id: Optional[str]) -> MultiVectorIndex:
+        ns = app_id or _DEFAULT_NS
+        if ns not in self._indexes:
+            path = (self.index_path / ns) if self.index_path else None
+            self._indexes[ns] = MultiVectorIndex(
+                self.fde_config,
+                mesh=self.mesh,
+                prefilter_multiplier=self.prefilter_multiplier,
+                prefilter_cap=self.prefilter_cap,
+                path=path,
+                use_pallas=self.use_pallas,
+            )
+        return self._indexes[ns]
+
+    # ------------------------------------------------------------------
+
+    async def _offload_payload(self, chunk: DocumentChunk, app_id: Optional[str]) -> Tuple[Optional[str], int]:
+        """Images go to object storage; text stays inline. Returns (key, bytes)."""
+        if self.storage is None or not chunk.metadata.get("is_image"):
+            return None, 0
+        ext = _detect_ext(chunk.content)
+        key = f"{app_id or _DEFAULT_NS}/{chunk.document_id}/{chunk.chunk_number}{ext}"
+        data = data_uri_to_bytes(chunk.content)
+        await self.storage.upload_file(data, key, bucket=MULTIVECTOR_CHUNKS_BUCKET)
+        return key, len(data)
+
+    async def _restore_payload(self, rec: IndexRecord, skip_image_content: bool) -> str:
+        if rec.content_key is None:
+            return rec.metadata.get("_content", "")
+        if skip_image_content:
+            return rec.content_key
+        assert self.storage is not None
+        data = await self.storage.download_file(MULTIVECTOR_CHUNKS_BUCKET, rec.content_key)
+        ext = rec.content_key.rsplit(".", 1)[-1]
+        return bytes_to_data_uri(data, f"image/{ext}")
+
+    async def store_embeddings(
+        self, chunks: List[DocumentChunk], app_id: Optional[str] = None
+    ) -> Tuple[bool, List[str], Dict[str, Any]]:
+        if not chunks:
+            return True, [], {}
+        index = self._ns(app_id)
+        metrics: Dict[str, Any] = {
+            "vector_store_backend": "tpu_multivector",
+            "vector_store_rows": len(chunks),
+        }
+        t0 = time.perf_counter()
+        payload_bytes = 0
+        records: List[IndexRecord] = []
+        mvs: List[np.ndarray] = []
+        for chunk in chunks:
+            key, nbytes = await self._offload_payload(chunk, app_id)
+            payload_bytes += nbytes
+            md = dict(chunk.metadata)
+            if key is None:
+                md["_content"] = chunk.content
+            records.append(
+                IndexRecord(
+                    document_id=chunk.document_id,
+                    chunk_number=chunk.chunk_number,
+                    metadata=md,
+                    content_key=key,
+                )
+            )
+            mvs.append(np.asarray(chunk.embedding, dtype=np.float32))
+        metrics["chunk_payload_bytes"] = payload_bytes
+        metrics["chunk_payload_upload_s"] = time.perf_counter() - t0
+
+        t1 = time.perf_counter()
+        ids = index.store(mvs, records)
+        metrics["vector_store_write_s"] = time.perf_counter() - t1
+        self.last_store_metrics = metrics
+        return True, ids, metrics
+
+    async def query_similar(
+        self,
+        query_embedding: Union[np.ndarray, List[float]],
+        k: int,
+        doc_ids: Optional[Sequence[str]] = None,
+        app_id: Optional[str] = None,
+        skip_image_content: bool = False,
+    ) -> List[DocumentChunk]:
+        index = self._ns(app_id)
+        q = np.asarray(query_embedding, dtype=np.float32)
+        results = index.query(q, k, doc_ids=doc_ids, return_timing=True)
+        out = []
+        for rec, score in results:
+            content = await self._restore_payload(rec, skip_image_content)
+            md = {mk: mv for mk, mv in rec.metadata.items() if mk != "_content"}
+            out.append(
+                DocumentChunk(
+                    document_id=rec.document_id,
+                    chunk_number=rec.chunk_number,
+                    content=content,
+                    embedding=[],
+                    metadata=md,
+                    score=score,
+                )
+            )
+        return out
+
+    async def get_chunks_by_id(
+        self,
+        chunk_identifiers: Sequence[Tuple[str, int]],
+        app_id: Optional[str] = None,
+        skip_image_content: bool = False,
+    ) -> List[DocumentChunk]:
+        index = self._ns(app_id)
+        out = []
+        for rec in index.get_chunks_by_id(chunk_identifiers):
+            if rec is None:
+                continue
+            content = await self._restore_payload(rec, skip_image_content)
+            md = {mk: mv for mk, mv in rec.metadata.items() if mk != "_content"}
+            out.append(
+                DocumentChunk(
+                    document_id=rec.document_id,
+                    chunk_number=rec.chunk_number,
+                    content=content,
+                    embedding=[],
+                    metadata=md,
+                    score=0.0,
+                )
+            )
+        return out
+
+    async def delete_chunks_by_document_id(self, document_id: str, app_id: Optional[str] = None) -> bool:
+        index = self._ns(app_id)
+        n = index.delete_document(document_id)
+        logger.info("deleted %d chunks of %s", n, document_id)
+        return True
+
+    def save(self) -> None:
+        for ns, ix in self._indexes.items():
+            if ix.path:
+                ix.save()

@@ -1,0 +1,214 @@
+"""End-to-end service tests (the minimum slice of SURVEY.md §7):
+ingest text + file -> worker job -> retrieve_chunks -> query, plus
+folder scoping, padding, delete, requeue, grouped responses."""
+
+import asyncio
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+from morphik_core_tpu.config import Settings
+from morphik_core_tpu.models.schemas import AuthContext
+from morphik_core_tpu.services_init import build_services
+
+
+# one loop for the whole module: the job-queue worker tasks live on it
+_LOOP = asyncio.new_event_loop()
+
+
+def run(coro):
+    return _LOOP.run_until_complete(coro)
+
+
+AUTH = AuthContext(entity_id="tester", permissions={"read", "write", "admin"})
+
+
+@pytest.fixture(scope="module")
+def services(tmp_path_factory):
+    root = tmp_path_factory.mktemp("svc")
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(root / "storage")},
+            "database": {"path": str(root / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(root / "index"),
+                "fde_num_repetitions": 8,
+                "fde_num_simhash_projections": 4,
+                "fde_projection_dimension": 8,
+            },
+            "worker": {"max_jobs": 2},
+        }
+    )
+    svc = build_services(settings)
+    run(svc.initialize())
+    yield svc
+    run(svc.shutdown())
+
+
+def _page_image_bytes(text: str, color):
+    img = Image.new("RGB", (448, 336), (255, 255, 255))
+    d = ImageDraw.Draw(img)
+    d.rectangle([30, 30, 200, 150], fill=color)
+    d.text((40, 200), text, fill=(0, 0, 0))
+    import io
+
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_ingest_text_and_retrieve(services):
+    async def go():
+        doc = await services.ingestion_service.ingest_text(
+            "The quarterly revenue was 42 million dollars. Expenses were 30 million.",
+            "finance.txt",
+            {"dept": "finance"},
+            AUTH,
+            use_colpali=True,
+        )
+        assert doc.system_metadata["status"] == "completed"
+        assert doc.chunk_ids
+        results = await services.document_service.retrieve_chunks(
+            "quarterly revenue", AUTH, k=3, use_colpali=False
+        )
+        assert results and results[0].document_id == doc.external_id
+        assert "42 million" in results[0].content
+        # metadata filter excludes
+        none = await services.document_service.retrieve_chunks(
+            "quarterly revenue", AUTH, filters={"dept": "hr"}, k=3, use_colpali=False
+        )
+        assert all(r.document_id != doc.external_id for r in none)
+        return doc
+
+    run(go())
+
+
+def test_ingest_image_file_via_worker_and_colpali_retrieve(services):
+    async def go():
+        png = _page_image_bytes("invoice total 99", (200, 40, 40))
+        doc = await services.ingestion_service.ingest_file_content(
+            png, "invoice.png", {"kind": "invoice"}, AUTH, use_colpali=True
+        )
+        assert doc.system_metadata["status"] == "processing"
+        await services.job_queue.enqueue_job(
+            "process_ingestion_job", document_id=doc.external_id,
+            auth=AUTH.model_dump(mode="json"), use_colpali=True,
+        )
+        assert await services.job_queue.drain(120)
+        got = await services.database.get_document(doc.external_id, AUTH)
+        assert got.system_metadata["status"] == "completed"
+        assert got.chunk_ids
+
+        results = await services.document_service.retrieve_chunks(
+            "invoice total", AUTH, k=2, use_colpali=True, filters={"kind": "invoice"}
+        )
+        assert results
+        assert results[0].content.startswith("data:image/")
+        assert results[0].metadata["is_image"] is True
+        # url output format returns a download URL instead of payload
+        urls = await services.document_service.retrieve_chunks(
+            "invoice total", AUTH, k=1, use_colpali=True, output_format="url",
+            filters={"kind": "invoice"},
+        )
+        assert urls and (urls[0].download_url or "").startswith("file://")
+        return doc
+
+    run(go())
+
+
+def test_pdf_ingest_padding_and_grouped(services):
+    async def go():
+        import sys
+
+        sys.path.insert(0, "tests")
+        from test_parser import make_pdf
+
+        pdf = make_pdf([f"Report page {i}. Metric value {100 + i}." for i in range(4)])
+        doc = await services.ingestion_service.ingest_file_content(
+            pdf, "report.pdf", {"kind": "report"}, AUTH, use_colpali=True
+        )
+        await services.job_queue.enqueue_job(
+            "process_ingestion_job", document_id=doc.external_id,
+            auth=AUTH.model_dump(mode="json"), use_colpali=True,
+        )
+        assert await services.job_queue.drain(240)
+        got = await services.database.get_document(doc.external_id, AUTH)
+        assert got.system_metadata["status"] == "completed"
+        assert got.system_metadata.get("page_count") == 4
+
+        grouped = await services.document_service.retrieve_chunks_grouped(
+            "Metric value 102", AUTH, k=1, use_colpali=True, padding=1,
+            filters={"kind": "report"},
+        )
+        assert grouped.chunks
+        assert grouped.has_padding
+        g = grouped.groups[0]
+        assert len(g.padding_chunks) >= 1
+        assert all(p.is_padding for p in g.padding_chunks)
+        nums = sorted(c.chunk_number for c in g.all_chunks)
+        assert nums == list(range(nums[0], nums[0] + len(nums)))
+        return doc
+
+    run(go())
+
+
+def test_query_completion_with_sources(services):
+    async def go():
+        await services.ingestion_service.ingest_text(
+            "Widget Co's CEO is Jane Smith. The company was founded in 2001.",
+            "widget.txt", {}, AUTH, use_colpali=False,
+        )
+        resp = await services.document_service.query(
+            "Who is the CEO of Widget Co?", AUTH, k=2, use_colpali=False
+        )
+        assert "Jane Smith" in str(resp.completion)
+        assert resp.sources and resp.sources[0]["document_id"]
+
+    run(go())
+
+
+def test_folder_scoping(services):
+    async def go():
+        d1 = await services.ingestion_service.ingest_text(
+            "alpha secret document", "a.txt", {}, AUTH, folder_name="TeamA", use_colpali=False
+        )
+        d2 = await services.ingestion_service.ingest_text(
+            "beta secret document", "b.txt", {}, AUTH, folder_name="TeamB", use_colpali=False
+        )
+        in_a = await services.document_service.retrieve_chunks(
+            "secret document", AUTH, k=5, use_colpali=False, folder_name="TeamA"
+        )
+        assert {r.document_id for r in in_a} == {d1.external_id}
+
+    run(go())
+
+
+def test_delete_document_removes_everywhere(services):
+    async def go():
+        doc = await services.ingestion_service.ingest_text(
+            "ephemeral content zanzibar", "tmp.txt", {}, AUTH, use_colpali=True
+        )
+        hits = await services.document_service.retrieve_chunks("zanzibar", AUTH, k=2, use_colpali=True)
+        assert any(h.document_id == doc.external_id for h in hits)
+        assert await services.document_service.delete_document(doc.external_id, AUTH)
+        hits = await services.document_service.retrieve_chunks("zanzibar", AUTH, k=2, use_colpali=True)
+        assert all(h.document_id != doc.external_id for h in hits)
+        assert await services.database.get_document(doc.external_id, AUTH) is None
+
+    run(go())
+
+
+def test_job_requeue_failed(services):
+    async def go():
+        jid = await services.job_queue.enqueue_job(
+            "process_ingestion_job", document_id="nonexistent", auth=AUTH.model_dump(mode="json")
+        )
+        await services.job_queue.drain(60)
+        job = services.job_queue.get_job(jid)
+        assert job.status == "failed"
+        assert await services.job_queue.requeue(jid)
+        await services.job_queue.drain(60)
+        assert services.job_queue.get_job(jid).status == "failed"  # still fails, but retried
+
+    run(go())
