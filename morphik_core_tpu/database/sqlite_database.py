@@ -221,38 +221,34 @@ class SQLiteDatabase:
     def _apply_system_filters(self, sql: str, params: list, system_filters: Optional[Dict[str, Any]]):
         if not system_filters:
             return sql, params
-        folder_path = system_filters.get("folder_path")
+        # "folder_name" accepts leaf names or full paths (reference API quirk,
+        # documents.py:44-57); "folder_path" is always a path. folder_depth:
+        # 0/None exact, -1 all descendants, n>0 up to n levels deeper.
         folder_depth = system_filters.get("folder_depth")
-        if folder_path is not None:
-            paths = folder_path if isinstance(folder_path, list) else [folder_path]
-            subclauses, subparams = [], []
-            for p in paths:
-                p = _normalize_path(p)
-                if folder_depth in (0, None):
-                    subclauses.append("folder_path = ?")
-                    subparams.append(p)
-                elif folder_depth == -1:
-                    subclauses.append("(folder_path = ? OR folder_path LIKE ?)")
-                    subparams.extend([p, p.rstrip("/") + "/%"])
-                else:
-                    subclauses.append("(folder_path = ? OR folder_path LIKE ?)")
-                    subparams.extend([p, p.rstrip("/") + "/%"])
-            sql += " AND (" + " OR ".join(subclauses) + ")"
-            params.extend(subparams)
-        if system_filters.get("folder_name") is not None and folder_path is None:
-            names = system_filters["folder_name"]
-            names = names if isinstance(names, list) else [names]
+        targets = system_filters.get("folder_path", system_filters.get("folder_name"))
+        if targets is not None:
+            names = targets if isinstance(targets, list) else [targets]
             sub, subp = [], []
             for n in names:
-                if isinstance(n, str) and "/" in n.strip("/"):
-                    p = _normalize_path(n)
-                    sub.append("folder_path = ?")
-                    subp.append(p)
-                elif n is None:
+                if n is None:
                     sub.append("folder_name IS NULL")
-                else:
-                    sub.append("(folder_name = ? OR folder_path = ?)")
-                    subp.extend([n, _normalize_path(n)])
+                    continue
+                p = _normalize_path(str(n))
+                if folder_depth in (0, None):
+                    if isinstance(n, str) and "/" in n.strip("/"):
+                        sub.append("folder_path = ?")
+                        subp.append(p)
+                    else:
+                        sub.append("(folder_name = ? OR folder_path = ?)")
+                        subp.extend([n, p])
+                else:  # -1 or n levels: include descendants
+                    prefix = p.rstrip("/") + "/%"
+                    if isinstance(n, str) and "/" in n.strip("/"):
+                        sub.append("(folder_path = ? OR folder_path LIKE ?)")
+                        subp.extend([p, prefix])
+                    else:
+                        sub.append("(folder_name = ? OR folder_path = ? OR folder_path LIKE ?)")
+                        subp.extend([n, p, prefix])
             sql += " AND (" + " OR ".join(sub) + ")"
             params.extend(subp)
         if system_filters.get("end_user_id") is not None:

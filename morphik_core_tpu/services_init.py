@@ -64,6 +64,17 @@ class Services:
 
         ctx = AuthContext(**auth) if isinstance(auth, dict) else auth
         await self.ingestion_service.process_ingestion_job(document_id, ctx, use_colpali)
+        self.persist_indexes()
+
+    def persist_indexes(self) -> None:
+        """Durable snapshot of vector indexes (called after each ingest job
+        so rows survive an unclean shutdown)."""
+        try:
+            if self.colpali_vector_store is not None:
+                self.colpali_vector_store.save()
+            self.vector_store.save()
+        except Exception:  # noqa: BLE001
+            logger.exception("index persistence failed")
 
 
 def build_services(

@@ -102,7 +102,12 @@ class TextVectorStore(BaseVectorStore):
             mask &= np.array([r.document_id in allowed for r in ns.rows], dtype=bool)
         if not mask.any():
             return []
-        scores = np.array(jnp.asarray(ns.vectors) @ jnp.asarray(q))
+        # Small stores score on host (a device round-trip + first-compile
+        # costs far more than a tiny matvec); large stores use the device.
+        if ns.vectors.shape[0] < 50_000:
+            scores = ns.vectors @ q
+        else:
+            scores = np.array(jnp.asarray(ns.vectors) @ jnp.asarray(q))
         scores[~mask] = -np.inf
         k = min(k, int(mask.sum()))
         top = np.argpartition(-scores, k - 1)[:k]

@@ -1,0 +1,288 @@
+"""HTTP API tests: real socket server + httpx client driving the public
+endpoints (ingest -> worker -> retrieve -> query, folders, documents,
+auth, SSE streaming)."""
+
+import asyncio
+import io
+import json
+
+import httpx
+import pytest
+from PIL import Image, ImageDraw
+
+from morphik_core_tpu.api.app import build_app
+from morphik_core_tpu.api.http import HTTPServer
+from morphik_core_tpu.config import Settings
+from morphik_core_tpu.services_init import build_services
+
+_LOOP = asyncio.new_event_loop()
+
+
+def run(coro):
+    return _LOOP.run_until_complete(coro)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("api")
+    settings = Settings.model_validate(
+        {
+            "api": {"port": 0},
+            "storage": {"storage_path": str(root / "storage")},
+            "database": {"path": str(root / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(root / "index"),
+                "fde_num_repetitions": 8,
+                "fde_num_simhash_projections": 4,
+                "fde_projection_dimension": 8,
+            },
+        }
+    )
+    services = build_services(settings)
+    run(services.initialize())
+    srv = HTTPServer(build_app(services), "127.0.0.1", 0)
+    run(srv.start())
+    yield f"http://127.0.0.1:{srv.port}", services
+    run(srv.stop())
+    run(services.shutdown())
+
+
+def _client(base):
+    return httpx.AsyncClient(base_url=base, timeout=180.0)
+
+
+def test_ping_health(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.get("/ping")
+            assert r.status_code == 200 and r.json()["status"] == "ok"
+            r = await c.get("/health")
+            assert r.json()["status"] == "healthy"
+
+    run(go())
+
+
+def test_ingest_text_retrieve_query(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post(
+                "/ingest/text",
+                json={
+                    "content": "The warp drive requires dilithium crystals. Output is 9000 gigawatts.",
+                    "filename": "warp.txt",
+                    "metadata": {"topic": "engineering"},
+                    "use_colpali": False,
+                },
+            )
+            assert r.status_code == 200, r.text
+            doc = r.json()
+            assert doc["system_metadata"]["status"] == "completed"
+
+            r = await c.post(
+                "/retrieve/chunks",
+                json={"query": "dilithium crystals", "k": 3, "use_colpali": False},
+            )
+            assert r.status_code == 200
+            chunks = r.json()
+            assert chunks and chunks[0]["document_id"] == doc["external_id"]
+
+            r = await c.post(
+                "/query",
+                json={"query": "What does the warp drive require?", "k": 2, "use_colpali": False},
+            )
+            body = r.json()
+            assert "dilithium" in str(body["completion"]).lower()
+            assert body["sources"]
+
+    run(go())
+
+
+def test_ingest_file_worker_and_status(server):
+    base, services = server
+
+    async def go():
+        img = Image.new("RGB", (448, 336), (255, 255, 255))
+        d = ImageDraw.Draw(img)
+        d.rectangle([40, 40, 220, 160], fill=(20, 90, 170))
+        d.text((40, 220), "blueprint alpha", fill=(0, 0, 0))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+
+        async with _client(base) as c:
+            r = await c.post(
+                "/ingest/file",
+                files={"file": ("blueprint.png", buf.getvalue(), "image/png")},
+                data={"metadata": json.dumps({"kind": "blueprint"}), "use_colpali": "true"},
+            )
+            assert r.status_code == 200, r.text
+            doc = r.json()
+            assert doc["system_metadata"]["status"] == "processing"
+
+            assert await services.job_queue.drain(180)
+            r = await c.get(f"/documents/{doc['external_id']}/status")
+            assert r.json()["status"] == "completed"
+
+            r = await c.post(
+                "/retrieve/chunks",
+                json={"query": "blueprint", "k": 1, "use_colpali": True,
+                      "filters": {"kind": "blueprint"}},
+            )
+            chunks = r.json()
+            assert chunks and chunks[0]["content"].startswith("data:image/")
+
+            r = await c.post("/documents/pages", json={"document_id": doc["external_id"]})
+            pages = r.json()["pages"]
+            assert pages and pages[0]["image"].startswith("data:image/")
+
+            r = await c.get(f"/documents/{doc['external_id']}/download_url")
+            assert r.json()["download_url"].startswith("file://")
+
+            r = await c.get(f"/documents/{doc['external_id']}/file")
+            assert r.status_code == 200 and r.content[:8] == b"\x89PNG\r\n\x1a\n"
+
+    run(go())
+
+
+def test_streaming_query_sse(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            await c.post(
+                "/ingest/text",
+                json={"content": "The moon base has 14 crew members.", "filename": "moon.txt",
+                      "use_colpali": False},
+            )
+            events = []
+            async with c.stream(
+                "POST", "/query",
+                json={"query": "How many crew members?", "k": 1, "use_colpali": False,
+                      "stream_response": True},
+            ) as r:
+                assert r.status_code == 200
+                assert r.headers["content-type"].startswith("text/event-stream")
+                async for line in r.aiter_lines():
+                    if line.startswith("data: "):
+                        events.append(line[6:])
+            assert events[-1] == "[DONE]"
+            toks = [json.loads(e) for e in events[:-1]]
+            text = "".join(t["content"] for t in toks if t.get("type") == "assistant")
+            assert "14" in text
+            assert any(t.get("type") == "sources" for t in toks)
+
+    run(go())
+
+
+def test_documents_and_folders_api(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/folders", json={"name": "Archive"})
+            folder = r.json()
+            assert folder["path"] == "/Archive"
+            r = await c.post("/folders", json={"name": "2024", "parent_path": "/Archive"})
+            sub = r.json()
+            assert sub["path"] == "/Archive/2024"
+
+            r = await c.post(
+                "/ingest/text",
+                json={"content": "archived report omega", "filename": "omega.txt",
+                      "folder_name": "Archive/2024", "use_colpali": False},
+            )
+            doc = r.json()
+            assert doc["folder_path"] == "/Archive/2024"
+
+            r = await c.post("/documents", json={"folder_name": "/Archive", "folder_depth": -1})
+            docs = r.json()
+            assert any(d["external_id"] == doc["external_id"] for d in docs)
+
+            r = await c.get("/folders")
+            assert {f["path"] for f in r.json()} >= {"/Archive", "/Archive/2024"}
+
+            r = await c.post("/search/documents", json={"query": "omega"})
+            assert any(d["external_id"] == doc["external_id"] for d in r.json())
+
+            r = await c.delete(f"/documents/{doc['external_id']}")
+            assert r.json()["status"] == "deleted"
+            r = await c.get(f"/documents/{doc['external_id']}")
+            assert r.status_code == 404
+
+    run(go())
+
+
+def test_auth_token_flow(server):
+    base, services = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/local/generate_uri", json={"name": "alice"})
+            uri = r.json()["uri"]
+            assert uri.startswith("morphik://alice:")
+            token = uri.split("morphik://alice:")[1].split("@")[0]
+
+            headers = {"Authorization": f"Bearer {token}"}
+            r = await c.post(
+                "/ingest/text",
+                json={"content": "alice private note", "filename": "n.txt", "use_colpali": False},
+                headers=headers,
+            )
+            assert r.status_code == 200
+            doc = r.json()
+            # dev-bypass (different entity) cannot see alice's doc
+            r = await c.get(f"/documents/{doc['external_id']}")
+            assert r.status_code == 404
+            r = await c.get(f"/documents/{doc['external_id']}", headers=headers)
+            assert r.status_code == 200
+            # garbage token rejected
+            r = await c.get("/documents/x", headers={"Authorization": "Bearer junk.token.sig"})
+            assert r.status_code == 401
+
+    run(go())
+
+
+def test_batch_and_models(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post(
+                "/ingest/text",
+                json={"content": "batch content one two three", "filename": "b.txt",
+                      "use_colpali": False},
+            )
+            doc = r.json()
+            r = await c.post("/batch/documents", json={"document_ids": [doc["external_id"]]})
+            assert len(r.json()) == 1
+            r = await c.post(
+                "/batch/chunks",
+                json={"sources": [{"document_id": doc["external_id"], "chunk_number": 0}]},
+            )
+            assert r.json() and "batch content" in r.json()[0]["content"]
+            r = await c.get("/models")
+            assert any(m.get("backend") == "tpu" for m in r.json())
+
+    run(go())
+
+
+def test_error_paths(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/ingest/text", json={})
+            assert r.status_code == 422
+            r = await c.post("/ingest/file", files={"wrong": ("a.txt", b"x")})
+            assert r.status_code == 422
+            r = await c.get("/nonexistent/route")
+            assert r.status_code == 404
+            r = await c.post("/retrieve/chunks", content=b"{not json", headers={"Content-Type": "application/json"})
+            assert r.status_code == 400
+            r = await c.delete("/ping")
+            assert r.status_code == 405
+
+    run(go())
