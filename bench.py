@@ -1,0 +1,154 @@
+"""Headline benchmark — run on the real TPU chip.
+
+Measures the two north-star stages (BASELINE.md):
+  1. ColPali page-embedding throughput (pages/sec/chip) on the REAL
+     ColQwen2.5-3B geometry (random bf16 weights — perf-identical to the
+     released checkpoint, which is not downloadable here).
+  2. Two-stage retrieval latency on a per-chip shard of a 1M-page index:
+     FDE ANN matvec over 125k rows/chip (= 1M pages on a v5e-8 mesh)
+     + exact MaxSim rerank of a 75-candidate pool via the Pallas kernel.
+
+Prints ONE JSON line: the embed-throughput headline with the retrieval
+p50 in "extra". vs_baseline is measured against the BASELINE.json
+target of 10k pages/min on v5e-8 = 20.83 pages/s/chip.
+
+Env knobs: MORPHIK_BENCH_SMALL=1 -> tiny-config smoke run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.models.colqwen.config import ColQwenConfig
+    from morphik_core_tpu.models.colqwen.model import colqwen_image_forward, init_colqwen_params
+    from morphik_core_tpu.models.colqwen.text import mrope_cos_sin, mrope_position_ids
+    from morphik_core_tpu.models.colqwen.vision import vision_rotary_cos_sin
+    from morphik_core_tpu.ops.maxsim import maxsim_scores
+
+    small = bool(os.environ.get("MORPHIK_BENCH_SMALL"))
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+
+    if small:
+        cfg = ColQwenConfig.tiny()
+        h_units, w_units, batch = 4, 4, 2
+        embed_iters = 2
+    else:
+        cfg = ColQwenConfig()  # 3B geometry
+        # 150-dpi page after smart_resize/max_pixels: ~(20, 28) llm-grid
+        h_units, w_units, batch = 20, 28, 4
+        embed_iters = 3
+
+    t0 = time.time()
+    params = init_colqwen_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params)
+    init_s = time.time() - t0
+
+    # ---- inputs -----------------------------------------------------------
+    rng = np.random.default_rng(0)
+    s_patches = h_units * w_units * cfg.vision.merge_unit
+    patches = jnp.asarray(
+        rng.standard_normal((batch, s_patches, cfg.vision.patch_input_dim)).astype(np.float32),
+        jnp.bfloat16,
+    )
+    cos_v, sin_v = vision_rotary_cos_sin(h_units, w_units, cfg.vision)
+    n_units = h_units * w_units
+    ids = np.array([7, 8, cfg.vision_start_token_id] + [cfg.image_token_id] * n_units
+                   + [cfg.vision_end_token_id, 9], dtype=np.int32)
+    input_ids = np.tile(ids[None], (batch, 1))
+    pos = mrope_position_ids(input_ids, cfg.image_token_id, [(1, h_units, w_units)] * batch)
+    cos_t, sin_t = mrope_cos_sin(pos, cfg.text)
+
+    import functools
+
+    fwd = jax.jit(functools.partial(colqwen_image_forward, cfg=cfg, h_units=h_units, w_units=w_units))
+    args = dict(
+        patches=patches, cos_v=jnp.asarray(cos_v), sin_v=jnp.asarray(sin_v),
+        input_ids=jnp.asarray(input_ids), cos_t=jnp.asarray(cos_t), sin_t=jnp.asarray(sin_t),
+    )
+
+    t0 = time.time()
+    out = fwd(params, **args)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(embed_iters):
+        t0 = time.time()
+        out = fwd(params, **args)
+        out.block_until_ready()
+        times.append(time.time() - t0)
+    step_s = float(np.median(times))
+    pages_per_s = batch / step_s
+
+    # ---- retrieval: per-chip shard of a 1M-page index ---------------------
+    fde_dim = 10240
+    shard_rows = 2_000 if small else 125_000  # 1M pages / 8 chips
+    findex = jnp.asarray(rng.standard_normal((shard_rows, fde_dim)).astype(np.float32), jnp.bfloat16)
+    qe = jnp.asarray(rng.standard_normal((fde_dim,)).astype(np.float32), jnp.bfloat16)
+
+    @jax.jit
+    def ann(f, q):
+        scores = jax.lax.dot_general(f, q, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        return jax.lax.top_k(scores, 75)
+
+    ann(findex, qe)[0].block_until_ready()
+    ann_times = []
+    for _ in range(10):
+        t0 = time.time()
+        ann(findex, qe)[0].block_until_ready()
+        ann_times.append(time.time() - t0)
+    ann_p50 = float(np.median(ann_times)) * 1e3
+
+    n_cand, n_tok, q_tok, d = 75, 1024, 32, cfg.embedding_dim
+    cand = jnp.asarray(rng.standard_normal((n_cand, n_tok, d)).astype(np.float32), jnp.bfloat16)
+    cmask = jnp.ones((n_cand, n_tok), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((q_tok, d)).astype(np.float32))
+    use_pallas = backend != "cpu"
+    maxsim_scores(q, cand, cmask, use_pallas=use_pallas).block_until_ready()
+    rr_times = []
+    for _ in range(10):
+        t0 = time.time()
+        maxsim_scores(q, cand, cmask, use_pallas=use_pallas).block_until_ready()
+        rr_times.append(time.time() - t0)
+    rerank_p50 = float(np.median(rr_times)) * 1e3
+
+    target_pages_per_s_per_chip = 10_000 / 60 / 8  # BASELINE.json north star
+    print(
+        json.dumps(
+            {
+                "metric": "colqwen2.5-3b page embed throughput",
+                "value": round(pages_per_s, 3),
+                "unit": "pages/sec/chip",
+                "vs_baseline": round(pages_per_s / target_pages_per_s_per_chip, 3),
+                "extra": {
+                    "backend": backend,
+                    "grid": [h_units, w_units],
+                    "batch": batch,
+                    "embed_step_ms": round(step_s * 1e3, 2),
+                    "ann_shard_p50_ms": round(ann_p50, 3),
+                    "ann_shard_rows": shard_rows,
+                    "maxsim_rerank_p50_ms": round(rerank_p50, 3),
+                    "retrieval_p50_ms": round(ann_p50 + rerank_p50, 3),
+                    "compile_s": round(compile_s, 1),
+                    "init_s": round(init_s, 1),
+                    "small": small,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -92,7 +92,7 @@ def _maxsim_kernel(q_ref, d_ref, m_ref, out_ref, acc_ref):
     q_ref:   (NQ, D)            resident in VMEM
     d_ref:   (TC, TN, D)        current candidate x token block
     m_ref:   (TC, TN)           doc-token validity
-    out_ref: (1, TC)            per-candidate scores (written on last token tile)
+    out_ref: (1, 1, TC)         per-candidate scores (written on last token tile)
     acc_ref: (TC, NQ) f32       running per-(candidate, query-token) max
     """
     j = pl.program_id(1)
@@ -123,7 +123,7 @@ def _maxsim_kernel(q_ref, d_ref, m_ref, out_ref, acc_ref):
         # Fully-masked (padded) candidates would sum NEG_INF; zero them
         # so padded rows stay finite.
         acc = jnp.where(acc_ref[:] <= NEG_INF * 0.5, 0.0, acc_ref[:])
-        out_ref[:] = jnp.sum(acc, axis=1)[None, :]
+        out_ref[:] = jnp.sum(acc, axis=1)[None, None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("candidate_tile", "token_tile"))
@@ -148,8 +148,8 @@ def _maxsim_pallas(
             pl.BlockSpec((tc, tn, dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tc, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, tc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid[0], tc), jnp.float32),
+        out_specs=pl.BlockSpec((1, 1, tc), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 1, tc), jnp.float32),
         scratch_shapes=[pltpu.VMEM((tc, nq), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=2 * c * nd * dim * nq,
@@ -177,7 +177,7 @@ def maxsim_scores(
     XLA elsewhere.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = jax.default_backend() in ("tpu", "axon")
     if doc_mask is None:
         doc_mask = jnp.ones(docs.shape[:2], dtype=jnp.float32)
     if not use_pallas and not interpret:
@@ -205,8 +205,8 @@ def maxsim_scores(
                 pl.BlockSpec((tc, tn, dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((tc, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, tc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((grid[0], tc), jnp.float32),
+            out_specs=pl.BlockSpec((1, 1, tc), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((grid[0], 1, tc), jnp.float32),
             scratch_shapes=[pltpu.VMEM((tc, nq_pad), jnp.float32)],
             interpret=True,
         )(q, d, m)

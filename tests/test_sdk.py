@@ -1,0 +1,108 @@
+"""SDK tests against a live in-process server (reference sdk-marker
+tests drive a running server the same way)."""
+
+import asyncio
+import threading
+
+import pytest
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "sdks" / "python"))
+
+from morphik_tpu_sdk import Morphik  # noqa: E402
+
+from morphik_core_tpu.api.app import build_app  # noqa: E402
+from morphik_core_tpu.api.http import HTTPServer  # noqa: E402
+from morphik_core_tpu.config import Settings  # noqa: E402
+from morphik_core_tpu.services_init import build_services  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def server_url(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sdk")
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(root / "storage")},
+            "database": {"path": str(root / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(root / "index"),
+                "fde_num_repetitions": 4,
+                "fde_num_simhash_projections": 3,
+                "fde_projection_dimension": 8,
+            },
+        }
+    )
+    loop = asyncio.new_event_loop()
+    services = build_services(settings)
+    srv_holder = {}
+
+    def runner():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(services.initialize())
+        srv = HTTPServer(build_app(services), "127.0.0.1", 0)
+        loop.run_until_complete(srv.start())
+        srv_holder["srv"] = srv
+        loop.run_forever()
+
+    t = threading.Thread(target=runner, daemon=True)
+    t.start()
+    import time
+
+    for _ in range(100):
+        if "srv" in srv_holder:
+            break
+        time.sleep(0.1)
+    yield f"http://127.0.0.1:{srv_holder['srv'].port}"
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_sdk_end_to_end(server_url):
+    with Morphik(base_url=server_url) as db:
+        assert db.ping()["status"] == "ok"
+        doc = db.ingest_text(
+            "Saturn has 146 known moons. Titan is the largest.",
+            filename="saturn.txt",
+            metadata={"topic": "space"},
+            use_colpali=False,
+        )
+        assert doc.status == "completed"
+        chunks = db.retrieve_chunks("moons of saturn", k=2, use_colpali=False)
+        assert chunks and chunks[0].document_id == doc.external_id
+        resp = db.query("How many moons does Saturn have?", k=2, use_colpali=False)
+        assert "146" in str(resp.completion)
+        docs = db.list_documents(filters={"topic": "space"})
+        assert any(d.external_id == doc.external_id for d in docs)
+        got = db.get_document_by_filename("saturn.txt")
+        assert got.external_id == doc.external_id
+
+
+def test_sdk_file_ingest_wait_and_image(server_url):
+    import io
+
+    from PIL import Image, ImageDraw
+
+    img = Image.new("RGB", (448, 336), (250, 250, 250))
+    ImageDraw.Draw(img).text((50, 100), "sdk test page", fill=(0, 0, 0))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+
+    with Morphik(base_url=server_url) as db:
+        doc = db.ingest_file(buf.getvalue(), filename="page.png",
+                             metadata={"src": "sdk"}, wait=True, timeout_s=240)
+        assert doc.status == "completed"
+        chunks = db.retrieve_chunks("test page", k=1, use_colpali=True, filters={"src": "sdk"})
+        assert chunks and chunks[0].image is not None
+
+
+def test_sdk_streaming_and_folders(server_url):
+    with Morphik(base_url=server_url) as db:
+        db.create_folder("SDKFolder")
+        f = db.folder("SDKFolder")
+        doc = f.ingest_text("folder scoped fact: the code is 7777", filename="c.txt", use_colpali=False)
+        assert doc.folder_path == "/SDKFolder"
+        toks = list(db.query_stream("what is the code?", k=1, use_colpali=False))
+        assert "7777" in "".join(toks)
+        folders = db.list_folders()
+        assert any(fd["path"] == "/SDKFolder" for fd in folders)
