@@ -16,6 +16,8 @@ from morphik_core_tpu import __version__
 from morphik_core_tpu.api.auth import create_token, verify_token
 from morphik_core_tpu.api.http import HTTPError, Request, Response, Router
 from morphik_core_tpu.models.schemas import AuthContext
+from morphik_core_tpu.models.tiers import estimate_pages_from_chars
+from morphik_core_tpu.services.user_service import LimitExceededError
 from morphik_core_tpu.services_init import Services
 
 logger = logging.getLogger(__name__)
@@ -32,6 +34,15 @@ def build_app(services: Services) -> Router:
     def _require_write(auth: AuthContext) -> None:
         if "write" not in auth.permissions and "admin" not in auth.permissions:
             raise HTTPError(403, "write permission required")
+
+    async def _check_limit(auth: AuthContext, limit_type: str, amount: float = 1.0,
+                           verify_only: bool = False) -> None:
+        try:
+            await services.user_service.check_and_increment_limits(
+                auth.user_id or auth.entity_id, limit_type, amount, verify_only=verify_only
+            )
+        except LimitExceededError as e:
+            raise HTTPError(402, str(e))  # payment-required, like the reference
 
     # ------------------------------------------------------------- health
 
@@ -59,6 +70,7 @@ def build_app(services: Services) -> Router:
         body = req.json()
         if "content" not in body:
             raise HTTPError(422, "content is required")
+        await _check_limit(auth, "pages", estimate_pages_from_chars(len(body["content"])))
         async with telemetry.track_operation("ingest_text", auth.entity_id):
             doc = await services.ingestion_service.ingest_text(
                 content=body["content"],
@@ -74,6 +86,8 @@ def build_app(services: Services) -> Router:
         return Response.json(doc.model_dump(mode="json"))
 
     async def _ingest_one_file(req: Request, auth: AuthContext, upload, fields) -> Dict[str, Any]:
+        await _check_limit(auth, "storage", len(upload.data))
+        await _check_limit(auth, "pages", estimate_pages_from_chars(len(upload.data) // 4), verify_only=True)
         metadata = json.loads(fields.get("metadata", "{}") or "{}")
         metadata_types = json.loads(fields.get("metadata_types", "{}") or "{}")
         use_colpali = (fields.get("use_colpali", "true") or "true").lower() != "false"
@@ -235,6 +249,7 @@ def build_app(services: Services) -> Router:
     async def query(req: Request) -> Response:
         auth = auth_of(req)
         body = req.json()
+        await _check_limit(auth, "queries", 1)
         q = body.get("query", "")
         chat_id = body.get("chat_id")
         history: List[Dict[str, str]] = []
@@ -595,5 +610,12 @@ def build_app(services: Services) -> Router:
         auth = auth_of(req)
         used = await services.database.get_storage_bytes(auth)
         return Response.json({"storage_bytes": used})
+
+    @router.get("/usage/limits")
+    async def usage_limits(req: Request) -> Response:
+        auth = auth_of(req)
+        return Response.json(
+            await services.user_service.get_user_limits(auth.user_id or auth.entity_id)
+        )
 
     return router

@@ -1,0 +1,132 @@
+"""User tiers + usage limits (reference core/services/user_service.py:19-561,
+core/database/user_limits_db.py:15-330, core/limits_utils.py:57-221).
+
+Usage counters live in sqlite; `check_and_increment_limits` supports the
+reference's verify_only dry-run. Limits only bite in cloud mode —
+self-hosted runs are unlimited, like the reference."""
+
+from __future__ import annotations
+
+import logging
+import sqlite3
+import threading
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from morphik_core_tpu.models.tiers import TIER_LIMITS, AccountTier
+
+logger = logging.getLogger(__name__)
+
+_SCHEMA = """
+CREATE TABLE IF NOT EXISTS user_limits (
+    user_id TEXT PRIMARY KEY,
+    tier TEXT DEFAULT 'free',
+    pages_used REAL DEFAULT 0,
+    queries_used INTEGER DEFAULT 0,
+    storage_bytes INTEGER DEFAULT 0,
+    apps_used INTEGER DEFAULT 0,
+    period_start REAL,
+    custom_limits TEXT
+);
+"""
+
+_MONTH_S = 30 * 24 * 3600
+
+
+class LimitExceededError(Exception):
+    def __init__(self, limit_type: str, detail: str = ""):
+        self.limit_type = limit_type
+        super().__init__(f"limit exceeded: {limit_type}. {detail}".strip())
+
+
+class UserService:
+    def __init__(self, path: str | Path = ":memory:", enforce: bool = False):
+        self.path = str(path)
+        self.enforce = enforce
+        if self.path != ":memory:":
+            Path(self.path).parent.mkdir(parents=True, exist_ok=True)
+        self._conn = sqlite3.connect(self.path, check_same_thread=False)
+        self._conn.row_factory = sqlite3.Row
+        self._lock = threading.RLock()
+        self._conn.executescript(_SCHEMA)
+
+    async def initialize(self) -> bool:
+        return True
+
+    def _row(self, user_id: str) -> sqlite3.Row:
+        with self._lock:
+            row = self._conn.execute("SELECT * FROM user_limits WHERE user_id=?", (user_id,)).fetchone()
+            if row is None:
+                self._conn.execute(
+                    "INSERT INTO user_limits (user_id, period_start) VALUES (?, ?)",
+                    (user_id, time.time()),
+                )
+                self._conn.commit()
+                row = self._conn.execute("SELECT * FROM user_limits WHERE user_id=?", (user_id,)).fetchone()
+            return row
+
+    def _maybe_reset_period(self, user_id: str, row: sqlite3.Row) -> sqlite3.Row:
+        if row["period_start"] and time.time() - row["period_start"] > _MONTH_S:
+            with self._lock:
+                self._conn.execute(
+                    "UPDATE user_limits SET pages_used=0, queries_used=0, period_start=? WHERE user_id=?",
+                    (time.time(), user_id),
+                )
+                self._conn.commit()
+            return self._row(user_id)
+        return row
+
+    async def get_user_limits(self, user_id: str) -> Dict[str, Any]:
+        row = self._maybe_reset_period(user_id, self._row(user_id))
+        tier = AccountTier(row["tier"])
+        limits = TIER_LIMITS[tier]
+        return {
+            "user_id": user_id,
+            "tier": tier.value,
+            "usage": {
+                "pages_used": row["pages_used"],
+                "queries_used": row["queries_used"],
+                "storage_bytes": row["storage_bytes"],
+                "apps_used": row["apps_used"],
+            },
+            "limits": limits,
+        }
+
+    async def set_tier(self, user_id: str, tier: str) -> None:
+        self._row(user_id)
+        with self._lock:
+            self._conn.execute("UPDATE user_limits SET tier=? WHERE user_id=?", (AccountTier(tier).value, user_id))
+            self._conn.commit()
+
+    async def check_and_increment_limits(
+        self,
+        user_id: Optional[str],
+        limit_type: str,
+        amount: float = 1.0,
+        *,
+        verify_only: bool = False,
+    ) -> None:
+        """limit_type in {pages, queries, storage, apps}. Raises
+        LimitExceededError when the increment would cross the quota
+        (reference limits_utils.check_and_increment_limits:57-221)."""
+        if not self.enforce or user_id is None:
+            return
+        row = self._maybe_reset_period(user_id, self._row(user_id))
+        tier = AccountTier(row["tier"])
+        limits = TIER_LIMITS[tier]
+        col, cap = {
+            "pages": ("pages_used", limits["pages_per_month"]),
+            "queries": ("queries_used", limits["queries_per_month"]),
+            "storage": ("storage_bytes", limits["storage_bytes"]),
+            "apps": ("apps_used", limits["apps"]),
+        }[limit_type]
+        if cap is not None and row[col] + amount > cap:
+            raise LimitExceededError(limit_type, f"{row[col]}+{amount} > {cap} ({tier.value})")
+        if verify_only:
+            return
+        with self._lock:
+            self._conn.execute(
+                f"UPDATE user_limits SET {col} = {col} + ? WHERE user_id = ?", (amount, user_id)
+            )
+            self._conn.commit()

@@ -20,6 +20,7 @@ from morphik_core_tpu.reranker.rerankers import build_reranker
 from morphik_core_tpu.services.document_service import DocumentService
 from morphik_core_tpu.services.ingestion_service import IngestionService
 from morphik_core_tpu.services.telemetry import TelemetryService
+from morphik_core_tpu.services.user_service import UserService
 from morphik_core_tpu.storage.local_storage import LocalStorage
 from morphik_core_tpu.vector_store.text_vector_store import TextVectorStore
 from morphik_core_tpu.vector_store.tpu_multivector_store import TPUMultiVectorStore
@@ -43,6 +44,7 @@ class Services:
     ingestion_service: IngestionService
     telemetry: TelemetryService
     job_queue: JobQueue
+    user_service: UserService = None
 
     async def initialize(self) -> None:
         await self.database.initialize()
@@ -143,6 +145,10 @@ def build_services(
         max_jobs=settings.worker.max_jobs,
         job_timeout_s=settings.worker.job_timeout_s,
     )
+    user_service = UserService(
+        path=storage_root / "user_limits.db",
+        enforce=(settings.morphik.mode == "cloud"),
+    )
     return Services(
         settings=settings,
         database=database,
@@ -157,4 +163,5 @@ def build_services(
         ingestion_service=ingestion_service,
         telemetry=telemetry,
         job_queue=job_queue,
+        user_service=user_service,
     )
