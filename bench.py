@@ -77,16 +77,19 @@ def main() -> None:
         input_ids=jnp.asarray(input_ids), cos_t=jnp.asarray(cos_t), sin_t=jnp.asarray(sin_t),
     )
 
+    # NOTE: block_until_ready is unreliable on the axon relay backend —
+    # force real execution by fetching a scalar reduction to host.
+    def run_step():
+        return float(jnp.sum(fwd(params, **args).astype(jnp.float32)))
+
     t0 = time.time()
-    out = fwd(params, **args)
-    out.block_until_ready()
+    run_step()
     compile_s = time.time() - t0
 
     times = []
     for _ in range(embed_iters):
         t0 = time.time()
-        out = fwd(params, **args)
-        out.block_until_ready()
+        run_step()
         times.append(time.time() - t0)
     step_s = float(np.median(times))
     pages_per_s = batch / step_s
@@ -103,11 +106,15 @@ def main() -> None:
                                      preferred_element_type=jnp.float32)
         return jax.lax.top_k(scores, 75)
 
-    ann(findex, qe)[0].block_until_ready()
+    def run_ann():
+        v, i = ann(findex, qe)
+        return float(jnp.sum(v))
+
+    run_ann()
     ann_times = []
     for _ in range(10):
         t0 = time.time()
-        ann(findex, qe)[0].block_until_ready()
+        run_ann()
         ann_times.append(time.time() - t0)
     ann_p50 = float(np.median(ann_times)) * 1e3
 
@@ -116,11 +123,14 @@ def main() -> None:
     cmask = jnp.ones((n_cand, n_tok), jnp.float32)
     q = jnp.asarray(rng.standard_normal((q_tok, d)).astype(np.float32))
     use_pallas = backend != "cpu"
-    maxsim_scores(q, cand, cmask, use_pallas=use_pallas).block_until_ready()
+    def run_rerank():
+        return float(jnp.sum(maxsim_scores(q, cand, cmask, use_pallas=use_pallas)))
+
+    run_rerank()
     rr_times = []
     for _ in range(10):
         t0 = time.time()
-        maxsim_scores(q, cand, cmask, use_pallas=use_pallas).block_until_ready()
+        run_rerank()
         rr_times.append(time.time() - t0)
     rerank_p50 = float(np.median(rr_times)) * 1e3
 

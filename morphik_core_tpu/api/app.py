@@ -611,6 +611,42 @@ def build_app(services: Services) -> Router:
         used = await services.database.get_storage_bytes(auth)
         return Response.json({"storage_bytes": used})
 
+    # ------------------------------------------------------------ v2 routes
+
+    @router.post("/v2/documents")
+    async def v2_ingest(req: Request) -> Response:
+        auth = auth_of(req)
+        _require_write(auth)
+        fields, files = req.form()
+        uploads = files.get("file") or []
+        if not uploads:
+            raise HTTPError(422, "file is required")
+        doc = await services.v2_document_service.ingest_document(
+            uploads[0].data, uploads[0].filename,
+            json.loads(fields.get("metadata", "{}") or "{}"), auth,
+            folder_path=fields.get("folder_path"),
+        )
+        return Response.json(doc.model_dump(mode="json"))
+
+    @router.post("/v2/retrieve/chunks")
+    async def v2_retrieve(req: Request) -> Response:
+        auth = auth_of(req)
+        body = req.json()
+        chunks = await services.v2_document_service.retrieve_chunks(
+            body.get("query", ""), auth, k=body.get("k", 10),
+            filters=body.get("filters"), folder_path=body.get("folder_path"),
+        )
+        return Response.json([c.model_dump(mode="json", exclude={"embedding"}) for c in chunks])
+
+    @router.delete("/v2/documents/{document_id}")
+    async def v2_delete(req: Request) -> Response:
+        auth = auth_of(req)
+        _require_write(auth)
+        ok = await services.v2_document_service.delete_document(req.path_params["document_id"], auth)
+        if not ok:
+            raise HTTPError(404, "document not found")
+        return Response.json({"status": "deleted"})
+
     @router.get("/usage/limits")
     async def usage_limits(req: Request) -> Response:
         auth = auth_of(req)

@@ -21,6 +21,8 @@ from morphik_core_tpu.services.document_service import DocumentService
 from morphik_core_tpu.services.ingestion_service import IngestionService
 from morphik_core_tpu.services.telemetry import TelemetryService
 from morphik_core_tpu.services.user_service import UserService
+from morphik_core_tpu.services.v2_document_service import V2DocumentService
+from morphik_core_tpu.vector_store.chunk_v2_store import ChunkV2Store
 from morphik_core_tpu.storage.local_storage import LocalStorage
 from morphik_core_tpu.vector_store.text_vector_store import TextVectorStore
 from morphik_core_tpu.vector_store.tpu_multivector_store import TPUMultiVectorStore
@@ -45,6 +47,7 @@ class Services:
     telemetry: TelemetryService
     job_queue: JobQueue
     user_service: UserService = None
+    v2_document_service: V2DocumentService = None
 
     async def initialize(self) -> None:
         await self.database.initialize()
@@ -149,6 +152,13 @@ def build_services(
         path=storage_root / "user_limits.db",
         enforce=(settings.morphik.mode == "cloud"),
     )
+    v2_document_service = V2DocumentService(
+        database=database,
+        storage=storage,
+        parser=parser,
+        embedding_model=embedding_model,
+        chunk_store=ChunkV2Store(),
+    )
     return Services(
         settings=settings,
         database=database,
@@ -164,4 +174,5 @@ def build_services(
         telemetry=telemetry,
         job_queue=job_queue,
         user_service=user_service,
+        v2_document_service=v2_document_service,
     )
