@@ -49,6 +49,8 @@ class TPUMultiVectorStore(BaseVectorStore):
         prefilter_multiplier: int = 10,
         prefilter_cap: int = 75,
         use_pallas: Optional[bool] = None,
+        provider: str = "fde",  # "fde" (two-stage, reference 'morphik') |
+        #                         "binary" (exact Hamming scan, reference 'postgres')
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -57,24 +59,30 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.prefilter_multiplier = prefilter_multiplier
         self.prefilter_cap = prefilter_cap
         self.use_pallas = use_pallas
-        self._indexes: Dict[str, MultiVectorIndex] = {}
+        self.provider = provider
+        self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
     async def initialize(self) -> bool:
         return True
 
-    def _ns(self, app_id: Optional[str]) -> MultiVectorIndex:
+    def _ns(self, app_id: Optional[str]):
         ns = app_id or _DEFAULT_NS
         if ns not in self._indexes:
-            path = (self.index_path / ns) if self.index_path else None
-            self._indexes[ns] = MultiVectorIndex(
-                self.fde_config,
-                mesh=self.mesh,
-                prefilter_multiplier=self.prefilter_multiplier,
-                prefilter_cap=self.prefilter_cap,
-                path=path,
-                use_pallas=self.use_pallas,
-            )
+            if self.provider == "binary":
+                from morphik_core_tpu.index.binary_index import BinaryMultiVectorIndex
+
+                self._indexes[ns] = BinaryMultiVectorIndex(dim=self.fde_config.dimension)
+            else:
+                path = (self.index_path / ns) if self.index_path else None
+                self._indexes[ns] = MultiVectorIndex(
+                    self.fde_config,
+                    mesh=self.mesh,
+                    prefilter_multiplier=self.prefilter_multiplier,
+                    prefilter_cap=self.prefilter_cap,
+                    path=path,
+                    use_pallas=self.use_pallas,
+                )
         return self._indexes[ns]
 
     # ------------------------------------------------------------------
