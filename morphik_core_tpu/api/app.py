@@ -482,6 +482,36 @@ def build_app(services: Services) -> Router:
         ]
         return Response.json({"document_id": doc_id, "pages": pages})
 
+    # ----------------------------------------------------------- embeddings
+
+    @router.post("/embeddings")
+    async def embeddings(req: Request) -> Response:
+        """Embedding-endpoint wire contract (reference GPU endpoints,
+        core/embedding/colpali_api_embedding_model.py:273-310): JSON in,
+        npz of emb_0..emb_{n-1} out. Lets this TPU server serve as a
+        backend for ColpaliApiEmbeddingModel fan-out."""
+        if services.colpali_embedding_model is None:
+            raise HTTPError(503, "colpali is disabled on this server")
+        body = req.json()
+        input_type = body.get("input_type", "text")
+        inputs = body.get("inputs") or []
+        if not isinstance(inputs, list):
+            raise HTTPError(422, "inputs must be a list")
+        from morphik_core_tpu.models.schemas import Chunk
+
+        chunks = [
+            Chunk(content=v, metadata={"is_image": input_type == "image"}) for v in inputs
+        ]
+        async with telemetry.track_operation("embeddings", "endpoint"):
+            embs = await services.colpali_embedding_model.embed_for_ingestion(chunks)
+        import io as _io
+
+        import numpy as _np
+
+        buf = _io.BytesIO()
+        _np.savez(buf, **{f"emb_{i}": e for i, e in enumerate(embs)})
+        return Response.binary(buf.getvalue(), "application/octet-stream")
+
     # ------------------------------------------------------------- folders
 
     @router.post("/folders")

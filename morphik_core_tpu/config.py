@@ -95,11 +95,16 @@ class PdfConfig(BaseModel):
 
 
 class StorageConfig(BaseModel):
-    provider: Literal["local"] = "local"
+    provider: Literal["local", "aws-s3"] = "local"
     storage_path: str = "./storage"
     cache_enabled: bool = True
     cache_path: str = "./storage/cache"
     cache_max_bytes: int = 10 * 1024**3
+    # aws-s3 provider knobs (reference core/storage/s3_storage.py).
+    bucket_name: str = "morphik-storage"
+    region: Optional[str] = None
+    endpoint_url: Optional[str] = None
+    upload_concurrency: int = 8
 
 
 class DatabaseConfig(BaseModel):
@@ -133,7 +138,10 @@ class WorkerConfig(BaseModel):
 
 class MorphikFlags(BaseModel):
     enable_colpali: bool = True
-    colpali_mode: Literal["off", "local"] = "local"
+    # "api" = fan out to N remote TPU embedding servers (each exposing
+    # POST /embeddings) instead of running the tower in-process.
+    colpali_mode: Literal["off", "local", "api"] = "local"
+    morphik_embedding_api_endpoints: List[str] = Field(default_factory=list)
     mode: Literal["self_hosted", "cloud"] = "self_hosted"
 
 

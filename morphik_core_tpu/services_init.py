@@ -31,11 +31,39 @@ from morphik_core_tpu.workers.job_queue import JobQueue
 logger = logging.getLogger(__name__)
 
 
+def build_storage(settings: Settings):
+    """Storage provider selection (reference core/services_init.py:65-80):
+    local filesystem or S3, optionally fronted by the disk LRU cache."""
+    import os
+
+    from morphik_core_tpu.storage.base_storage import BaseStorage
+
+    base: BaseStorage
+    if settings.storage.provider == "aws-s3":
+        from morphik_core_tpu.storage.s3_storage import S3Storage
+
+        base = S3Storage(
+            default_bucket=settings.storage.bucket_name,
+            region_name=settings.storage.region,
+            endpoint_url=settings.storage.endpoint_url,
+            aws_access_key_id=os.environ.get("AWS_ACCESS_KEY_ID"),
+            aws_secret_access_key=os.environ.get("AWS_SECRET_ACCESS_KEY"),
+            upload_concurrency=settings.storage.upload_concurrency,
+        )
+        if settings.storage.cache_enabled:
+            from morphik_core_tpu.storage.cache_manager import CachedStorage, FileCacheManager
+
+            cache = FileCacheManager(settings.storage.cache_path, settings.storage.cache_max_bytes)
+            return CachedStorage(base, cache)
+        return base
+    return LocalStorage(settings.storage.storage_path)
+
+
 @dataclass
 class Services:
     settings: Settings
     database: SQLiteDatabase
-    storage: LocalStorage
+    storage: object  # BaseStorage (local / s3 / cached wrapper)
     parser: MorphikParser
     embedding_model: object
     vector_store: TextVectorStore
@@ -91,14 +119,24 @@ def build_services(
     settings = settings or get_settings()
     storage_root = Path(settings.storage.storage_path)
     database = SQLiteDatabase(settings.database.path)
-    storage = LocalStorage(storage_root)
+    storage = build_storage(settings)
     parser = MorphikParser(settings)
     embedding_model = HashingEmbeddingModel(dim=settings.embedding.dimensions)
 
     colpali_embedding_model = None
     colpali_vector_store = None
     if settings.morphik.enable_colpali and settings.morphik.colpali_mode != "off":
-        colpali_embedding_model = ColpaliEmbeddingModel(settings, model=colqwen_model)
+        if settings.morphik.colpali_mode == "api":
+            from morphik_core_tpu.embedding.colpali_api_embedding_model import (
+                ColpaliApiEmbeddingModel,
+            )
+
+            colpali_embedding_model = ColpaliApiEmbeddingModel(
+                settings.morphik.morphik_embedding_api_endpoints,
+                embedding_dim=settings.model.embedding_dim,
+            )
+        else:
+            colpali_embedding_model = ColpaliEmbeddingModel(settings, model=colqwen_model)
         fde_cfg = FDEConfig(
             dimension=colpali_embedding_model.embedding_dim,
             num_repetitions=settings.vector_store.fde_num_repetitions,

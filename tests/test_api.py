@@ -286,3 +286,32 @@ def test_error_paths(server):
             assert r.status_code == 405
 
     run(go())
+
+
+def test_embeddings_endpoint_npz_roundtrip(server):
+    """POST /embeddings speaks the reference GPU-endpoint wire contract
+    (npz of emb_i), and ColpaliApiEmbeddingModel can drive it."""
+    import io
+
+    import numpy as np
+
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post(
+                "/embeddings",
+                json={"input_type": "text", "inputs": ["alpha beta", "gamma"]},
+            )
+            assert r.status_code == 200
+            npz = np.load(io.BytesIO(r.content))
+            assert set(npz.files) == {"emb_0", "emb_1"}
+            assert npz["emb_0"].ndim == 2  # (n_tokens, dim) multivector
+
+    run(go())
+
+    from morphik_core_tpu.embedding.colpali_api_embedding_model import ColpaliApiEmbeddingModel
+
+    m = ColpaliApiEmbeddingModel([base])
+    emb = run(m.embed_for_query("hello world"))
+    assert emb.ndim == 2 and emb.shape[0] >= 1

@@ -1,0 +1,98 @@
+"""FileCacheManager / CachedStorage / storage provider selection tests
+(reference seams: FileCacheManager in fast_multivector_store.py:69-292,
+S3Storage in core/storage/s3_storage.py)."""
+
+import asyncio
+
+import pytest
+
+from morphik_core_tpu.config import Settings
+from morphik_core_tpu.services_init import build_storage
+from morphik_core_tpu.storage.cache_manager import CachedStorage, FileCacheManager
+from morphik_core_tpu.storage.local_storage import LocalStorage
+
+
+def run(coro):
+    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+
+
+def test_cache_put_get_evict(tmp_path):
+    cache = FileCacheManager(tmp_path / "cache", max_bytes=100)
+    cache.put("b", "k1", b"x" * 40)
+    cache.put("b", "k2", b"y" * 40)
+    assert cache.get("b", "k1") == b"x" * 40
+    # k2 is now least-recently-used; adding k3 must evict it
+    cache.put("b", "k3", b"z" * 40)
+    assert cache.get("b", "k2") is None
+    assert cache.get("b", "k1") == b"x" * 40
+    assert cache.get("b", "k3") == b"z" * 40
+    assert cache.total_bytes <= 100
+
+
+def test_cache_oversized_item_skipped(tmp_path):
+    cache = FileCacheManager(tmp_path / "cache", max_bytes=10)
+    cache.put("b", "big", b"x" * 50)
+    assert cache.get("b", "big") is None
+
+
+def test_cache_survives_restart(tmp_path):
+    c1 = FileCacheManager(tmp_path / "cache", max_bytes=1000)
+    c1.put("b", "k", b"persisted")
+    c2 = FileCacheManager(tmp_path / "cache", max_bytes=1000)
+    assert c2.get("b", "k") == b"persisted"
+    assert c2.total_bytes == len(b"persisted")
+
+
+def test_cache_path_escape_rejected(tmp_path):
+    cache = FileCacheManager(tmp_path / "cache", max_bytes=1000)
+    with pytest.raises(ValueError):
+        cache.put("b", "../../etc/passwd", b"nope")
+
+
+class CountingStorage(LocalStorage):
+    def __init__(self, root):
+        super().__init__(root)
+        self.downloads = 0
+
+    async def download_file(self, bucket, key):
+        self.downloads += 1
+        return await super().download_file(bucket, key)
+
+
+def test_cached_storage_write_through_and_hit(tmp_path):
+    inner = CountingStorage(tmp_path / "store")
+    cache = FileCacheManager(tmp_path / "cache", max_bytes=1 << 20)
+    s = CachedStorage(inner, cache)
+
+    async def go():
+        await s.upload_file(b"hello", "a/b.txt", bucket="bk")
+        assert await s.download_file("bk", "a/b.txt") == b"hello"
+        assert inner.downloads == 0  # served from write-through cache
+        cache.invalidate("bk", "a/b.txt")
+        assert await s.download_file("bk", "a/b.txt") == b"hello"
+        assert inner.downloads == 1  # miss -> inner, then re-cached
+        assert await s.download_file("bk", "a/b.txt") == b"hello"
+        assert inner.downloads == 1
+        await s.delete_file("bk", "a/b.txt")
+        assert cache.get("bk", "a/b.txt") is None
+
+    run(go())
+
+
+def test_build_storage_local_default(tmp_path):
+    settings = Settings.model_validate({"storage": {"storage_path": str(tmp_path / "s")}})
+    st = build_storage(settings)
+    assert isinstance(st, LocalStorage)
+
+
+def test_s3_storage_requires_boto3():
+    try:
+        import boto3  # noqa: F401
+
+        pytest.skip("boto3 present; gating path not exercised")
+    except ImportError:
+        pass
+    from morphik_core_tpu.storage.s3_storage import S3Storage
+
+    with pytest.raises(RuntimeError):
+        S3Storage("bucket")
