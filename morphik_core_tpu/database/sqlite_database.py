@@ -505,6 +505,40 @@ class SQLiteDatabase:
             self._conn.commit()
         return True
 
+    async def update_folder_metadata(
+        self, folder_id: str, updates: Dict[str, Any], auth: AuthContext
+    ) -> bool:
+        """Merge keys into the folder's system_metadata JSON."""
+        folder = await self.get_folder(folder_id, auth)
+        if folder is None:
+            return False
+        merged = {**folder.get("system_metadata", {}), **updates}
+        with self._lock:
+            self._conn.execute(
+                "UPDATE folders SET system_metadata=?, updated_at=? WHERE id=?",
+                (json.dumps(merged), _now_iso(), folder_id),
+            )
+            self._conn.commit()
+        return True
+
+    async def list_folders_summary(self, auth: AuthContext) -> List[Dict[str, Any]]:
+        """Compact folder list with doc counts (reference
+        routes/folders.py:257 list_folder_summaries)."""
+        clause, params = self._access_clause(auth)
+        with self._lock:
+            rows = self._conn.execute(
+                f"""SELECT f.id, f.name, f.path, f.updated_at,
+                          (SELECT COUNT(*) FROM documents d
+                            WHERE d.folder_path = f.path OR d.folder_id = f.id) AS doc_count
+                    FROM folders f WHERE {clause} ORDER BY f.path""",
+                params,
+            ).fetchall()
+        return [
+            {"id": r["id"], "name": r["name"], "path": r["path"],
+             "doc_count": r["doc_count"], "updated_at": r["updated_at"]}
+            for r in rows
+        ]
+
     async def set_document_folder(
         self, document_id: str, folder: Optional[Dict[str, Any]], auth: AuthContext
     ) -> bool:

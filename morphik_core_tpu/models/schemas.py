@@ -220,6 +220,10 @@ class AuthContext(BaseModel):
     app_id: Optional[str] = None
     permissions: set[str] = Field(default_factory=lambda: {"read"})
     user_id: Optional[str] = None
+    # App-token revocation: tokens carry the version they were minted at;
+    # rotate_token bumps the registry version, invalidating old tokens
+    # (reference auth_utils.py:90-143 token_version check).
+    token_version: Optional[int] = None
 
 
 class ChatMessage(BaseModel):

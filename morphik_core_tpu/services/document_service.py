@@ -391,3 +391,74 @@ class DocumentService:
             except Exception as e:  # noqa: BLE001
                 logger.warning("storage delete failed: %s", e)
         return await self.db.delete_document(document_id, auth)
+
+    # ------------------------------------------------------------- summaries
+    # (reference document_service.py:2086-2204: summary blobs live in object
+    #  storage; version/key/updated_at tracked in entity system_metadata)
+
+    SUMMARY_MAX_BYTES = 256 * 1024
+    SUMMARY_BUCKET = "summaries"
+
+    async def _summary_entity_metadata(self, entity: str, entity_id: str, auth: AuthContext):
+        if entity == "document":
+            doc = await self.db.get_document(entity_id, auth)
+            if doc is None:
+                return None
+            return doc.system_metadata
+        folder = await self.db.get_folder(entity_id, auth)
+        if folder is None:
+            return None
+        return folder.get("system_metadata", {})
+
+    async def get_summary(self, entity: str, entity_id: str, auth: AuthContext):
+        """Returns dict {content, storage_key, bucket, version, updated_at}
+        or None (entity or summary missing)."""
+        metadata = await self._summary_entity_metadata(entity, entity_id, auth)
+        if metadata is None:
+            return None
+        key = metadata.get("summary_storage_key")
+        if not key:
+            return None
+        try:
+            content = (await self.storage.download_file(self.SUMMARY_BUCKET, key)).decode("utf-8")
+        except FileNotFoundError:
+            return None
+        return {
+            "content": content,
+            "storage_key": key,
+            "bucket": self.SUMMARY_BUCKET,
+            "version": int(metadata.get("summary_version") or 1),
+            "updated_at": metadata.get("summary_updated_at"),
+        }
+
+    async def upsert_summary(
+        self, entity: str, entity_id: str, content: str, auth: AuthContext
+    ):
+        data = content.encode("utf-8")
+        if len(data) > self.SUMMARY_MAX_BYTES:
+            raise ValueError(f"summary exceeds {self.SUMMARY_MAX_BYTES // 1024}KB limit")
+        metadata = await self._summary_entity_metadata(entity, entity_id, auth)
+        if metadata is None:
+            return None
+        version = int(metadata.get("summary_version") or 0) + 1
+        key = f"{entity}/{entity_id}/v{version}.txt"
+        await self.storage.upload_file(data, key, "text/plain", bucket=self.SUMMARY_BUCKET)
+        from datetime import datetime, timezone
+
+        updated_at = datetime.now(timezone.utc).isoformat()
+        updates = {
+            "summary_storage_key": key,
+            "summary_version": version,
+            "summary_updated_at": updated_at,
+        }
+        if entity == "document":
+            await self.db.update_document(entity_id, {"system_metadata": updates}, auth)
+        else:
+            await self.db.update_folder_metadata(entity_id, updates, auth)
+        return {
+            "content": content,
+            "storage_key": key,
+            "bucket": self.SUMMARY_BUCKET,
+            "version": version,
+            "updated_at": updated_at,
+        }

@@ -29,6 +29,15 @@ CREATE TABLE IF NOT EXISTS user_limits (
     period_start REAL,
     custom_limits TEXT
 );
+CREATE TABLE IF NOT EXISTS apps (
+    app_id TEXT PRIMARY KEY,
+    name TEXT,
+    user_id TEXT,
+    org_id TEXT,
+    uri TEXT,
+    token_version INTEGER DEFAULT 1,
+    created_at REAL
+);
 """
 
 _MONTH_S = 30 * 24 * 3600
@@ -130,3 +139,82 @@ class UserService:
                 f"UPDATE user_limits SET {col} = {col} + ? WHERE user_id = ?", (amount, user_id)
             )
             self._conn.commit()
+
+    # --------------------------------------------------------- app registry
+    # (reference core/services/user_service.py app provisioning + the
+    #  /apps management endpoints, core/api.py:1197-1707)
+
+    async def register_app(
+        self,
+        app_id: str,
+        name: str,
+        user_id: str,
+        uri: str,
+        org_id: Optional[str] = None,
+    ) -> Dict[str, Any]:
+        await self.check_and_increment_limits(user_id, "apps", 1)
+        with self._lock:
+            self._conn.execute(
+                "INSERT OR REPLACE INTO apps (app_id, name, user_id, org_id, uri, token_version, created_at)"
+                " VALUES (?,?,?,?,?,COALESCE((SELECT token_version FROM apps WHERE app_id=?),1),?)",
+                (app_id, name, user_id, org_id, uri, app_id, time.time()),
+            )
+            self._conn.commit()
+        return (await self.get_app(app_id)) or {}
+
+    async def get_app(self, app_id: str) -> Optional[Dict[str, Any]]:
+        with self._lock:
+            row = self._conn.execute("SELECT * FROM apps WHERE app_id=?", (app_id,)).fetchone()
+        return dict(row) if row else None
+
+    async def list_apps(
+        self, user_id: Optional[str] = None, org_id: Optional[str] = None
+    ) -> list:
+        sql, params = "SELECT * FROM apps", []
+        clauses = []
+        if user_id:
+            clauses.append("user_id=?")
+            params.append(user_id)
+        if org_id:
+            clauses.append("org_id=?")
+            params.append(org_id)
+        if clauses:
+            sql += " WHERE " + " AND ".join(clauses)
+        with self._lock:
+            rows = self._conn.execute(sql + " ORDER BY created_at", params).fetchall()
+        return [dict(r) for r in rows]
+
+    async def delete_app(self, app_id: str, user_id: str) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "DELETE FROM apps WHERE app_id=? AND user_id=?", (app_id, user_id)
+            )
+            if cur.rowcount:
+                self._conn.execute(
+                    "UPDATE user_limits SET apps_used = MAX(apps_used - 1, 0) WHERE user_id=?",
+                    (user_id,),
+                )
+            self._conn.commit()
+        return bool(cur.rowcount)
+
+    async def rotate_app_token(self, app_id: str, user_id: str) -> Optional[int]:
+        """Bump token_version: outstanding tokens with the old version stop
+        verifying (reference /apps/rotate_token)."""
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE apps SET token_version = token_version + 1 WHERE app_id=? AND user_id=?",
+                (app_id, user_id),
+            )
+            self._conn.commit()
+        if not cur.rowcount:
+            return None
+        app = await self.get_app(app_id)
+        return int(app["token_version"]) if app else None
+
+    async def rename_app(self, app_id: str, user_id: str, new_name: str) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE apps SET name=? WHERE app_id=? AND user_id=?", (new_name, app_id, user_id)
+            )
+            self._conn.commit()
+        return bool(cur.rowcount)

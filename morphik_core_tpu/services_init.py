@@ -76,6 +76,7 @@ class Services:
     job_queue: JobQueue
     user_service: UserService = None
     v2_document_service: V2DocumentService = None
+    on_the_fly: object = None  # OnTheFlyService
 
     async def initialize(self) -> None:
         await self.database.initialize()
@@ -190,6 +191,9 @@ def build_services(
         path=storage_root / "user_limits.db",
         enforce=(settings.morphik.mode == "cloud"),
     )
+    from morphik_core_tpu.services.on_the_fly import OnTheFlyService
+
+    on_the_fly = OnTheFlyService(parser, completion_model)
     v2_document_service = V2DocumentService(
         database=database,
         storage=storage,
@@ -213,4 +217,5 @@ def build_services(
         job_queue=job_queue,
         user_service=user_service,
         v2_document_service=v2_document_service,
+        on_the_fly=on_the_fly,
     )
