@@ -27,6 +27,10 @@ def build_app(services: Services) -> Router:
     router = Router()
     settings = services.settings
     telemetry = services.telemetry
+    if settings.service.enable_profiling:
+        from morphik_core_tpu.api.middleware import make_profiling_wrapper
+
+        router.wrappers.append(make_profiling_wrapper("./logs"))
 
     async def auth_of(req: Request) -> AuthContext:
         auth = verify_token(req, settings)
@@ -836,6 +840,74 @@ def build_app(services: Services) -> Router:
                  "end_user_id": opts.get("end_user_id")},
             )
         return Response.json({**result, "document": document})
+
+    # ---------------------------------------------------------------- logs
+
+    @router.get("/logs")
+    async def get_logs(req: Request) -> Response:
+        """Recent telemetry events for this user (reference routes/logs.py)."""
+        auth = await auth_of(req)
+        from datetime import datetime, timedelta, timezone
+
+        from morphik_core_tpu.services.telemetry import TelemetryEventReader
+
+        hours = float(req.query.get("since_hours", 4))
+        since = datetime.now(timezone.utc) - timedelta(hours=hours)
+        telemetry.flush()
+        reader = TelemetryEventReader(telemetry.dir)
+        events = reader.query(
+            since=since,
+            operation_type=req.query.get("op_type"),
+            status=req.query.get("status"),
+            user_id=None if "admin" in auth.permissions else auth.entity_id,
+            limit=int(req.query.get("limit", 100)),
+        )
+        return Response.json({"events": events, "count": len(events)})
+
+    # ------------------------------------------------------------- migrate
+
+    @router.post("/migrate/document")
+    async def migrate_document(req: Request) -> Response:
+        """Ingest a migrated document preserving its source ID (reference
+        routes/migrate.py:19)."""
+        auth = await auth_of(req)
+        _require_write(auth)
+        fields, files = req.form()
+        uploads = files.get("file") or []
+        if not uploads:
+            raise HTTPError(422, "file is required")
+        source_id = (fields.get("source_document_id") or "").strip()
+        if not source_id:
+            raise HTTPError(400, "source_document_id is required")
+        on_conflict = fields.get("on_conflict", "skip")
+        existing = await services.database.get_document(source_id, auth)
+        if existing is not None:
+            if on_conflict == "skip":
+                return Response.json(
+                    {"status": "skipped", "document": existing.model_dump(mode="json")}
+                )
+            raise HTTPError(409, f"document {source_id} already exists in the target app")
+        use_colpali = (fields.get("use_colpali", "true") or "true").lower() != "false"
+        async with telemetry.track_operation("migrate_document", auth.entity_id):
+            doc = await services.ingestion_service.ingest_file_content(
+                uploads[0].data,
+                uploads[0].filename,
+                json.loads(fields.get("metadata", "{}") or "{}"),
+                auth,
+                content_type=uploads[0].content_type,
+                folder_name=fields.get("folder_name"),
+                end_user_id=fields.get("end_user_id"),
+                use_colpali=use_colpali,
+                metadata_types=json.loads(fields.get("metadata_types", "{}") or "{}"),
+                external_id=source_id,
+            )
+        await services.job_queue.enqueue_job(
+            "process_ingestion_job",
+            document_id=doc.external_id,
+            auth=auth.model_dump(mode="json"),
+            use_colpali=use_colpali,
+        )
+        return Response.json({"status": "created", "document": doc.model_dump(mode="json")})
 
     # --------------------------------------------------------------- usage
 

@@ -145,6 +145,9 @@ class Router:
     def __init__(self):
         self.routes: List[Tuple[str, re.Pattern, List[str], Handler]] = []
         self.middleware: List[Callable[[Request], Awaitable[Optional[Response]]]] = []
+        # Around-middleware: async (req, call_next) -> Response, outermost first
+        # (reference middleware/profiling.py wraps the whole request).
+        self.wrappers: List[Callable[..., Awaitable[Response]]] = []
 
     def add(self, method: str, pattern: str, handler: Handler) -> None:
         names = re.findall(r"\{(\w+)\}", pattern)
@@ -174,6 +177,12 @@ class Router:
         return self.route("PUT", p)
 
     async def dispatch(self, req: Request) -> Response:
+        call = self._dispatch_inner
+        for w in reversed(self.wrappers):
+            call = (lambda wr, nxt: lambda r: wr(r, nxt))(w, call)
+        return await call(req)
+
+    async def _dispatch_inner(self, req: Request) -> Response:
         for mw in self.middleware:
             early = await mw(req)
             if early is not None:

@@ -148,6 +148,12 @@ class MorphikFlags(BaseModel):
 class TelemetryConfig(BaseModel):
     enabled: bool = True
     telemetry_dir: str = "./logs/telemetry"
+    # Optional collector endpoints; both OFF (None) by default — uploads
+    # only make sense for hosted deployments with egress.
+    upload_url: Optional[str] = None
+    heartbeat_url: Optional[str] = None
+    upload_interval_s: float = 4 * 3600
+    local_budget_bytes: int = 1024**3
 
 
 class Settings(BaseModel):

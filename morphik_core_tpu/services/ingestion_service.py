@@ -132,9 +132,12 @@ class IngestionService:
         end_user_id: Optional[str] = None,
         use_colpali: bool = True,
         metadata_types: Optional[Dict[str, str]] = None,
+        external_id: Optional[str] = None,
     ) -> Document:
         """Create the document stub + upload raw bytes. Processing happens in
-        `process_ingestion_job` (queued by the caller / API layer)."""
+        `process_ingestion_job` (queued by the caller / API layer).
+        `external_id` preserves a source document ID during migration
+        (reference routes/migrate.py POST /migrate/document)."""
         ctype = detect_content_type(file_bytes, filename, content_type)
         doc = Document(
             content_type=ctype,
@@ -145,6 +148,8 @@ class IngestionService:
             end_user_id=end_user_id,
             app_id=auth.app_id,
         )
+        if external_id:
+            doc.external_id = external_id
         await self._resolve_folder(doc, folder_name, auth)
         key = f"ingest/{doc.external_id}/{filename or 'file'}"
         bucket, key = await self.storage.upload_file(file_bytes, key, ctype)

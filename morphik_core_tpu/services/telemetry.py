@@ -155,3 +155,51 @@ class TelemetryService:
             return wrapper
 
         return deco
+
+
+class TelemetryEventReader:
+    """Query local telemetry JSONL spans (reference
+    core/services/telemetry_events.py + routes/logs.py: recent events
+    filtered by operation_type / status / since, newest first)."""
+
+    def __init__(self, log_dir: str | Path = "./logs/telemetry"):
+        self.log_dir = Path(log_dir)
+
+    def query(
+        self,
+        since: Optional[datetime] = None,
+        operation_type: Optional[str] = None,
+        status: Optional[str] = None,
+        user_id: Optional[str] = None,
+        limit: int = 100,
+    ) -> List[Dict[str, Any]]:
+        if not self.log_dir.exists():
+            return []
+        events: List[Dict[str, Any]] = []
+        for path in sorted(self.log_dir.glob("spans_*.jsonl"), reverse=True):
+            try:
+                lines = path.read_text().splitlines()
+            except OSError:
+                continue
+            for line in reversed(lines):
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if operation_type and ev.get("operation") != operation_type:
+                    continue
+                if status and ev.get("status") != status:
+                    continue
+                if user_id and ev.get("user_id") != user_id:
+                    continue
+                if since is not None:
+                    try:
+                        ts = datetime.fromisoformat(ev.get("start", ""))
+                    except ValueError:
+                        continue
+                    if ts < since:
+                        continue
+                events.append(ev)
+                if len(events) >= limit:
+                    return events
+        return events

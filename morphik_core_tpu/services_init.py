@@ -78,6 +78,9 @@ class Services:
     v2_document_service: V2DocumentService = None
     on_the_fly: object = None  # OnTheFlyService
 
+    log_uploader: object = None
+    heartbeat: object = None
+
     async def initialize(self) -> None:
         await self.database.initialize()
         await self.vector_store.initialize()
@@ -85,9 +88,29 @@ class Services:
             await self.colpali_vector_store.initialize()
         self.job_queue.register("process_ingestion_job", self._process_ingestion_job)
         await self.job_queue.start()
+        # Background telemetry threads (reference app_factory.py:126-157);
+        # network sends are disabled unless endpoints are configured.
+        from morphik_core_tpu.services.log_uploader import Heartbeat, LogUploader
+
+        tcfg = self.settings.telemetry
+        self.log_uploader = LogUploader(
+            tcfg.telemetry_dir, tcfg.upload_url,
+            interval_s=tcfg.upload_interval_s, budget_bytes=tcfg.local_budget_bytes,
+        )
+        self.log_uploader.start()
+        if tcfg.heartbeat_url:
+            self.heartbeat = Heartbeat(
+                tcfg.heartbeat_url, self.settings.storage.storage_path,
+                self.settings.service.version,
+            )
+            self.heartbeat.start()
 
     async def shutdown(self) -> None:
         await self.job_queue.stop()
+        if self.log_uploader is not None:
+            self.log_uploader.stop()
+        if self.heartbeat is not None:
+            self.heartbeat.stop()
         if self.colpali_vector_store is not None:
             self.colpali_vector_store.save()
         self.vector_store.save()
