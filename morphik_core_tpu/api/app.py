@@ -10,6 +10,7 @@ import json
 import logging
 import time
 import uuid
+from pathlib import Path
 from typing import Any, AsyncIterator, Dict, List, Optional
 
 from morphik_core_tpu import __version__
@@ -952,6 +953,99 @@ def build_app(services: Services) -> Router:
         if not ok:
             raise HTTPError(404, "document not found")
         return Response.json({"status": "deleted"})
+
+    # ------------------------------------------------------- ee: connectors
+    # (reference ee/routers/connectors_router.py:168-603)
+
+    def _connector(req: Request, auth: AuthContext):
+        from morphik_core_tpu.ee.connectors import get_connector
+
+        cred_dir = Path(settings.storage.storage_path) / "connector_credentials"
+        try:
+            return get_connector(
+                req.path_params["connector_type"], auth.user_id or auth.entity_id, cred_dir
+            )
+        except KeyError as e:
+            raise HTTPError(404, str(e))
+
+    @router.get("/ee/connectors/{connector_type}/auth_status")
+    async def connector_auth_status(req: Request) -> Response:
+        auth = await auth_of(req)
+        status = await _connector(req, auth).get_auth_status()
+        return Response.json(status.model_dump(mode="json"))
+
+    @router.get("/ee/connectors/{connector_type}/auth/initiate_url")
+    async def connector_initiate_auth(req: Request) -> Response:
+        auth = await auth_of(req)
+        return Response.json(await _connector(req, auth).initiate_auth())
+
+    @router.post("/ee/connectors/{connector_type}/auth/finalize")
+    async def connector_finalize_auth(req: Request) -> Response:
+        auth = await auth_of(req)
+        ok = await _connector(req, auth).finalize_auth(req.json())
+        if not ok:
+            raise HTTPError(400, "authentication could not be finalized")
+        return Response.json({"status": "authenticated"})
+
+    @router.get("/ee/connectors/{connector_type}/files")
+    async def connector_list_files(req: Request) -> Response:
+        auth = await auth_of(req)
+        try:
+            out = await _connector(req, auth).list_files(
+                path=req.query.get("path"), page_token=req.query.get("page_token")
+            )
+        except PermissionError as e:
+            raise HTTPError(401, str(e))
+        return Response.json(
+            {"files": [f.model_dump(mode="json") for f in out["files"]],
+             "next_page_token": out.get("next_page_token")}
+        )
+
+    @router.post("/ee/connectors/{connector_type}/ingest")
+    async def connector_ingest(req: Request) -> Response:
+        """Download a connector file and queue it for ingestion (202)."""
+        auth = await auth_of(req)
+        _require_write(auth)
+        body = req.json()
+        file_id = body.get("file_id")
+        if not file_id:
+            raise HTTPError(422, "file_id is required")
+        conn = _connector(req, auth)
+        try:
+            meta = await conn.get_file_metadata_by_id(file_id)
+            buf = await conn.download_file_by_id(file_id)
+        except PermissionError as e:
+            raise HTTPError(401, str(e))
+        if buf is None:
+            raise HTTPError(404, "file not found or not downloadable")
+        data = buf.getvalue()
+        await _check_limit(auth, "storage", len(data))
+        use_colpali = bool(body.get("use_colpali", True))
+        doc = await services.ingestion_service.ingest_file_content(
+            data,
+            (meta.name if meta else None) or file_id.rsplit("/", 1)[-1],
+            dict(body.get("metadata") or {},
+                 connector={"type": conn.connector_type, "file_id": file_id}),
+            auth,
+            folder_name=body.get("folder_name"),
+            end_user_id=body.get("end_user_id"),
+            use_colpali=use_colpali,
+        )
+        await services.job_queue.enqueue_job(
+            "process_ingestion_job",
+            document_id=doc.external_id,
+            auth=auth.model_dump(mode="json"),
+            use_colpali=use_colpali,
+        )
+        return Response.json(
+            {"status": "queued", "document": doc.model_dump(mode="json")}, status=202
+        )
+
+    @router.post("/ee/connectors/{connector_type}/disconnect")
+    async def connector_disconnect(req: Request) -> Response:
+        auth = await auth_of(req)
+        ok = await _connector(req, auth).disconnect()
+        return Response.json({"status": "disconnected" if ok else "not_connected"})
 
     @router.get("/usage/limits")
     async def usage_limits(req: Request) -> Response:

@@ -1,0 +1,175 @@
+"""EE connector framework tests (reference ee/services/connectors/ +
+ee/routers/connectors_router.py): local-directory connector end-to-end
+through the API, GitHub connector against a faked transport, credential
+storage semantics."""
+
+import asyncio
+import base64
+import json
+
+import httpx
+import pytest
+
+from morphik_core_tpu.api.app import build_app
+from morphik_core_tpu.api.http import HTTPServer
+from morphik_core_tpu.config import Settings
+from morphik_core_tpu.ee.connectors import get_connector
+from morphik_core_tpu.ee.connectors.base import sanitize_user_id
+from morphik_core_tpu.ee.connectors.github import GitHubConnector
+from morphik_core_tpu.services_init import build_services
+
+_LOOP = asyncio.new_event_loop()
+
+
+def run(coro):
+    return _LOOP.run_until_complete(coro)
+
+
+def test_sanitize_user_id():
+    a = sanitize_user_id("user@example.com")
+    b = sanitize_user_id("user@example!com")
+    assert a != b and "/" not in a and "@" not in a
+    c = sanitize_user_id("../../etc")
+    assert "/" not in c and ".." not in c  # no traversal characters survive
+
+
+def test_local_connector_lifecycle(tmp_path):
+    src = tmp_path / "src"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_text("alpha")
+    (src / "sub" / "b.txt").write_text("beta")
+
+    conn = get_connector("local", "u1", tmp_path / "creds")
+    status = run(conn.get_auth_status())
+    assert not status.is_authenticated
+    assert run(conn.initiate_auth())["credentials_required"] == ["root"]
+    assert run(conn.finalize_auth({"root": str(src)}))
+    assert run(conn.get_auth_status()).is_authenticated
+
+    out = run(conn.list_files())
+    names = [f.name for f in out["files"]]
+    assert names == ["sub", "a.txt"]  # dirs first
+    sub = run(conn.list_files(path="sub"))
+    assert [f.id for f in sub["files"]] == ["sub/b.txt"]
+
+    buf = run(conn.download_file_by_id("sub/b.txt"))
+    assert buf.read() == b"beta"
+    meta = run(conn.get_file_metadata_by_id("a.txt"))
+    assert meta.size == 5 and not meta.is_folder
+
+    with pytest.raises(ValueError):
+        run(conn.download_file_by_id("../outside"))
+
+    assert run(conn.disconnect())
+    assert not run(conn.get_auth_status()).is_authenticated
+
+
+def test_unknown_connector_type(tmp_path):
+    with pytest.raises(KeyError):
+        get_connector("dropbox", "u", tmp_path)
+
+
+def _gh_entry(path, type_="file", content=None):
+    e = {"path": path, "name": path.rsplit("/", 1)[-1], "type": type_, "size": 10}
+    if content is not None:
+        e["encoding"] = "base64"
+        e["content"] = base64.b64encode(content).decode()
+    return e
+
+
+def test_github_connector_faked_transport(tmp_path):
+    conn = GitHubConnector("u2", tmp_path / "creds")
+    assert not run(conn.get_auth_status()).is_authenticated
+    assert run(conn.finalize_auth({"token": "ghp_x", "repo": "acme/docs"}))
+
+    def fake_json(url):
+        assert "acme/docs" in url
+        if url.endswith("/contents/"):
+            return [_gh_entry("README.md"), _gh_entry("src", "dir")]
+        if url.endswith("/contents/README.md"):
+            return _gh_entry("README.md", content=b"# hello")
+        if "/git/trees/" in url:
+            return {"tree": [{"path": "README.md", "type": "blob", "size": 7},
+                             {"path": "src", "type": "tree"}]}
+        raise AssertionError(url)
+
+    conn._request_json = fake_json
+    out = run(conn.list_files())
+    assert {f.name for f in out["files"]} == {"README.md", "src"}
+    assert [f.is_folder for f in out["files"] if f.name == "src"] == [True]
+    buf = run(conn.download_file_by_id("README.md"))
+    assert buf.read() == b"# hello"
+    tree = run(conn.list_repository_tree())
+    assert len(tree["files"]) == 2 and not tree["truncated"]
+
+    # bad finalize payloads rejected
+    assert not run(conn.finalize_auth({"token": "x"}))
+    assert not run(conn.finalize_auth({"repo": "no-slash", "token": "x"}))
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("conn")
+    settings = Settings.model_validate(
+        {
+            "api": {"port": 0},
+            "storage": {"storage_path": str(root / "storage")},
+            "database": {"path": str(root / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(root / "index"),
+                "fde_num_repetitions": 4,
+                "fde_num_simhash_projections": 3,
+                "fde_projection_dimension": 8,
+            },
+        }
+    )
+    services = build_services(settings)
+    run(services.initialize())
+    srv = HTTPServer(build_app(services), "127.0.0.1", 0)
+    run(srv.start())
+    yield f"http://127.0.0.1:{srv.port}", services, root
+    run(srv.stop())
+    run(services.shutdown())
+
+
+def test_connector_routes_end_to_end(server, tmp_path):
+    base, _, _root = server
+    src = tmp_path / "watched"
+    src.mkdir()
+    (src / "doc.txt").write_text("Connector-sourced knowledge: flux capacitors need 1.21 GW.")
+
+    async def go():
+        async with httpx.AsyncClient(base_url=base, timeout=120.0) as c:
+            r = await c.get("/ee/connectors/local/auth_status")
+            assert not r.json()["is_authenticated"]
+            r = await c.get("/ee/connectors/local/files")
+            assert r.status_code == 200 and r.json()["files"] == []
+            r = await c.post("/ee/connectors/local/auth/finalize", json={"root": str(src)})
+            assert r.status_code == 200
+            r = await c.get("/ee/connectors/local/files")
+            assert [f["name"] for f in r.json()["files"]] == ["doc.txt"]
+            r = await c.post(
+                "/ee/connectors/local/ingest",
+                json={"file_id": "doc.txt", "use_colpali": False},
+            )
+            assert r.status_code == 202, r.text
+            doc_id = r.json()["document"]["external_id"]
+            for _ in range(100):
+                s = (await c.get(f"/documents/{doc_id}/status")).json()
+                if s["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.2)
+            assert s["status"] == "completed"
+            r = await c.post(
+                "/retrieve/chunks",
+                json={"query": "flux capacitor power", "k": 1, "use_colpali": False},
+            )
+            assert r.json() and "1.21 GW" in r.json()[0]["content"]
+            doc = (await c.get(f"/documents/{doc_id}")).json()
+            assert doc["metadata"]["connector"]["type"] == "local"
+            r = await c.post("/ee/connectors/local/disconnect")
+            assert r.json()["status"] == "disconnected"
+            r = await c.get("/ee/connectors/unknown/files")
+            assert r.status_code == 404
+
+    run(go())
