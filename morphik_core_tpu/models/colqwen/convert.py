@@ -55,15 +55,25 @@ def convert_state_dict(state: Dict[str, np.ndarray], cfg: ColQwenConfig, dtype=j
     }
     stack = lambda xs: jnp.stack(xs)  # noqa: E731
     b = {k: [] for k in (
-        "norm1", "norm2", "qkv_w", "qkv_b", "proj_w", "proj_b",
+        "norm1", "norm2", "q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
+        "proj_w", "proj_b",
         "gate_w", "gate_b", "up_w", "up_b", "down_w", "down_b",
     )}
+    hsz = v.hidden_size
     for i in range(v.depth):
         p = f"{vp}blocks.{i}."
         b["norm1"].append(a(_find(state, p + "norm1.weight")))
         b["norm2"].append(a(_find(state, p + "norm2.weight")))
-        b["qkv_w"].append(t(_find(state, p + "attn.qkv.weight")))
-        b["qkv_b"].append(a(_find(state, p + "attn.qkv.bias")))
+        # HF fuses qkv as one (3h, h) projection; stored split here so the
+        # forward runs three clean matmuls with no reshape/split copies.
+        qkv_w = t(_find(state, p + "attn.qkv.weight"))  # (h, 3h)
+        qkv_b = a(_find(state, p + "attn.qkv.bias"))  # (3h,)
+        b["q_w"].append(qkv_w[:, :hsz])
+        b["k_w"].append(qkv_w[:, hsz : 2 * hsz])
+        b["v_w"].append(qkv_w[:, 2 * hsz :])
+        b["q_b"].append(qkv_b[:hsz])
+        b["k_b"].append(qkv_b[hsz : 2 * hsz])
+        b["v_b"].append(qkv_b[2 * hsz :])
         b["proj_w"].append(t(_find(state, p + "attn.proj.weight")))
         b["proj_b"].append(a(_find(state, p + "attn.proj.bias")))
         b["gate_w"].append(t(_find(state, p + "mlp.gate_proj.weight")))

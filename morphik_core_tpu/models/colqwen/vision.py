@@ -114,11 +114,16 @@ def init_vision_params(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> 
     def nrm(k, *shape, scale=0.02):
         return (jax.random.normal(k, shape, dtype=jnp.float32) * scale).astype(dtype)
 
+    kq, kk, kv = jax.random.split(ks[0], 3)
     blocks = {
         "norm1": jnp.ones((depth, h), dtype),
         "norm2": jnp.ones((depth, h), dtype),
-        "qkv_w": nrm(ks[0], depth, h, 3 * h),
-        "qkv_b": jnp.zeros((depth, 3 * h), dtype),
+        "q_w": nrm(kq, depth, h, h),
+        "q_b": jnp.zeros((depth, h), dtype),
+        "k_w": nrm(kk, depth, h, h),
+        "k_b": jnp.zeros((depth, h), dtype),
+        "v_w": nrm(kv, depth, h, h),
+        "v_b": jnp.zeros((depth, h), dtype),
         "proj_w": nrm(ks[1], depth, h, h),
         "proj_b": jnp.zeros((depth, h), dtype),
         "gate_w": nrm(ks[2], depth, h, ih),
@@ -155,9 +160,9 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
 
     res = x
     y = rms_norm(x, layer["norm1"], cfg.rms_norm_eps)
-    qkv = y @ layer["qkv_w"] + layer["qkv_b"]
-    q, k, v = jnp.split(qkv.reshape(b, s, 3, nh, hd), 3, axis=2)
-    q, k, v = (t.squeeze(2) for t in (q, k, v))  # (B, S, nh, hd)
+    q = (y @ layer["q_w"] + layer["q_b"]).reshape(b, s, nh, hd)
+    k = (y @ layer["k_w"] + layer["k_b"]).reshape(b, s, nh, hd)
+    v = (y @ layer["v_w"] + layer["v_b"]).reshape(b, s, nh, hd)
     q, k = apply_rotary(q, k, cos[None, :, None, :], sin[None, :, None, :])
 
     def full_attn(args):
@@ -200,7 +205,10 @@ def vision_forward(
     x = patches @ params["patch_embed_w"]  # (B, S, H)
     x = to_window_order(x, h_units, w_units, wu)
 
-    full_flags = jnp.zeros((cfg.depth,), dtype=bool).at[jnp.asarray(cfg.fullatt_block_indexes)].set(True)
+    full_flags = np.zeros((cfg.depth,), dtype=bool)
+    if cfg.fullatt_block_indexes:
+        full_flags[np.asarray(cfg.fullatt_block_indexes)] = True
+    full_flags = jnp.asarray(full_flags)
 
     def body(carry, inp):
         layer, is_full = inp

@@ -58,3 +58,24 @@ def test_embed_queries_ragged(model):
         assert o.ndim == 2 and o.shape[1] == model.cfg.embedding_dim
         np.testing.assert_allclose(np.linalg.norm(o, axis=-1), 1.0, atol=1e-4)
     assert outs[1].shape[0] > outs[0].shape[0]
+
+
+def test_bf16_rotary_embedding_fidelity():
+    """bf16 serving runs rotary in bf16 (layers.apply_rotary computes in
+    the input dtype). Guard: bf16-path embeddings must stay directionally
+    faithful to the fp32 path (MaxSim ranking stability floor)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+
+    cfg = ColQwenConfig.tiny()
+    m32 = ColQwenModel.init_random(jax.random.PRNGKey(7), cfg, dtype=jnp.float32)
+    m16 = ColQwenModel.init_random(jax.random.PRNGKey(7), cfg, dtype=jnp.bfloat16)
+    q32 = m32.embed_queries(["the quarterly revenue grew by ten percent"])[0]
+    q16 = m16.embed_queries(["the quarterly revenue grew by ten percent"])[0]
+    assert q32.shape == q16.shape
+    # rows are L2-normalized; per-token cosine similarity must stay high
+    cos = np.sum(q32 * q16, axis=-1)
+    assert float(np.min(cos)) > 0.99, f"min token cosine {float(np.min(cos))}"
