@@ -570,6 +570,30 @@ def build_app(services: Services) -> Router:
         folders = await services.database.list_folders(auth, parent_path=req.query.get("parent_path"))
         return Response.json(folders)
 
+    @router.post("/folders/details")
+    async def folder_details(req: Request) -> Response:
+        """Folder metadata with document statistics (reference
+        routes/folders.py:149 FolderDetailsResponse)."""
+        auth = await auth_of(req)
+        body = req.json() if req.body else {}
+        identifiers = body.get("identifiers") or []
+        if identifiers:
+            folders = []
+            for ident in identifiers:
+                f = await services.database.get_folder(ident, auth)
+                if f is None:
+                    f = await services.database.get_folder_by_path(ident, auth)
+                if f is not None:
+                    folders.append(f)
+        else:
+            folders = await services.database.list_folders(auth)
+        summaries = {s["id"]: s for s in await services.database.list_folders_summary(auth)}
+        out = []
+        for f in folders:
+            s = summaries.get(f["id"], {})
+            out.append({**f, "doc_count": s.get("doc_count", 0)})
+        return Response.json({"folders": out, "count": len(out)})
+
     @router.get("/folders/summary")
     async def list_folder_summaries(req: Request) -> Response:
         """Compact folder list with doc counts (reference

@@ -300,6 +300,117 @@ class Morphik:
         r.raise_for_status()
         return r.json()
 
+    def _get(self, _path: str, **params) -> Any:
+        r = self._client.get(_path, params={k: v for k, v in params.items() if v is not None})
+        r.raise_for_status()
+        return r.json()
+
+    # -------------------------------------------------- on-the-fly analysis
+
+    def query_document(
+        self,
+        file: Union[str, Path, bytes],
+        prompt: str,
+        *,
+        schema: Optional[Dict[str, Any]] = None,
+        filename: Optional[str] = None,
+        ingest: bool = False,
+        metadata: Optional[Dict[str, Any]] = None,
+        use_colpali: bool = True,
+    ) -> Dict[str, Any]:
+        """One-shot document analysis without prior ingestion (reference
+        SDK query_document -> POST /ingest/document/query)."""
+        if isinstance(file, (str, Path)):
+            p = Path(file)
+            data_bytes, fname = p.read_bytes(), filename or p.name
+        else:
+            data_bytes, fname = file, filename or "upload"
+        form = {"prompt": prompt}
+        if schema is not None:
+            form["schema"] = json.dumps(schema)
+        opts = {"ingest": ingest, "use_colpali": use_colpali}
+        if metadata:
+            opts["metadata"] = metadata
+        form["ingestion_options"] = json.dumps(opts)
+        r = self._client.post(
+            "/ingest/document/query", files={"file": (fname, data_bytes)}, data=form
+        )
+        r.raise_for_status()
+        return r.json()
+
+    # ------------------------------------------------------------ summaries
+
+    def get_document_summary(self, document_id: str) -> Dict[str, Any]:
+        return self._get(f"/documents/{document_id}/summary")
+
+    def set_document_summary(self, document_id: str, content: str) -> Dict[str, Any]:
+        r = self._client.put(f"/documents/{document_id}/summary", json={"content": content})
+        r.raise_for_status()
+        return r.json()
+
+    def get_folder_summaries(self) -> List[Dict[str, Any]]:
+        return self._get("/folders/summary")
+
+    # ----------------------------------------------------------------- apps
+
+    def generate_cloud_uri(self, name: str, expiry_days: int = 5475) -> Dict[str, str]:
+        return self._post("/cloud/generate_uri", {"name": name, "expiry_days": expiry_days})
+
+    def list_apps(self) -> Dict[str, Any]:
+        return self._get("/apps")
+
+    def rotate_app_token(self, app_id: str) -> Dict[str, Any]:
+        return self._post("/apps/rotate_token", {"app_id": app_id})
+
+    # ------------------------------------------------------------ connectors
+
+    def connector_auth_status(self, connector_type: str) -> Dict[str, Any]:
+        return self._get(f"/ee/connectors/{connector_type}/auth_status")
+
+    def connector_finalize_auth(self, connector_type: str, credentials: Dict[str, Any]) -> Dict[str, Any]:
+        return self._post(f"/ee/connectors/{connector_type}/auth/finalize", credentials)
+
+    def connector_list_files(
+        self, connector_type: str, path: Optional[str] = None, page_token: Optional[str] = None
+    ) -> Dict[str, Any]:
+        return self._get(f"/ee/connectors/{connector_type}/files", path=path, page_token=page_token)
+
+    def connector_ingest(self, connector_type: str, file_id: str, **kwargs) -> Dict[str, Any]:
+        return self._post(f"/ee/connectors/{connector_type}/ingest", {"file_id": file_id, **kwargs})
+
+    # -------------------------------------------------------------- migrate
+
+    def migrate_document(
+        self,
+        file: Union[str, Path, bytes],
+        source_document_id: str,
+        *,
+        filename: Optional[str] = None,
+        metadata: Optional[Dict[str, Any]] = None,
+        on_conflict: str = "skip",
+        use_colpali: bool = True,
+    ) -> Dict[str, Any]:
+        if isinstance(file, (str, Path)):
+            p = Path(file)
+            data_bytes, fname = p.read_bytes(), filename or p.name
+        else:
+            data_bytes, fname = file, filename or "upload"
+        r = self._client.post(
+            "/migrate/document",
+            files={"file": (fname, data_bytes)},
+            data={
+                "source_document_id": source_document_id,
+                "metadata": json.dumps(metadata or {}),
+                "on_conflict": on_conflict,
+                "use_colpali": str(use_colpali).lower(),
+            },
+        )
+        r.raise_for_status()
+        return r.json()
+
+    def get_logs(self, op_type: Optional[str] = None, limit: int = 100) -> Dict[str, Any]:
+        return self._get("/logs", op_type=op_type, limit=limit)
+
 
 class AsyncMorphik:
     """Async client mirroring `Morphik` (reference async_.py)."""

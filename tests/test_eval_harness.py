@@ -45,3 +45,50 @@ def test_eval_harness_accuracy(tmp_path):
     assert summary["n_correct"] == 2 and summary["n_questions"] == 3
     assert (tmp_path / "eval.json").exists()
     run(services.shutdown())
+
+
+def test_token_f1():
+    from evaluations.retrieval_eval import token_f1
+
+    assert token_f1("the answer is 42", "42") > 0
+    assert token_f1("exact match", "exact match") == 1.0
+    assert token_f1("nothing shared", "different words entirely") == 0.0
+
+
+def test_retrieval_eval_metrics():
+    import asyncio
+
+    from evaluations.retrieval_eval import RetrievalCase, evaluate_retrieval
+
+    class C:
+        def __init__(self, d):
+            self.document_id = d
+
+    async def retrieve(q):
+        return [C("doc_b"), C("doc_a"), C("doc_c")]
+
+    async def answer(q):
+        return "paris is the capital"
+
+    cases = [
+        RetrievalCase("q1", ["doc_a"], "paris"),
+        RetrievalCase("q2", ["doc_z"], "london"),
+    ]
+    out = asyncio.new_event_loop().run_until_complete(
+        evaluate_retrieval(cases, retrieve, answer, k=3)
+    )
+    assert out["recall_at_k"] == 0.5
+    assert abs(out["mrr"] - 0.25) < 1e-9  # rank 2 for q1, miss for q2
+    assert abs(out["context_precision"] - (1 / 3 + 0) / 2) < 1e-9
+    assert out["answer_f1"] > 0
+
+
+def test_llm_judge_offline_fallback():
+    import asyncio
+
+    from evaluations.judge import LLMJudge
+
+    judge = LLMJudge(api_base=None)
+    loop = asyncio.new_event_loop()
+    assert loop.run_until_complete(judge("q", "42", "the answer is 42")) is True
+    assert loop.run_until_complete(judge("q", "42", "no idea")) is False

@@ -106,3 +106,49 @@ def test_sdk_streaming_and_folders(server_url):
         assert "7777" in "".join(toks)
         folders = db.list_folders()
         assert any(fd["path"] == "/SDKFolder" for fd in folders)
+
+
+def test_sdk_new_surface(server_url, tmp_path):
+    """query_document, summaries, apps, connectors, migrate, logs."""
+    db = Morphik(base_url=server_url)
+
+    # on-the-fly analysis
+    out = db.query_document(b"The relay closes at 7 volts.", "What voltage closes the relay?",
+                            filename="spec.txt")
+    assert out["completion"]
+
+    # summaries
+    doc = db.ingest_text("summary target", filename="st.txt", use_colpali=False)
+    s = db.set_document_summary(doc.external_id, "short summary")
+    assert s["version"] == 1
+    assert db.get_document_summary(doc.external_id)["content"] == "short summary"
+    assert isinstance(db.get_folder_summaries(), list)
+
+    # apps lifecycle
+    uri = db.generate_cloud_uri("sdkapp")
+    assert uri["uri"].startswith("morphik://sdkapp:")
+    apps = db.list_apps()
+    assert any(a["app_id"] == uri["app_id"] for a in apps["apps"])
+    rot = db.rotate_app_token(uri["app_id"])
+    assert rot["token_version"] == 2
+
+    # connectors via local directory
+    src = tmp_path / "conn_src"
+    src.mkdir()
+    (src / "n.txt").write_text("connector text")
+    assert not db.connector_auth_status("local")["is_authenticated"]
+    db.connector_finalize_auth("local", {"root": str(src)})
+    files = db.connector_list_files("local")
+    assert [f["name"] for f in files["files"]] == ["n.txt"]
+    queued = db.connector_ingest("local", "n.txt", use_colpali=False)
+    assert queued["status"] == "queued"
+
+    # migrate with preserved id
+    m = db.migrate_document(b"migrated body", "sdk-legacy-1", filename="m.txt",
+                            use_colpali=False)
+    assert m["status"] == "created" and m["document"]["external_id"] == "sdk-legacy-1"
+
+    # logs
+    logs = db.get_logs()
+    assert "events" in logs
+    db.close()
