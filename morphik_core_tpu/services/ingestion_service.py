@@ -180,14 +180,27 @@ class IngestionService:
             additional_metadata: Dict[str, Any] = {}
             text = ""
             text_chunks: List[Chunk] = []
-            if self.parser.is_xml_file(doc.filename, ctype):
-                text_chunks = self.parser.parse_and_chunk_xml(data.decode("utf-8", errors="replace"))
-            else:
-                additional_metadata, text = await self.parser.parse_file_to_text(data, doc.filename, ctype)
-                if text.strip():
-                    text_chunks = await self.parser.split_text(text)
-                elif not skip_text:
-                    logger.warning("no text extracted from %s", doc.filename)
+            # Parse fallback ladder (reference ingestion_worker.py:764-902):
+            # text parse failure on a ColPali-native file does NOT fail the
+            # job — the page images still make it searchable; a failure on a
+            # text-only file does.
+            try:
+                if self.parser.is_xml_file(doc.filename, ctype):
+                    text_chunks = self.parser.parse_and_chunk_xml(data.decode("utf-8", errors="replace"))
+                else:
+                    additional_metadata, text = await self.parser.parse_file_to_text(data, doc.filename, ctype)
+                    if text.strip():
+                        text_chunks = await self.parser.split_text(text)
+                    elif not skip_text:
+                        logger.warning("no text extracted from %s", doc.filename)
+            except Exception as e:  # noqa: BLE001
+                if use_colpali and self.colpali_vector_store is not None and is_colpali_native_format(ctype):
+                    logger.warning(
+                        "text parse of %s failed (%s); continuing image-only", doc.filename, e
+                    )
+                    additional_metadata = {"parse_error": str(e)}
+                else:
+                    raise
             phase_times["parse"] = time.perf_counter() - t
 
             image_chunks: List[Chunk] = []

@@ -212,3 +212,69 @@ def test_job_requeue_failed(services):
         assert services.job_queue.get_job(jid).status == "failed"  # still fails, but retried
 
     run(go())
+
+
+def test_parse_failure_fallback_ladder(tmp_path):
+    """Parse failure on a ColPali-native file keeps the job alive
+    (image-only searchability); on a text file it fails the document
+    (reference ingestion_worker.py:764-902 fallback ladder)."""
+    import asyncio
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.models.schemas import AuthContext, EntityType
+    from morphik_core_tpu.services_init import build_services
+
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(tmp_path / "storage")},
+            "database": {"path": str(tmp_path / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(tmp_path / "index"),
+                "fde_num_repetitions": 4,
+                "fde_num_simhash_projections": 3,
+                "fde_projection_dimension": 8,
+            },
+        }
+    )
+    loop = asyncio.new_event_loop()
+    services = build_services(settings)
+    loop.run_until_complete(services.database.initialize())
+    auth = AuthContext(
+        entity_type=EntityType.DEVELOPER, entity_id="t", permissions={"read", "write", "admin"},
+        user_id="t",
+    )
+
+    async def boom(*a, **kw):
+        raise RuntimeError("synthetic parser crash")
+
+    services.parser.parse_file_to_text = boom
+
+    async def go():
+        # a real 1-page PDF-native file: use a tiny PNG image instead (also colpali-native)
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (300, 200), (200, 220, 240)).save(buf, format="PNG")
+        doc = await services.ingestion_service.ingest_file_content(
+            buf.getvalue(), "page.png", {}, auth, use_colpali=True
+        )
+        out = await services.ingestion_service.process_ingestion_job(doc.external_id, auth, True)
+        assert out.system_metadata["status"] == "completed"
+        got = await services.database.get_document(doc.external_id, auth)
+        assert got.additional_metadata.get("parse_error")
+
+        # text file: parse failure fails the job
+        doc2 = await services.ingestion_service.ingest_file_content(
+            b"plain text body", "note.txt", {}, auth, use_colpali=False
+        )
+        try:
+            await services.ingestion_service.process_ingestion_job(doc2.external_id, auth, False)
+            raise AssertionError("expected failure")
+        except RuntimeError:
+            pass
+        got2 = await services.database.get_document(doc2.external_id, auth)
+        assert got2.system_metadata["status"] == "failed"
+
+    loop.run_until_complete(go())
