@@ -1,0 +1,147 @@
+"""Process-pool PDF rasterization.
+
+SURVEY.md §7 "hard parts": host-side rasterization is the CPU
+bottleneck at the 10k pages/min target (~167 pages/s) — a single
+PyMuPDF render loop caps well below that, so page ranges are fanned out
+across worker processes (the reference instead batches high-density
+pages 2-at-a-time in one process, ingestion_service.py:1640-1696; a
+process pool is the idiomatic way to keep a TPU fed from the host).
+
+Workers rasterize a page range and return JPEG bytes (quality 70, the
+reference's chunk payload format) so IPC ships compressed images, not
+raw bitmaps. Falls back to the in-process ladder when pools are
+unavailable or the document is small.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import concurrent.futures
+import io
+import logging
+import os
+from typing import List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+_JPEG_QUALITY = 70
+_MAX_WIDTH = 1024
+_MIN_PAGES_FOR_POOL = 4  # pool overhead isn't worth it below this
+
+
+def _encode(img, max_width: int) -> bytes:
+    from PIL import Image  # noqa: PLC0415
+
+    if img.width > max_width:
+        img = img.resize((max_width, int(img.height * max_width / img.width)), Image.LANCZOS)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=_JPEG_QUALITY)
+    return buf.getvalue()
+
+
+def _raster_range(data: bytes, dpi: int, start: int, end: int, max_width: int) -> List[Tuple[int, bytes]]:
+    """Child-process worker: rasterize pages [start, end) -> JPEG bytes.
+    Same backend ladder as parser.pdf.rasterize_pdf: PyMuPDF when
+    available, else the text-render fallback."""
+    out: List[Tuple[int, bytes]] = []
+    try:
+        import fitz  # PyMuPDF  # noqa: PLC0415
+        from PIL import Image  # noqa: PLC0415
+
+        with fitz.open(stream=data, filetype="pdf") as pdf:
+            mat = fitz.Matrix(dpi / 72.0, dpi / 72.0)
+            for i in range(start, min(end, pdf.page_count)):
+                try:
+                    pix = pdf[i].get_pixmap(matrix=mat, alpha=False)
+                    img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
+                except Exception:  # noqa: BLE001 — per-page failure skips the page
+                    continue
+                out.append((i, _encode(img, max_width)))
+        return out
+    except ImportError:
+        pass
+    from morphik_core_tpu.parser.pdf import _render_text_page, extract_pages_text  # noqa: PLC0415
+
+    texts = extract_pages_text(data)
+    for i in range(start, min(end, len(texts))):
+        out.append((i, _encode(_render_text_page(texts[i], dpi), max_width)))
+    return out
+
+
+def _page_count(data: bytes) -> Optional[int]:
+    try:
+        import fitz  # noqa: PLC0415
+
+        with fitz.open(stream=data, filetype="pdf") as pdf:
+            return pdf.page_count
+    except ImportError:
+        try:
+            from morphik_core_tpu.parser.pdf import extract_pages_text  # noqa: PLC0415
+
+            n = len(extract_pages_text(data))
+            return n or None
+        except Exception:  # noqa: BLE001
+            return None
+    except Exception:  # noqa: BLE001
+        return None
+
+
+class RasterPool:
+    """Shared process pool for PDF page rendering (lazily started)."""
+
+    def __init__(self, processes: int = 0):
+        self.processes = processes if processes > 0 else (os.cpu_count() or 4)
+        self._pool: Optional[concurrent.futures.ProcessPoolExecutor] = None
+
+    def _ensure(self) -> concurrent.futures.ProcessPoolExecutor:
+        if self._pool is None:
+            import multiprocessing  # noqa: PLC0415
+
+            # Not fork: the parent may hold a live TPU client whose state
+            # must not be inherited by raster workers. forkserver over
+            # spawn: children don't re-execute the user's __main__.
+            try:
+                ctx = multiprocessing.get_context("forkserver")
+            except ValueError:  # platform without forkserver
+                ctx = multiprocessing.get_context("spawn")
+            self._pool = concurrent.futures.ProcessPoolExecutor(
+                max_workers=self.processes, mp_context=ctx
+            )
+        return self._pool
+
+    def shutdown(self) -> None:
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    async def rasterize_pdf_jpegs(
+        self, data: bytes, dpi: int = 150, max_width: int = _MAX_WIDTH
+    ) -> Optional[List[bytes]]:
+        """-> ordered JPEG bytes per page, or None when PyMuPDF is absent
+        or the pool path doesn't apply (caller falls back to the ladder)."""
+        n = _page_count(data)
+        if n is None:
+            return None
+        if n < _MIN_PAGES_FOR_POOL or self.processes <= 1:
+            loop = asyncio.get_running_loop()
+            pages = await loop.run_in_executor(
+                None, _raster_range, data, dpi, 0, n, max_width
+            )
+            return [b for _, b in sorted(pages)]
+        pool = self._ensure()
+        per = max(1, -(-n // self.processes))  # ceil
+        loop = asyncio.get_running_loop()
+        futs = [
+            loop.run_in_executor(pool, _raster_range, data, dpi, s, s + per, max_width)
+            for s in range(0, n, per)
+        ]
+        parts = await asyncio.gather(*futs, return_exceptions=True)
+        pages: List[Tuple[int, bytes]] = []
+        for p in parts:
+            if isinstance(p, Exception):
+                logger.warning("raster worker failed: %s", p)
+                continue
+            pages.extend(p)
+        if not pages:
+            return None
+        return [b for _, b in sorted(pages)]

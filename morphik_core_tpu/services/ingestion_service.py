@@ -81,6 +81,9 @@ class IngestionService:
         self.colpali_embedding_model = colpali_embedding_model
         self.colpali_vector_store = colpali_vector_store
         self.settings = settings or get_settings()
+        from morphik_core_tpu.parser.raster_pool import RasterPool
+
+        self.raster_pool = RasterPool(self.settings.worker.raster_processes)
 
     # ----------------------------------------------------------- ingest text
 
@@ -206,7 +209,11 @@ class IngestionService:
             image_chunks: List[Chunk] = []
             if use_colpali and self.colpali_vector_store is not None:
                 t = time.perf_counter()
-                image_chunks = self._create_chunks_multivector(ctype, data, text)
+                image_chunks = None
+                if ctype == "application/pdf":
+                    image_chunks = await self._rasterize_pdf_pooled(data)
+                if image_chunks is None:
+                    image_chunks = self._create_chunks_multivector(ctype, data, text)
                 phase_times["rasterize"] = time.perf_counter() - t
 
             t = time.perf_counter()
@@ -236,6 +243,33 @@ class IngestionService:
                 document_id, {"system_metadata": {"status": "failed", "error": str(e)}}, auth
             )
             raise
+
+    async def _rasterize_pdf_pooled(self, data: bytes) -> Optional[List[Chunk]]:
+        """PDF pages -> image chunks via the process pool (keeps the TPU
+        fed; SURVEY.md §7 host-raster bottleneck). None = fall back to the
+        in-process ladder."""
+        try:
+            jpegs = await self.raster_pool.rasterize_pdf_jpegs(
+                data, dpi=self.settings.pdf.colpali_pdf_dpi
+            )
+        except Exception as e:  # noqa: BLE001
+            logger.warning("raster pool failed (%s); falling back inline", e)
+            return None
+        if jpegs is None:
+            return None
+        chunks = []
+        for page, jpeg in enumerate(jpegs):
+            img = Image.open(io.BytesIO(jpeg))
+            if _is_blank_page(img):
+                logger.info("skipping blank page %d", page)
+                continue
+            chunks.append(
+                Chunk(
+                    content=bytes_to_data_uri(jpeg, "image/jpeg"),
+                    metadata={"is_image": True, "page": page},
+                )
+            )
+        return chunks
 
     # ------------------------------------------------- rasterize dispatcher
 
