@@ -42,19 +42,28 @@ logger = logging.getLogger(__name__)
 
 
 class ColpaliEmbeddingModel(BaseEmbeddingModel):
-    def __init__(self, settings: Optional[Settings] = None, model: Optional[ColQwenModel] = None):
+    def __init__(
+        self,
+        settings: Optional[Settings] = None,
+        model: Optional[ColQwenModel] = None,
+        mesh=None,
+    ):
         self.settings = settings or get_settings()
         t0 = time.time()
         if model is not None:
             self.model = model
         elif self.settings.model.checkpoint_path:
-            self.model = ColQwenModel.from_checkpoint(self.settings.model.checkpoint_path)
+            self.model = ColQwenModel.from_checkpoint(
+                self.settings.model.checkpoint_path, mesh=mesh
+            )
         else:
             logger.warning(
                 "No model.checkpoint_path configured — initializing a tiny random "
                 "ColQwen (dev/test mode; retrieval quality is meaningless)"
             )
-            self.model = ColQwenModel.init_random(jax.random.PRNGKey(0), ColQwenConfig.tiny())
+            self.model = ColQwenModel.init_random(
+                jax.random.PRNGKey(0), ColQwenConfig.tiny(), mesh=mesh
+            )
         self.batch_size = self.settings.tpu.embed_batch_size
         self.min_pixels = self.settings.model.min_pixels
         self.max_pixels = self.settings.model.max_pixels

@@ -120,8 +120,28 @@ class ColQwenModel:
         tokenizer=None,
         dtype=jnp.bfloat16,
         query_buckets: Sequence[int] = (32, 64, 128, 256),
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh ("data", "model"). When set,
+        the text decoder is tensor-parallel over "model", image batches
+        are data-parallel over "data" (batches padded to a multiple of
+        the data axis), and XLA inserts the ICI collectives — the
+        TPU-native replacement for the reference's GPU-endpoint fan-out
+        (SURVEY.md §5 'distributed communication backend')."""
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            from morphik_core_tpu.parallel.mesh import (
+                colqwen_image_shardings,
+                shard_colqwen_params,
+            )
+
+            params = shard_colqwen_params(params, mesh)
+            self._shardings = colqwen_image_shardings(mesh)
+            self._data_size = mesh.shape["data"]
+        else:
+            self._shardings = None
+            self._data_size = 1
         self.params = params
         self.tokenizer = tokenizer
         self.dtype = dtype
@@ -164,7 +184,10 @@ class ColQwenModel:
             fn = functools.partial(
                 colqwen_image_forward, cfg=self.cfg, h_units=h_units, w_units=w_units
             )
-            self._image_fn_cache[key] = jax.jit(fn)
+            if self._shardings is not None:
+                self._image_fn_cache[key] = jax.jit(fn, out_shardings=self._shardings["out"])
+            else:
+                self._image_fn_cache[key] = jax.jit(fn)
         return self._image_fn_cache[key]
 
     def image_sequence_ids(self, n_units: int) -> np.ndarray:
@@ -177,18 +200,21 @@ class ColQwenModel:
 
     def embed_image_batch(self, patches: np.ndarray, h_units: int, w_units: int) -> np.ndarray:
         """patches: (B, S, 1176) for one grid bucket -> (B, S_seq, dim) f32.
-        All rows valid (no padding inside a bucket)."""
+        All rows valid (no padding inside a bucket). On a mesh, the batch
+        is padded to a multiple of the data axis and sharded over it."""
         b = patches.shape[0]
+        pad = (-b) % self._data_size
+        if pad:
+            patches = np.concatenate([patches, np.repeat(patches[-1:], pad, axis=0)], axis=0)
+        bp = patches.shape[0]
         cos_v, sin_v = vision_rotary_cos_sin(h_units, w_units, self.cfg.vision)
         n_units = h_units * w_units
         ids = self.image_sequence_ids(n_units)
-        input_ids = np.tile(ids[None], (b, 1))
-        grids = [(1, h_units, w_units)] * b
+        input_ids = np.tile(ids[None], (bp, 1))
+        grids = [(1, h_units, w_units)] * bp
         pos = mrope_position_ids(input_ids, self.cfg.image_token_id, grids)
         cos_t, sin_t = mrope_cos_sin(pos, self.cfg.text)
-        fn = self._image_fn(h_units, w_units)
-        out = fn(
-            self.params,
+        args = dict(
             patches=jnp.asarray(patches, self.dtype),
             cos_v=jnp.asarray(cos_v),
             sin_v=jnp.asarray(sin_v),
@@ -196,7 +222,12 @@ class ColQwenModel:
             cos_t=jnp.asarray(cos_t),
             sin_t=jnp.asarray(sin_t),
         )
-        return np.asarray(out, dtype=np.float32)
+        if self._shardings is not None:
+            sh = self._shardings
+            args = {k: jax.device_put(v, sh[k]) for k, v in args.items()}
+        fn = self._image_fn(h_units, w_units)
+        out = fn(self.params, **args)
+        return np.asarray(out, dtype=np.float32)[:b]
 
     # -- query path ---------------------------------------------------------
 

@@ -54,3 +54,43 @@ def data_sharding(mesh: Mesh, ndim: int, data_axis: str = "data") -> NamedShardi
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def shard_colqwen_params(params: dict, mesh: Mesh, model_axis: str = "model") -> dict:
+    """Place ColQwen params on the mesh: tensor-parallel shard the text
+    decoder's attention/FFN projections over `model_axis`, replicate the
+    rest (vision tower is small relative to the 3B decoder). Matches the
+    serving spec validated by __graft_entry__.dryrun_multichip."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    out = jax.tree.map(lambda x: jax.device_put(x, repl), params)
+    specs = {
+        "gate_w": P(None, None, model_axis),
+        "up_w": P(None, None, model_axis),
+        "down_w": P(None, model_axis, None),
+        "q_w": P(None, None, model_axis),
+        "k_w": P(None, None, model_axis),
+        "v_w": P(None, None, model_axis),
+        "o_w": P(None, model_axis, None),
+    }
+    tl = params["text"]["layers"]
+    for k, spec in specs.items():
+        out["text"]["layers"][k] = jax.device_put(tl[k], NamedSharding(mesh, spec))
+    return out
+
+
+def colqwen_image_shardings(mesh: Mesh, data_axis: str = "data"):
+    """NamedShardings for colqwen_image_forward's batched inputs + output."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return {
+        "patches": NamedSharding(mesh, P(data_axis, None, None)),
+        "cos_v": NamedSharding(mesh, P()),
+        "sin_v": NamedSharding(mesh, P()),
+        "input_ids": NamedSharding(mesh, P(data_axis, None)),
+        "cos_t": NamedSharding(mesh, P(data_axis, None, None)),
+        "sin_t": NamedSharding(mesh, P(data_axis, None, None)),
+        "out": NamedSharding(mesh, P(data_axis, None, None)),
+    }

@@ -160,7 +160,9 @@ def build_services(
                 embedding_dim=settings.model.embedding_dim,
             )
         else:
-            colpali_embedding_model = ColpaliEmbeddingModel(settings, model=colqwen_model)
+            colpali_embedding_model = ColpaliEmbeddingModel(
+                settings, model=colqwen_model, mesh=mesh
+            )
         fde_cfg = FDEConfig(
             dimension=colpali_embedding_model.embedding_dim,
             num_repetitions=settings.vector_store.fde_num_repetitions,

@@ -79,3 +79,26 @@ def test_bf16_rotary_embedding_fidelity():
     # rows are L2-normalized; per-token cosine similarity must stay high
     cos = np.sum(q32 * q16, axis=-1)
     assert float(np.min(cos)) > 0.99, f"min token cosine {float(np.min(cos))}"
+
+
+def test_mesh_sharded_embed_matches_single_device(mesh8):
+    """ColQwenModel(mesh=...): dp/tp-sharded image embed equals the
+    unsharded result; odd batches pad to the data axis and slice back."""
+    import jax
+    import numpy as np
+
+    from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+
+    cfg = ColQwenConfig.tiny()
+    key = jax.random.PRNGKey(3)
+    m_single = ColQwenModel.init_random(key, cfg, dtype=np.float32)
+    m_mesh = ColQwenModel.init_random(key, cfg, dtype=np.float32, mesh=mesh8)
+    rng = np.random.default_rng(0)
+    b = 3  # not a multiple of data axis (2) -> exercises padding
+    patches = rng.standard_normal(
+        (b, 4 * 4 * cfg.vision.merge_unit, cfg.vision.patch_input_dim)
+    ).astype(np.float32)
+    out_single = m_single.embed_image_batch(patches, 4, 4)
+    out_mesh = m_mesh.embed_image_batch(patches, 4, 4)
+    assert out_mesh.shape == out_single.shape
+    np.testing.assert_allclose(out_mesh, out_single, rtol=2e-5, atol=2e-5)
