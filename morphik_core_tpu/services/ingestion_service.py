@@ -20,6 +20,7 @@ import io
 import logging
 import time
 import uuid
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
@@ -231,10 +232,15 @@ class IngestionService:
             }
             await self.db.update_document(document_id, updates, auth)
             doc.system_metadata.update(updates["system_metadata"])
+            total_s = time.perf_counter() - t0
             logger.info(
                 "ingested %s: %d text + %d image chunks in %.2fs %s",
                 doc.filename, len(text_chunks), len(image_chunks),
-                time.perf_counter() - t0, phase_times,
+                total_s, phase_times,
+            )
+            self._write_ingestion_summary(
+                doc, status="completed", total_s=total_s, phase_times=phase_times,
+                n_text=len(text_chunks), n_pages=len(image_chunks),
             )
             return doc
         except Exception as e:
@@ -242,7 +248,54 @@ class IngestionService:
             await self.db.update_document(
                 document_id, {"system_metadata": {"status": "failed", "error": str(e)}}, auth
             )
+            self._write_ingestion_summary(
+                doc, status="failed", total_s=time.perf_counter() - t0,
+                phase_times=phase_times, error=str(e),
+            )
             raise
+
+    def _write_ingestion_summary(
+        self,
+        doc: Document,
+        *,
+        status: str,
+        total_s: float,
+        phase_times: Dict[str, float],
+        n_text: int = 0,
+        n_pages: int = 0,
+        error: Optional[str] = None,
+    ) -> None:
+        """Per-job JSONL summary with throughput (reference
+        logs/ingestion_summary.jsonl, ingestion_worker.py:64-74,1284-1334
+        + `_with_throughput` metric accumulation :228-276)."""
+        import json as _json
+        from datetime import datetime, timezone
+
+        row = {
+            "ts": datetime.now(timezone.utc).isoformat(),
+            "document_id": doc.external_id,
+            "filename": doc.filename,
+            "app_id": doc.app_id,
+            "status": status,
+            "total_s": round(total_s, 3),
+            "phase_times": {k: round(v, 3) for k, v in phase_times.items()},
+            "text_chunks": n_text,
+            "pages": n_pages,
+            "pages_per_s": round(n_pages / total_s, 3) if total_s > 0 else None,
+        }
+        if error:
+            row["error"] = error
+        if self.colpali_vector_store is not None:
+            metrics = getattr(self.colpali_vector_store, "last_store_metrics", None)
+            if metrics:
+                row["store_metrics"] = metrics
+        try:
+            path = Path("./logs/ingestion_summary.jsonl")
+            path.parent.mkdir(parents=True, exist_ok=True)
+            with open(path, "a") as f:
+                f.write(_json.dumps(row, default=str) + "\n")
+        except OSError:  # logging must never fail the job
+            logger.debug("could not write ingestion summary")
 
     async def _rasterize_pdf_pooled(self, data: bytes) -> Optional[List[Chunk]]:
         """PDF pages -> image chunks via the process pool (keeps the TPU

@@ -460,3 +460,139 @@ class AsyncMorphik:
         r = await self._client.delete(f"/documents/{document_id}")
         r.raise_for_status()
         return r.json()
+
+    # ---- async surface parity (reference async_.py mirrors sync.py) ----
+
+    async def _get(self, _path: str, **params) -> Any:
+        r = await self._client.get(_path, params={k: v for k, v in params.items() if v is not None})
+        r.raise_for_status()
+        return r.json()
+
+    @staticmethod
+    def _file_tuple(file, filename):
+        if isinstance(file, (str, Path)):
+            p = Path(file)
+            return p.read_bytes(), filename or p.name
+        return file, filename or "upload"
+
+    async def ingest_file(
+        self,
+        file: Union[str, Path, bytes],
+        filename: Optional[str] = None,
+        metadata: Optional[Dict[str, Any]] = None,
+        *,
+        use_colpali: bool = True,
+        folder_name: Optional[str] = None,
+        end_user_id: Optional[str] = None,
+        wait: bool = False,
+        timeout_s: float = 600.0,
+    ) -> Document:
+        data, fname = self._file_tuple(file, filename)
+        fields = {"metadata": json.dumps(metadata or {}), "use_colpali": json.dumps(use_colpali)}
+        if folder_name:
+            fields["folder_name"] = folder_name
+        if end_user_id:
+            fields["end_user_id"] = end_user_id
+        r = await self._client.post("/ingest/file", files={"file": (fname, data)}, data=fields)
+        r.raise_for_status()
+        doc = Document(**r.json())
+        if wait:
+            doc = await self.wait_for_document_completion(doc.external_id, timeout_s)
+        return doc
+
+    async def wait_for_document_completion(self, document_id: str, timeout_s: float = 600.0) -> Document:
+        import asyncio as _asyncio
+
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            s = await self._get(f"/documents/{document_id}/status")
+            if s["status"] == "completed":
+                return await self.get_document(document_id)
+            if s["status"] == "failed":
+                raise RuntimeError(f"ingestion failed: {s.get('error')}")
+            await _asyncio.sleep(0.5)
+        raise TimeoutError(f"document {document_id} still processing after {timeout_s}s")
+
+    async def query_stream(self, query: str, **kwargs):
+        """SSE token stream (async generator)."""
+        payload = {"query": query, "stream_response": True, **kwargs}
+        async with self._client.stream("POST", "/query", json=payload) as r:
+            r.raise_for_status()
+            async for line in r.aiter_lines():
+                if not line.startswith("data: "):
+                    continue
+                data = line[6:]
+                if data == "[DONE]":
+                    return
+                ev = json.loads(data)
+                if ev.get("type") == "assistant":
+                    yield ev["content"]
+
+    async def retrieve_docs(self, query: str, filters: Optional[Dict[str, Any]] = None,
+                            k: int = 4, **kw) -> List[Dict[str, Any]]:
+        return await self._post("/retrieve/docs", {"query": query, "filters": filters, "k": k, **kw})
+
+    async def list_documents(self, skip: int = 0, limit: int = 100,
+                             filters: Optional[Dict[str, Any]] = None) -> List[Document]:
+        data = await self._post("/documents", {"skip": skip, "limit": limit, "filters": filters})
+        return [Document(**d) for d in data]
+
+    async def get_document_by_filename(self, filename: str) -> Document:
+        return Document(**await self._get(f"/documents/filename/{filename}"))
+
+    async def update_document_metadata(self, document_id: str, metadata: Dict[str, Any]) -> Document:
+        return Document(**await self._post(f"/documents/{document_id}/update_metadata", metadata))
+
+    async def batch_get_documents(self, document_ids: List[str]) -> List[Document]:
+        data = await self._post("/batch/documents", {"document_ids": document_ids})
+        return [Document(**d) for d in data]
+
+    async def batch_get_chunks(self, sources: List[Dict[str, Any]]) -> List[FinalChunkResult]:
+        data = await self._post("/batch/chunks", {"sources": sources})
+        return [FinalChunkResult(**c) for c in data]
+
+    async def create_folder(self, name: str, description: Optional[str] = None,
+                            parent_path: Optional[str] = None) -> Dict[str, Any]:
+        return await self._post("/folders", {"name": name, "description": description,
+                                             "parent_path": parent_path})
+
+    async def list_folders(self) -> List[Dict[str, Any]]:
+        return await self._get("/folders")
+
+    async def query_document(self, file: Union[str, Path, bytes], prompt: str, *,
+                             schema: Optional[Dict[str, Any]] = None,
+                             filename: Optional[str] = None) -> Dict[str, Any]:
+        data, fname = self._file_tuple(file, filename)
+        form = {"prompt": prompt}
+        if schema is not None:
+            form["schema"] = json.dumps(schema)
+        r = await self._client.post("/ingest/document/query",
+                                    files={"file": (fname, data)}, data=form)
+        r.raise_for_status()
+        return r.json()
+
+    async def get_document_summary(self, document_id: str) -> Dict[str, Any]:
+        return await self._get(f"/documents/{document_id}/summary")
+
+    async def set_document_summary(self, document_id: str, content: str) -> Dict[str, Any]:
+        r = await self._client.put(f"/documents/{document_id}/summary", json={"content": content})
+        r.raise_for_status()
+        return r.json()
+
+    async def generate_cloud_uri(self, name: str, expiry_days: int = 5475) -> Dict[str, str]:
+        return await self._post("/cloud/generate_uri", {"name": name, "expiry_days": expiry_days})
+
+    async def list_apps(self) -> Dict[str, Any]:
+        return await self._get("/apps")
+
+    async def connector_finalize_auth(self, connector_type: str, credentials: Dict[str, Any]) -> Dict[str, Any]:
+        return await self._post(f"/ee/connectors/{connector_type}/auth/finalize", credentials)
+
+    async def connector_list_files(self, connector_type: str, path: Optional[str] = None) -> Dict[str, Any]:
+        return await self._get(f"/ee/connectors/{connector_type}/files", path=path)
+
+    async def connector_ingest(self, connector_type: str, file_id: str, **kwargs) -> Dict[str, Any]:
+        return await self._post(f"/ee/connectors/{connector_type}/ingest", {"file_id": file_id, **kwargs})
+
+    async def ping(self) -> Dict[str, Any]:
+        return await self._get("/ping")

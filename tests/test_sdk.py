@@ -152,3 +152,40 @@ def test_sdk_new_surface(server_url, tmp_path):
     logs = db.get_logs()
     assert "events" in logs
     db.close()
+
+
+def test_async_sdk_parity(server_url, tmp_path):
+    import asyncio as aio
+
+    from morphik_tpu_sdk import AsyncMorphik
+
+    async def go():
+        async with AsyncMorphik(base_url=server_url) as db:
+            assert (await db.ping())["status"] == "ok"
+            doc = await db.ingest_file(b"Async ingested body: antimatter ratio 3:1.",
+                                       filename="a.txt", use_colpali=False, wait=True)
+            assert doc.system_metadata["status"] == "completed"
+            chunks = await db.retrieve_chunks("antimatter ratio", k=1, use_colpali=False)
+            assert chunks and "3:1" in chunks[0].content
+            docs = await db.list_documents(limit=5)
+            assert docs
+            out = await db.query_document(b"Core temp is 9 kilokelvin.", "What is the core temp?",
+                                          filename="c.txt")
+            assert out["completion"]
+            s = await db.set_document_summary(doc.external_id, "async summary")
+            assert s["version"] == 1
+            assert (await db.get_document_summary(doc.external_id))["content"] == "async summary"
+            uri = await db.generate_cloud_uri("asyncapp")
+            assert uri["uri"].startswith("morphik://asyncapp:")
+            src = tmp_path / "async_conn"
+            src.mkdir()
+            (src / "f.txt").write_text("connector async")
+            await db.connector_finalize_auth("local", {"root": str(src)})
+            files = await db.connector_list_files("local")
+            assert [f["name"] for f in files["files"]] == ["f.txt"]
+            toks = []
+            async for tok in db.query_stream("antimatter", k=1, use_colpali=False):
+                toks.append(tok)
+            assert toks
+
+    aio.new_event_loop().run_until_complete(go())

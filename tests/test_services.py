@@ -278,3 +278,47 @@ def test_parse_failure_fallback_ladder(tmp_path):
         assert got2.system_metadata["status"] == "failed"
 
     loop.run_until_complete(go())
+
+
+def test_ingestion_summary_jsonl(tmp_path, monkeypatch):
+    """Per-job JSONL summary with throughput (reference
+    logs/ingestion_summary.jsonl)."""
+    import asyncio
+    import json
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.models.schemas import AuthContext, EntityType
+    from morphik_core_tpu.services_init import build_services
+
+    monkeypatch.chdir(tmp_path)
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(tmp_path / "storage")},
+            "database": {"path": str(tmp_path / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(tmp_path / "index"),
+                "fde_num_repetitions": 4,
+                "fde_num_simhash_projections": 3,
+                "fde_projection_dimension": 8,
+            },
+        }
+    )
+    services = build_services(settings)
+    loop = asyncio.new_event_loop()
+    loop.run_until_complete(services.database.initialize())
+    auth = AuthContext(entity_type=EntityType.DEVELOPER, entity_id="t",
+                       permissions={"read", "write", "admin"}, user_id="t")
+
+    async def go():
+        doc = await services.ingestion_service.ingest_file_content(
+            b"summary log body", "s.txt", {}, auth, use_colpali=False
+        )
+        await services.ingestion_service.process_ingestion_job(doc.external_id, auth, False)
+        return doc
+
+    doc = loop.run_until_complete(go())
+    rows = [json.loads(line) for line in
+            (tmp_path / "logs" / "ingestion_summary.jsonl").read_text().splitlines()]
+    assert rows[-1]["document_id"] == doc.external_id
+    assert rows[-1]["status"] == "completed"
+    assert "parse" in rows[-1]["phase_times"]
