@@ -242,3 +242,131 @@ def rasterize_pdf(data: bytes, dpi: int = 150) -> Tuple[List[Image.Image], str]:
         "No native PDF rasterizer available — using text-render fallback (%d pages)", len(texts)
     )
     return [_render_text_page(t, dpi) for t in texts], "textrender"
+
+
+# ---------------------------------------------------------------------------
+# Positioned text blocks (bboxes for the v2 page-XML pipeline)
+# ---------------------------------------------------------------------------
+
+_POS_OP_RE = re.compile(
+    rb"(?P<tx>-?[\d.]+)\s+(?P<ty>-?[\d.]+)\s+(?P<tdop>Td|TD)"
+    rb"|(?P<m>(?:-?[\d.]+\s+){5}-?[\d.]+)\s+Tm"
+    rb"|/\w+\s+(?P<fs>[\d.]+)\s+Tf"
+    rb"|(?P<bt>BT)|(?P<et>ET)|(?P<star>T\*)"
+    rb"|\((?P<lit>(?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"
+    rb"|<(?P<hex>[0-9A-Fa-f\s]+)>\s*Tj"
+    rb"|\[(?P<arr>(?:[^\[\]\\]|\\.)*)\]\s*TJ",
+    re.S,
+)
+
+
+class TextBlock:
+    """A positioned run of text: bbox = (x0, y0, x1, y1) in PDF points,
+    origin bottom-left (PDF user space)."""
+
+    __slots__ = ("text", "bbox")
+
+    def __init__(self, text: str, bbox: Tuple[float, float, float, float]):
+        self.text = text
+        self.bbox = bbox
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"TextBlock({self.text[:20]!r}, {self.bbox})"
+
+
+def _blocks_from_content(content: bytes) -> List[TextBlock]:
+    """Track the text cursor through Td/TD/Tm/T* and group shows into
+    blocks. Width is estimated as 0.5 * font_size per character (the
+    standard average-glyph heuristic when font metrics aren't parsed)."""
+    blocks: List[TextBlock] = []
+    x = y = 0.0
+    font_size = 12.0
+    leading = 14.0
+    cur_text: List[str] = []
+    cur_x0 = cur_y0 = cur_x1 = cur_y1 = 0.0
+
+    def flush():
+        nonlocal cur_text
+        t = "".join(cur_text).strip()
+        if t:
+            blocks.append(TextBlock(t, (cur_x0, cur_y0, cur_x1, cur_y1)))
+        cur_text = []
+
+    def begin_at(nx, ny):
+        nonlocal cur_x0, cur_y0, cur_x1, cur_y1
+        cur_x0, cur_y0 = nx, ny - 0.2 * font_size
+        cur_x1, cur_y1 = nx, ny + font_size
+
+    def add_text(t: str):
+        nonlocal cur_x1
+        if not cur_text:
+            begin_at(x, y)
+        cur_text.append(t)
+        cur_x1 += 0.5 * font_size * len(t)
+
+    for m in _POS_OP_RE.finditer(content):
+        if m.group("bt"):
+            flush()
+            x = y = 0.0
+        elif m.group("et"):
+            flush()
+        elif m.group("fs"):
+            font_size = float(m.group("fs"))
+            leading = 1.2 * font_size
+        elif m.group("tdop"):
+            tx, ty = float(m.group("tx")), float(m.group("ty"))
+            if m.group("tdop") == b"TD":
+                leading = -ty if ty else leading
+            x, y = x + tx, y + ty
+            # vertical move = new line; continue the block, big jump = new block
+            if abs(ty) > 2.5 * leading or (cur_text and ty == 0 and abs(tx) > 100):
+                flush()
+            elif cur_text:
+                cur_text.append("\n")
+                nonlocal_y = y - 0.2 * font_size
+                cur_y0 = min(cur_y0, nonlocal_y)
+        elif m.group("m") is not None:
+            nums = [float(v) for v in m.group("m").split()]
+            flush()
+            x, y = nums[4], nums[5]
+        elif m.group("star"):
+            y -= leading
+            if cur_text:
+                cur_text.append("\n")
+                cur_y0 = min(cur_y0, y - 0.2 * font_size)
+        elif m.group("lit") is not None:
+            add_text(_decode_pdf_string(m.group("lit")))
+        elif m.group("hex") is not None:
+            add_text(_hex_to_text(m.group("hex")))
+        elif m.group("arr") is not None:
+            for sm in _ARR_STR_RE.finditer(m.group("arr")):
+                if sm.group("lit") is not None:
+                    add_text(_decode_pdf_string(sm.group("lit")))
+                elif sm.group("hex") is not None:
+                    add_text(_hex_to_text(sm.group("hex")))
+    flush()
+    return blocks
+
+
+def extract_pages_blocks(data: bytes) -> List[List[TextBlock]]:
+    """PDF bytes -> per-page positioned text blocks (v2 pipeline;
+    the reference gets bboxes from DoclingV2's layout model,
+    v2_document_service.py:395-472 — here from the PDF's own
+    text-positioning operators)."""
+    objs = _parse_objects(data)
+    pages: List[Tuple[int, bytes]] = []
+    for num, body in objs.items():
+        head = body.split(b"stream", 1)[0]
+        if re.search(rb"/Type\s*/Page\b(?!s)", head):
+            pages.append((num, body))
+    pages.sort(key=lambda t: t[0])
+    out: List[List[TextBlock]] = []
+    for _, body in pages:
+        content = b""
+        for ref in _refs(body, rb"/Contents"):
+            if ref in objs:
+                s = _stream_of(objs[ref])
+                if s:
+                    content += s + b"\n"
+        out.append(_blocks_from_content(content) if content else [])
+    return out

@@ -41,7 +41,18 @@ class V2DocumentService:
         self.chunk_store = chunk_store
 
     @staticmethod
-    def _page_xml(page_no: int, text: str) -> str:
+    def _page_xml(page_no: int, text: str, blocks=None) -> str:
+        """Page-XML chunk. With positioned `blocks` (TextBlock list from
+        extract_pages_blocks), each paragraph carries a bbox attribute —
+        the contract the reference gets from DoclingV2's layout model
+        (v2_document_service.py:395-472)."""
+        if blocks:
+            body = "".join(
+                f'<para bbox="{b.bbox[0]:.1f},{b.bbox[1]:.1f},{b.bbox[2]:.1f},{b.bbox[3]:.1f}">'
+                f"{escape(b.text)}</para>"
+                for b in blocks
+            )
+            return f'<page n="{page_no}">{body}</page>'
         paras = [p.strip() for p in text.split("\n\n") if p.strip()]
         body = "".join(f"<para>{escape(p)}</para>" for p in paras) or f"<para>{escape(text)}</para>"
         return f'<page n="{page_no}">{body}</page>'
@@ -69,12 +80,22 @@ class V2DocumentService:
         await self.db.store_document(doc, auth)
 
         if ctype == "application/pdf":
+            from morphik_core_tpu.parser.pdf import extract_pages_blocks
+
             pages = extract_pages_text(file_bytes)
+            try:
+                page_blocks = extract_pages_blocks(file_bytes)
+            except Exception:  # noqa: BLE001 — bboxes are best-effort
+                page_blocks = [None] * len(pages)
         else:
             _, text = await self.parser.parse_file_to_text(file_bytes, filename, ctype)
             pages = [text[i : i + 3000] for i in range(0, max(len(text), 1), 3000)]
+            page_blocks = [None] * len(pages)
         chunks: List[Chunk] = [
-            Chunk(content=self._page_xml(i, t), metadata={"page": i, "pipeline": "v2", **(metadata or {})})
+            Chunk(
+                content=self._page_xml(i, t, blocks=(page_blocks[i] if i < len(page_blocks) else None)),
+                metadata={"page": i, "pipeline": "v2", **(metadata or {})},
+            )
             for i, t in enumerate(pages)
             if t.strip()
         ] or [Chunk(content=self._page_xml(0, ""), metadata={"page": 0, "pipeline": "v2"})]

@@ -72,3 +72,39 @@ def test_v2_ingest_retrieve_delete(server):
             assert all(ch["document_id"] != doc["external_id"] for ch in r.json())
 
     run(go())
+
+
+def test_pdf_block_bboxes():
+    """extract_pages_blocks: positioned blocks with sane bboxes
+    (x grows with text, y near the Td position, origin bottom-left)."""
+    from tests.test_parser import make_pdf
+
+    from morphik_core_tpu.parser.pdf import extract_pages_blocks
+
+    pdf = make_pdf(["Alpha line\nBeta line", "Gamma page"])
+    pages = extract_pages_blocks(pdf)
+    assert len(pages) == 2
+    b = pages[0][0]
+    assert "Alpha line" in b.text and "Beta line" in b.text
+    x0, y0, x1, y1 = b.bbox
+    assert 0 < x0 < x1 and 0 < y0 < y1 <= 800
+
+
+def test_v2_page_xml_carries_bboxes(server):
+    base = server
+    from tests.test_parser import make_pdf
+
+    async def go():
+        import httpx
+
+        async with httpx.AsyncClient(base_url=base, timeout=120.0) as c:
+            pdf = make_pdf(["Coolant pressure nominal at 3 bar."])
+            r = await c.post("/v2/documents", files={"file": ("p.pdf", pdf, "application/pdf")})
+            assert r.status_code == 200, r.text
+            r = await c.post("/v2/retrieve/chunks", json={"query": "coolant pressure", "k": 1})
+            assert r.status_code == 200 and r.json()
+            content = r.json()[0]["content"]
+            assert content.startswith('<page n="0">')
+            assert 'bbox="' in content
+
+    run(go())
