@@ -49,7 +49,13 @@ def hamming_distance_packed(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def _packed_to_u32(packed: jax.Array) -> jax.Array:
-    """(..., n_bytes) uint8 -> (..., n_bytes//4) uint32 words."""
+    """(..., n_bytes) uint8 -> (..., ceil(n_bytes/4)) uint32 words.
+    Byte counts not divisible by 4 (embedding dims not divisible by 32,
+    e.g. tiny dev models) are zero-padded — XOR against zero pads adds
+    nothing to the popcount, so Hamming distances are unchanged."""
+    pad = (-packed.shape[-1]) % 4
+    if pad:
+        packed = jnp.pad(packed, [(0, 0)] * (packed.ndim - 1) + [(0, pad)])
     u8 = packed.astype(jnp.uint32)
     shape = u8.shape[:-1] + (u8.shape[-1] // 4, 4)
     w = u8.reshape(shape)
