@@ -28,6 +28,15 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the 3B-geometry programs take minutes
+    # to compile cold; cached runs start in seconds.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/morphik_jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — older jax without the knob
+        pass
+
     from morphik_core_tpu.models.colqwen.config import ColQwenConfig
     from morphik_core_tpu.models.colqwen.model import colqwen_image_forward, init_colqwen_params
     from morphik_core_tpu.models.colqwen.text import mrope_cos_sin, mrope_position_ids

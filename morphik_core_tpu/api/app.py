@@ -1003,6 +1003,29 @@ def build_app(services: Services) -> Router:
         auth = await auth_of(req)
         return Response.json(await _connector(req, auth).initiate_auth())
 
+    @router.get("/ee/connectors/{connector_type}/oauth2callback")
+    async def connector_oauth_callback(req: Request) -> Response:
+        """OAuth redirect target (reference connectors_router.py:259):
+        exchanges the authorization code and closes the popup flow."""
+        auth = await auth_of(req)
+        code = req.query.get("code")
+        if not code:
+            raise HTTPError(400, "missing authorization code")
+        ok = await _connector(req, auth).finalize_auth(
+            {"code": code, "state": req.query.get("state")}
+        )
+        body = (
+            "<html><body><h3>Connector authenticated — you can close this window.</h3>"
+            "</body></html>"
+            if ok
+            else "<html><body><h3>Authentication failed.</h3></body></html>"
+        )
+        return Response(
+            status=200 if ok else 400,
+            headers={"Content-Type": "text/html; charset=utf-8"},
+            body=body.encode(),
+        )
+
     @router.post("/ee/connectors/{connector_type}/auth/finalize")
     async def connector_finalize_auth(req: Request) -> Response:
         auth = await auth_of(req)

@@ -173,3 +173,49 @@ def test_connector_routes_end_to_end(server, tmp_path):
             assert r.status_code == 404
 
     run(go())
+
+
+def test_oauth_callback_route(server):
+    """GET oauth2callback finalizes auth from code+state (google-drive
+    connector accepts direct token injection in the same seam)."""
+    base, _, root = server
+
+    async def go():
+        async with httpx.AsyncClient(base_url=base, timeout=60.0) as c:
+            # local connector rejects code-based finalize -> 400 html
+            r = await c.get("/ee/connectors/local/oauth2callback", params={"code": "x"})
+            assert r.status_code == 400
+            r = await c.get("/ee/connectors/local/oauth2callback")
+            assert r.status_code == 400
+            # unknown connector -> 404
+            r = await c.get("/ee/connectors/nope/oauth2callback", params={"code": "x"})
+            assert r.status_code == 404
+
+    run(go())
+
+
+def test_google_drive_token_injection(tmp_path):
+    """GoogleDriveConnector accepts direct access_token injection
+    (service accounts / tests) and refreshes via _post_form."""
+    from morphik_core_tpu.ee.connectors.google_drive import GoogleDriveConnector
+
+    conn = GoogleDriveConnector("u3", tmp_path / "creds")
+    assert not run(conn.get_auth_status()).is_authenticated
+    assert run(conn.finalize_auth({"access_token": "tok123"}))
+    assert run(conn.get_auth_status()).is_authenticated
+
+    def fake_json(url, token):
+        assert token == "tok123"
+        if "/files?" in url:
+            return {"files": [{"id": "f1", "name": "Doc", "mimeType": "application/pdf",
+                               "size": "9", "modifiedTime": "2026-01-01T00:00:00Z"}]}
+        return {"id": "f1", "name": "Doc", "mimeType": "application/pdf", "size": "9"}
+
+    conn._request_json = fake_json
+    out = run(conn.list_files())
+    assert out["files"][0].name == "Doc" and out["files"][0].size == 9
+    meta = run(conn.get_file_metadata_by_id("f1"))
+    assert meta.mime_type == "application/pdf"
+    conn._request_bytes = lambda url, token: b"%PDF-bytes"
+    buf = run(conn.download_file_by_id("f1"))
+    assert buf.read() == b"%PDF-bytes"
