@@ -96,3 +96,45 @@ def build_reranker(model_name: Optional[str] = None) -> BaseReranker:
         except Exception as e:  # noqa: BLE001 — package/weights unavailable
             logger.warning("cross-encoder reranker unavailable (%s); using overlap reranker", e)
     return OverlapReranker()
+
+
+class ColQwenReranker(BaseReranker):
+    """TPU-native late-interaction reranker: embeds query and chunk TEXT
+    through the ColQwen text tower and scores with exact MaxSim on
+    device. Replaces the reference's CPU BGE cross-encoder
+    (core/reranker/flag_reranker.py:30) with the model already resident
+    in HBM — no second model, no extra weights."""
+
+    def __init__(self, colpali_embedding_model, batch_size: int = 16):
+        self.embedding_model = colpali_embedding_model
+        self.batch_size = batch_size
+
+    async def compute_score(self, query: str, texts: Union[str, List[str]]) -> Union[float, List[float]]:
+        single = isinstance(texts, str)
+        items = [texts] if single else list(texts)
+        if not items:
+            return []
+        import jax.numpy as jnp
+        import numpy as np
+
+        from morphik_core_tpu.ops.maxsim import maxsim_scores, pad_multivectors
+
+        q = await self.embedding_model.embed_for_query(query)
+        model = self.embedding_model.model
+        mvs: List[np.ndarray] = []
+        for s in range(0, len(items), self.batch_size):
+            mvs.extend(model.embed_queries(items[s : s + self.batch_size]))
+        dense, mask = pad_multivectors(mvs)
+        scores = maxsim_scores(
+            jnp.asarray(q), jnp.asarray(dense), jnp.asarray(mask), use_pallas=False
+        )
+        out = [float(v) for v in np.asarray(scores)]
+        return out[0] if single else out
+
+    async def rerank(self, query: str, chunks: List[DocumentChunk]) -> List[DocumentChunk]:
+        if not chunks:
+            return chunks
+        scores = await self.compute_score(query, [c.content for c in chunks])
+        for c, s in zip(chunks, scores):
+            c.score = float(s)
+        return sorted(chunks, key=lambda c: -c.score)

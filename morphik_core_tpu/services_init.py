@@ -183,7 +183,14 @@ def build_services(
 
     vector_store = TextVectorStore(path=storage_root / "text_index")
     completion_model = build_completion_model(settings.registered_models, settings.completion.model)
-    reranker = build_reranker(None)
+    # Reranker for the text path: the ColQwen late-interaction scorer when
+    # the tower is in-process (TPU-native, no extra weights), else lexical.
+    if colpali_embedding_model is not None and settings.morphik.colpali_mode == "local":
+        from morphik_core_tpu.reranker.rerankers import ColQwenReranker
+
+        reranker = ColQwenReranker(colpali_embedding_model)
+    else:
+        reranker = build_reranker(None)
     telemetry = TelemetryService(settings.telemetry.telemetry_dir, settings.telemetry.enabled)
 
     ingestion_service = IngestionService(

@@ -322,3 +322,29 @@ def test_ingestion_summary_jsonl(tmp_path, monkeypatch):
     assert rows[-1]["document_id"] == doc.external_id
     assert rows[-1]["status"] == "completed"
     assert "parse" in rows[-1]["phase_times"]
+
+
+def test_colqwen_reranker_self_ranking():
+    """ColQwenReranker: MaxSim self-similarity ranks the exact match first
+    and preserves chunk count; scores are finite floats."""
+    import asyncio
+
+    import jax
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.embedding.colpali_embedding_model import ColpaliEmbeddingModel
+    from morphik_core_tpu.models.schemas import DocumentChunk
+    from morphik_core_tpu.reranker.rerankers import ColQwenReranker
+
+    emb = ColpaliEmbeddingModel(Settings())
+    rr = ColQwenReranker(emb)
+    texts = ["alpha beta gamma", "delta epsilon zeta", "eta theta iota"]
+    chunks = [DocumentChunk(document_id=f"d{i}", chunk_number=0, content=t,
+                            embedding=[], metadata={}) for i, t in enumerate(texts)]
+    loop = asyncio.new_event_loop()
+    out = loop.run_until_complete(rr.rerank("delta epsilon zeta", chunks))
+    assert len(out) == 3
+    assert out[0].content == "delta epsilon zeta"  # exact text wins under MaxSim
+    assert all(isinstance(c.score, float) for c in out)
+    s = loop.run_until_complete(rr.compute_score("alpha", "alpha beta gamma"))
+    assert isinstance(s, float)
