@@ -23,10 +23,27 @@ async def main(config_path: str | None = None) -> None:
     router = build_app(services)
     server = HTTPServer(router, settings.api.host, settings.api.port)
     logger.info("morphik-core-tpu serving on %s:%d", settings.api.host, settings.api.port)
+
+    # Graceful drain on SIGTERM/SIGINT: stop accepting, let the running
+    # ingestion job finish (queued jobs persist in sqlite and resume on
+    # next boot), snapshot indexes.
+    import signal
+
+    stop = asyncio.Event()
+    loop = asyncio.get_running_loop()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            loop.add_signal_handler(sig, stop.set)
+        except NotImplementedError:  # non-unix
+            pass
+    await server.start()
     try:
-        await server.serve_forever()
+        await stop.wait()
+        logger.info("shutdown signal received; draining")
     finally:
+        await server.stop()
         await services.shutdown()
+        logger.info("shutdown complete")
 
 
 if __name__ == "__main__":
