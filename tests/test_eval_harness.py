@@ -92,3 +92,29 @@ def test_llm_judge_offline_fallback():
     loop = asyncio.new_event_loop()
     assert loop.run_until_complete(judge("q", "42", "the answer is 42")) is True
     assert loop.run_until_complete(judge("q", "42", "no idea")) is False
+
+
+def test_hotpot_adapter(tmp_path):
+    """HotpotQA-format rows -> corpus dir + questions file."""
+    import json
+
+    from evaluations.hotpot_adapter import convert
+
+    rows = [
+        {
+            "question": "Where was the author of Book X born?",
+            "answer": "Dublin",
+            "supporting_facts": [["Author A", 0]],
+            "context": [
+                ["Author A", ["Author A was born in Dublin.", "They wrote Book X."]],
+                ["Distractor B", ["Unrelated facts about B."]],
+            ],
+        }
+    ]
+    src = tmp_path / "hotpot.json"
+    src.write_text(json.dumps(rows))
+    out = convert(src, tmp_path / "out", limit=10)
+    assert out == {"questions": 1, "documents": 2}
+    qs = json.loads((tmp_path / "out" / "questions.json").read_text())
+    assert qs[0]["gold_docs"] == ["Author_A.txt"]
+    assert "Dublin" in (tmp_path / "out" / "corpus" / "Author_A.txt").read_text()
