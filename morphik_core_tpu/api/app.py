@@ -715,6 +715,47 @@ def build_app(services: Services) -> Router:
         )
         return Response.json({"success": ok})
 
+    @router.post("/api-keys")
+    async def save_api_key(req: Request) -> Response:
+        """Store a provider API key in the model-config table (reference
+        routes/models.py:221)."""
+        auth = await auth_of(req)
+        body = req.json()
+        provider = body.get("provider")
+        api_key = body.get("api_key")
+        if not provider or not api_key:
+            raise HTTPError(422, "provider and api_key are required")
+        config_data = {"apiKey": api_key}
+        if body.get("base_url"):
+            config_data["baseUrl"] = body["base_url"]
+        user_id = auth.user_id or auth.entity_id
+        existing = await services.database.get_model_configs(user_id, auth.app_id)
+        match = next((c for c in existing if c["provider"] == provider), None)
+        if match:
+            await services.database.update_model_config(match["id"], user_id, config_data)
+        else:
+            await services.database.store_model_config(user_id, auth.app_id, provider, config_data)
+        return Response.json({"message": "API key saved successfully"})
+
+    @router.get("/api-keys")
+    async def list_api_keys(req: Request) -> Response:
+        """Sanitized provider key listing (reference routes/models.py:276)."""
+        auth = await auth_of(req)
+        configs = await services.database.get_model_configs(
+            auth.user_id or auth.entity_id, auth.app_id
+        )
+        out = {}
+        for c in configs:
+            if c["provider"] == "custom":
+                continue
+            data = c["config_data"]
+            out[c["provider"]] = {
+                "apiKey": "***" if data.get("apiKey") else None,
+                "baseUrl": data.get("baseUrl"),
+                "configured": bool(data.get("apiKey")),
+            }
+        return Response.json(out)
+
     # ------------------------------------------------------------- auth/uri
 
     @router.post("/local/generate_uri")

@@ -630,6 +630,17 @@ class SQLiteDatabase:
             for r in rows
         ]
 
+    async def update_model_config(
+        self, config_id: str, user_id: str, config_data: Dict[str, Any]
+    ) -> bool:
+        with self._lock:
+            cur = self._conn.execute(
+                "UPDATE model_configs SET config_data = ?, updated_at = ? WHERE id = ? AND user_id = ?",
+                (json.dumps(config_data), _now_iso(), config_id, user_id),
+            )
+            self._conn.commit()
+        return cur.rowcount > 0
+
     async def delete_model_config(self, config_id: str, user_id: str) -> bool:
         with self._lock:
             cur = self._conn.execute(

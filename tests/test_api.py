@@ -315,3 +315,31 @@ def test_embeddings_endpoint_npz_roundtrip(server):
     m = ColpaliApiEmbeddingModel([base])
     emb = run(m.embed_for_query("hello world"))
     assert emb.ndim == 2 and emb.shape[0] >= 1
+
+
+def test_api_keys_crud(server):
+    """Provider API-key storage with sanitized listing (reference
+    routes/models.py:221-300)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.get("/api-keys")
+            before = r.json()
+            r = await c.post("/api-keys", json={"provider": "openai", "api_key": "sk-secret",
+                                                "base_url": "https://api.openai.com/v1"})
+            assert r.status_code == 200
+            r = await c.get("/api-keys")
+            keys = r.json()
+            assert keys["openai"]["configured"] is True
+            assert keys["openai"]["apiKey"] == "***"  # sanitized
+            assert "sk-secret" not in r.text
+            # update path (same provider twice -> no duplicate)
+            r = await c.post("/api-keys", json={"provider": "openai", "api_key": "sk-new"})
+            assert r.status_code == 200
+            r = await c.get("/api-keys")
+            assert list(r.json()).count("openai") == 1
+            r = await c.post("/api-keys", json={"provider": "openai"})
+            assert r.status_code == 422
+
+    run(go())
