@@ -192,6 +192,35 @@ def main() -> None:
     t0 = time.time(); float(rr_2n(cand, cmask, q)); t_2n = time.time() - t0
     rerank_p50 = max(t_2n - t_n, 0.0) / rr_iters * 1e3
 
+    # ---- query encode p50 (reference per-stage 'encode_query' timing,
+    # fast_multivector_store.py:513-605): 64-token bucket, batch 1 -------
+    from morphik_core_tpu.models.colqwen.model import colqwen_text_forward
+
+    q_seq = 64
+    q_ids = jnp.asarray(np.full((1, q_seq), 9, np.int32))
+    q_mask = jnp.ones((1, q_seq), jnp.float32)
+    pos_q = mrope_position_ids(np.full((1, q_seq), 9, np.int32), -1, [None])
+    cos_q, sin_q = mrope_cos_sin(pos_q, cfg.text)
+    qe_iters = 16
+
+    def make_qe_chain(n):
+        @jax.jit
+        def chain(prm, ids, m):
+            def body(i, acc):
+                # data-chain through the mask so the loop body can't hoist
+                out = colqwen_text_forward(
+                    prm, cfg, ids, m + acc * 1e-30, jnp.asarray(cos_q), jnp.asarray(sin_q)
+                )
+                return acc + jnp.sum(out.astype(jnp.float32))
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return chain
+
+    qe_n, qe_2n = make_qe_chain(qe_iters), make_qe_chain(2 * qe_iters)
+    float(qe_n(params, q_ids, q_mask)); float(qe_2n(params, q_ids, q_mask))
+    t0 = time.time(); float(qe_n(params, q_ids, q_mask)); t_n = time.time() - t0
+    t0 = time.time(); float(qe_2n(params, q_ids, q_mask)); t_2n = time.time() - t0
+    query_encode_p50 = max(t_2n - t_n, 0.0) / qe_iters * 1e3
+
     target_pages_per_s_per_chip = 10_000 / 60 / 8  # BASELINE.json north star
     print(
         json.dumps(
@@ -208,7 +237,8 @@ def main() -> None:
                     "ann_shard_p50_ms": round(ann_p50, 3),
                     "ann_shard_rows": shard_rows,
                     "maxsim_rerank_p50_ms": round(rerank_p50, 3),
-                    "retrieval_p50_ms": round(ann_p50 + rerank_p50, 3),
+                    "query_encode_p50_ms": round(query_encode_p50, 3),
+                    "retrieval_p50_ms": round(query_encode_p50 + ann_p50 + rerank_p50, 3),
                     "compile_s": round(compile_s, 1),
                     "host_rtt_ms": round(rtt_s * 1e3, 2),
                     "init_s": round(init_s, 1),
