@@ -54,6 +54,11 @@ class TPUConfig(BaseModel):
     maxsim_candidate_tile: int = 128
     maxsim_doc_token_tile: int = 256
     use_pallas: bool = True  # fall back to pure-XLA scoring when False / non-TPU
+    # Precompile the query buckets (and the most common page grid) at
+    # startup so the first live request doesn't pay a multi-second
+    # compile. Off by default (slows dev/test boot); the persistent
+    # compilation cache makes repeated warmups cheap.
+    warmup_on_start: bool = False
 
 
 class ModelConfig(BaseModel):

@@ -182,3 +182,21 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         if isinstance(query, Image.Image):
             return self.embed_images([query])[0]
         return self.embed_texts([query])[0]
+
+    def warmup(self, grids: Optional[List[Tuple[int, int]]] = None) -> float:
+        """Precompile the serving programs: query buckets (batch 1) and the
+        page-grid forwards. First live requests then run at steady-state
+        latency. Returns seconds spent. With the persistent compilation
+        cache enabled, repeat warmups are near-free."""
+        t0 = time.perf_counter()
+        try:
+            self.embed_texts(["warmup query"])
+            for hu, wu in grids or [(20, 28)]:
+                s = hu * wu * self.model.cfg.vision.merge_unit
+                patches = np.zeros((1, s, self.model.cfg.vision.patch_input_dim), np.float32)
+                self.model.embed_image_batch(patches, hu, wu)
+        except Exception:  # noqa: BLE001 — warmup must never block serving
+            logger.exception("warmup failed (continuing)")
+        dt = time.perf_counter() - t0
+        logger.info("warmup done in %.1fs", dt)
+        return dt

@@ -88,6 +88,14 @@ class Services:
             await self.colpali_vector_store.initialize()
         self.job_queue.register("process_ingestion_job", self._process_ingestion_job)
         await self.job_queue.start()
+        if (
+            self.settings.tpu.warmup_on_start
+            and self.colpali_embedding_model is not None
+            and hasattr(self.colpali_embedding_model, "warmup")
+        ):
+            import asyncio
+
+            await asyncio.to_thread(self.colpali_embedding_model.warmup)
         # Background telemetry threads (reference app_factory.py:126-157);
         # network sends are disabled unless endpoints are configured.
         from morphik_core_tpu.services.log_uploader import Heartbeat, LogUploader

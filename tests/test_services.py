@@ -348,3 +348,22 @@ def test_colqwen_reranker_self_ranking():
     assert all(isinstance(c.score, float) for c in out)
     s = loop.run_until_complete(rr.compute_score("alpha", "alpha beta gamma"))
     assert isinstance(s, float)
+
+
+def test_warmup_compiles_serving_programs(tmp_path):
+    import asyncio
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.embedding.colpali_embedding_model import ColpaliEmbeddingModel
+
+    emb = ColpaliEmbeddingModel(Settings())
+    dt = emb.warmup(grids=[(4, 4)])
+    assert dt >= 0.0
+    # bucket (4,4) now cached; a follow-up image embed reuses the program
+    import numpy as np
+
+    s = 4 * 4 * emb.model.cfg.vision.merge_unit
+    out = emb.model.embed_image_batch(
+        np.zeros((1, s, emb.model.cfg.vision.patch_input_dim), np.float32), 4, 4
+    )
+    assert out.shape[0] == 1
