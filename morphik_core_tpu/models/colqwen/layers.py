@@ -70,6 +70,7 @@ def attention(
     v: jax.Array,
     mask: Optional[jax.Array] = None,
     scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Plain XLA attention; fp32 softmax.
 
@@ -85,7 +86,12 @@ def attention(
     # Head axis stays where it is — dot_general takes (h) as a batch dim
     # directly, avoiding explicit swapaxes copies of q/k/v/out.
     scores = jnp.einsum("...qhd,...khd->...hqk", q, k).astype(jnp.float32) * scale
-    if mask is not None:
+    if bias is not None:
+        # additive bias precomputed ONCE by the caller (loop-invariant
+        # across a layer scan); adding -1e30 saturates exactly like the
+        # where() select for any finite score
+        scores = scores + bias
+    elif mask is not None:
         scores = jnp.where(mask, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
     return jnp.einsum("...hqk,...khd->...qhd", probs, v)  # (..., S, H, hd)

@@ -137,7 +137,7 @@ def init_text_params(key: jax.Array, cfg: TextConfig, dtype=jnp.float32) -> dict
 # ---------------------------------------------------------------------------
 
 
-def _decoder_block(x, layer, cos, sin, mask, cfg: TextConfig):
+def _decoder_block(x, layer, cos, sin, bias, cfg: TextConfig):
     b, s, h = x.shape
     nh, nkv, hd = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
@@ -147,7 +147,7 @@ def _decoder_block(x, layer, cos, sin, mask, cfg: TextConfig):
     k = (y @ layer["k_w"] + layer["k_b"]).reshape(b, s, nkv, hd)
     v = (y @ layer["v_w"] + layer["v_b"]).reshape(b, s, nkv, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
-    o = attention(q, k, v, mask=mask)
+    o = attention(q, k, v, bias=bias)
     x = res + o.reshape(b, s, nh * hd) @ layer["o_w"]
 
     y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)
@@ -167,9 +167,11 @@ def text_forward(
     b, s, _ = inputs_embeds.shape
     causal = jnp.tril(jnp.ones((s, s), dtype=bool))
     mask = causal[None, None, :, :] & (attention_mask[:, None, None, :] > 0)
+    # additive bias computed once; loop-invariant across the layer scan
+    bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
 
     def body(carry, layer):
-        return _decoder_block(carry, layer, cos, sin, mask, cfg), None
+        return _decoder_block(carry, layer, cos, sin, bias, cfg), None
 
     x, _ = jax.lax.scan(body, inputs_embeds, params["layers"])
     return rms_norm(x, params["norm"], cfg.rms_norm_eps)
