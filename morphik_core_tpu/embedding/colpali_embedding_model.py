@@ -122,13 +122,19 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
 
         model_start = time.perf_counter()
         out: List[Optional[np.ndarray]] = [None] * len(images)
+        # Two-phase: dispatch every batch first (jax runs async), fetch
+        # after — device compute of batch k overlaps host prep of k+1.
+        pending = []
         for (hu, wu), items in buckets.items():
             for s in range(0, len(items), self.batch_size):
                 batch = items[s : s + self.batch_size]
                 arr = np.stack([p for _, p in batch])
-                embs = self.model.embed_image_batch(arr, hu, wu)
-                for j, (i, _) in enumerate(batch):
-                    out[i] = embs[j]
+                dev, nvalid = self.model.embed_image_batch(arr, hu, wu, as_device=True)
+                pending.append((batch, dev, nvalid))
+        for batch, dev, nvalid in pending:
+            embs = np.asarray(dev, dtype=np.float32)[:nvalid]
+            for j, (i, _) in enumerate(batch):
+                out[i] = embs[j]
         model_s = time.perf_counter() - model_start
         self.last_metrics.update(
             image_preprocess_s=prep_s, image_model_s=model_s, image_count=len(images), buckets=len(buckets)

@@ -198,10 +198,15 @@ class ColQwenModel:
             list(prefix) + [self.cfg.image_token_id] * n_units + list(suffix), dtype=np.int32
         )
 
-    def embed_image_batch(self, patches: np.ndarray, h_units: int, w_units: int) -> np.ndarray:
+    def embed_image_batch(
+        self, patches: np.ndarray, h_units: int, w_units: int, as_device: bool = False
+    ) -> np.ndarray:
         """patches: (B, S, 1176) for one grid bucket -> (B, S_seq, dim) f32.
         All rows valid (no padding inside a bucket). On a mesh, the batch
-        is padded to a multiple of the data axis and sharded over it."""
+        is padded to a multiple of the data axis and sharded over it.
+        `as_device=True` returns (jax_array, valid_rows) WITHOUT blocking —
+        jax's async dispatch lets callers pipeline host prep of the next
+        batch against device compute of this one."""
         b = patches.shape[0]
         pad = (-b) % self._data_size
         if pad:
@@ -227,6 +232,8 @@ class ColQwenModel:
             args = {k: jax.device_put(v, sh[k]) for k, v in args.items()}
         fn = self._image_fn(h_units, w_units)
         out = fn(self.params, **args)
+        if as_device:
+            return out, b  # jax array (padded batch) + valid row count
         return np.asarray(out, dtype=np.float32)[:b]
 
     # -- query path ---------------------------------------------------------
