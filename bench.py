@@ -126,13 +126,18 @@ def main() -> None:
     g2N = chained_embed(2 * embed_iters)
     float(gN(params, args))  # compile
     float(g2N(params, args))
-    t0 = time.time()
-    float(gN(params, args))
-    t_n = time.time() - t0
-    t0 = time.time()
-    float(g2N(params, args))
-    t_2n = time.time() - t0
-    step_s = max((t_2n - t_n) / embed_iters, 1e-9)
+    # best-of-3: the tunnel adds sporadic latency; min is the least-
+    # interference estimate of the true device step time
+    steps = []
+    for _ in range(3):
+        t0 = time.time()
+        float(gN(params, args))
+        t_n = time.time() - t0
+        t0 = time.time()
+        float(g2N(params, args))
+        t_2n = time.time() - t0
+        steps.append(max((t_2n - t_n) / embed_iters, 1e-9))
+    step_s = min(steps)
     pages_per_s = batch / step_s
 
     # ---- retrieval: per-chip shard of a 1M-page index ---------------------
