@@ -55,7 +55,13 @@ class ContextualChunker:
         for c in base:
             try:
                 ctx = await self.complete_fn(self.PROMPT.format(document=text[:40000], chunk=c))
-                out.append(Chunk(content=f"{ctx}; {c}", metadata={}))
+                ctx = (ctx or "").strip()
+                # only prefix usable context — an empty/failed/stub answer
+                # must not pollute the retrievable chunk text
+                if ctx and not ctx.startswith("[offline-stub]"):
+                    out.append(Chunk(content=f"{ctx}; {c}", metadata={}))
+                else:
+                    out.append(Chunk(content=c, metadata={}))
             except Exception as e:  # noqa: BLE001
                 logger.warning("contextual chunking failed (%s); using raw chunk", e)
                 out.append(Chunk(content=c, metadata={}))

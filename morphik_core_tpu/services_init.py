@@ -152,7 +152,31 @@ def build_services(
     storage_root = Path(settings.storage.storage_path)
     database = SQLiteDatabase(settings.database.path)
     storage = build_storage(settings)
-    parser = MorphikParser(settings)
+    completion_model = build_completion_model(settings.registered_models, settings.completion.model)
+
+    # Video frame description (reference VisionModelClient,
+    # parse_video.py:27-280) + contextual chunking both reuse the
+    # configured completion model.
+    async def describe_frame(image_uri: str, prev_description: str = "") -> str:
+        from morphik_core_tpu.models.schemas import CompletionRequest
+
+        resp = await completion_model.complete(
+            CompletionRequest(
+                query="Describe this video frame. Note what changed from the previous frame."
+                + (f"\nPrevious frame: {prev_description}" if prev_description else ""),
+                context_chunks=[image_uri],
+                max_tokens=300,
+            )
+        )
+        return str(resp.completion)
+
+    async def complete_text(prompt: str) -> str:
+        from morphik_core_tpu.models.schemas import CompletionRequest
+
+        resp = await completion_model.complete(CompletionRequest(query=prompt))
+        return str(resp.completion)
+
+    parser = MorphikParser(settings, describe_fn=describe_frame, complete_fn=complete_text)
     embedding_model = HashingEmbeddingModel(dim=settings.embedding.dimensions)
 
     colpali_embedding_model = None
@@ -190,7 +214,6 @@ def build_services(
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")
-    completion_model = build_completion_model(settings.registered_models, settings.completion.model)
     # Reranker for the text path: the ColQwen late-interaction scorer when
     # the tower is in-process (TPU-native, no extra weights), else lexical.
     if colpali_embedding_model is not None and settings.morphik.colpali_mode == "local":

@@ -209,3 +209,27 @@ def test_morphik_parser_routes(tmp_path):
         assert xml_chunks and "Some xml text." in xml_chunks[0].content
 
     run(go())
+
+
+def test_video_describe_fn_wired(tmp_path):
+    """build_services wires the completion model as the video frame
+    describe_fn and the contextual-chunking complete_fn (reference
+    VisionModelClient + ContextualChunker seams)."""
+    import asyncio
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.services_init import build_services
+
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(tmp_path / "s")},
+            "database": {"path": str(tmp_path / "db.sqlite")},
+            "vector_store": {"index_path": str(tmp_path / "i")},
+        }
+    )
+    services = build_services(settings)
+    assert services.parser.describe_fn is not None
+    out = asyncio.new_event_loop().run_until_complete(
+        services.parser.describe_fn("data:image/jpeg;base64,AAAA", "")
+    )
+    assert isinstance(out, str)
