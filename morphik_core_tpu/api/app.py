@@ -64,12 +64,43 @@ def build_app(services: Services) -> Router:
 
     @router.get("/health")
     async def health(req: Request) -> Response:
+        """Detailed component health (reference routes/health.py
+        DetailedHealthCheckResponse)."""
+        components: Dict[str, Any] = {}
+        try:
+            await services.database.get_documents(
+                AuthContext(entity_id="__health__", permissions={"read"}), 0, 1
+            )
+            components["database"] = "ok"
+        except Exception as e:  # noqa: BLE001
+            components["database"] = f"error: {e}"
+        try:
+            await services.storage.get_object_size("", "__health_probe__")
+            components["storage"] = "ok"
+        except Exception as e:  # noqa: BLE001
+            components["storage"] = f"error: {e}"
+        if services.colpali_embedding_model is not None:
+            backend = "api"
+            model_obj = getattr(services.colpali_embedding_model, "model", None)
+            if model_obj is not None:
+                import jax as _jax
+
+                backend = _jax.default_backend()
+            components["colpali"] = {"enabled": True, "backend": backend}
+            if services.colpali_vector_store is not None:
+                components["colpali"]["index_rows"] = {
+                    ns: len(ix) for ns, ix in services.colpali_vector_store._indexes.items()
+                }
+        else:
+            components["colpali"] = {"enabled": False}
+        ok = all(v == "ok" for k, v in components.items() if isinstance(v, str))
         return Response.json(
             {
-                "status": "healthy",
+                "status": "healthy" if ok else "degraded",
                 "version": __version__,
                 "pending_jobs": services.job_queue.pending_count(),
                 "colpali": services.colpali_vector_store is not None,
+                "components": components,
             }
         )
 

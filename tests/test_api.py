@@ -343,3 +343,18 @@ def test_api_keys_crud(server):
             assert r.status_code == 422
 
     run(go())
+
+
+def test_health_components(server):
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.get("/health")
+            body = r.json()
+            assert body["status"] in ("healthy", "degraded")
+            assert body["components"]["database"] == "ok"
+            assert body["components"]["storage"] == "ok"
+            assert body["components"]["colpali"]["enabled"] is True
+
+    run(go())
