@@ -358,3 +358,47 @@ def test_health_components(server):
             assert body["components"]["colpali"]["enabled"] is True
 
     run(go())
+
+
+def test_concurrent_requests(server):
+    """The single-loop server interleaves many simultaneous requests
+    (ingest + retrieve + reads) without errors or cross-talk."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            async def ingest(i):
+                r = await c.post(
+                    "/ingest/text",
+                    json={"content": f"concurrent doc {i} token {i*13}",
+                          "filename": f"c{i}.txt", "use_colpali": False},
+                )
+                assert r.status_code == 200
+                return r.json()["external_id"]
+
+            ids = await asyncio.gather(*[ingest(i) for i in range(12)])
+            assert len(set(ids)) == 12
+
+            async def retrieve(i):
+                r = await c.post(
+                    "/retrieve/chunks",
+                    json={"query": f"concurrent doc {i} token {i*13}", "k": 1,
+                          "use_colpali": False},
+                )
+                assert r.status_code == 200 and r.json()
+                return r.json()[0]["content"]
+
+            async def read(i):
+                r = await c.get(f"/documents/{ids[i]}")
+                assert r.status_code == 200
+                return r.json()["filename"]
+
+            results = await asyncio.gather(
+                *[retrieve(i) for i in range(12)], *[read(i) for i in range(12)]
+            )
+            # no cross-talk: each retrieval hits its own doc's content
+            for i in range(12):
+                assert f"token {i*13}" in results[i] or f"doc {i} " in results[i]
+            assert results[12:] == [f"c{i}.txt" for i in range(12)]
+
+    run(go())
