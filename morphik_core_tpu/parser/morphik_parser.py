@@ -95,6 +95,13 @@ class MorphikParser:
         """-> (additional_metadata, text)."""
         ctype = content_type or detect_content_type(file, filename)
         try:
+            if ctype in ("text/html", "application/xhtml+xml") or (
+                ctype.startswith("text/") and file.lstrip()[:100].lower().startswith((b"<!doctype html", b"<html"))
+            ):
+                from morphik_core_tpu.parser.html_text import html_to_text
+
+                title, text = html_to_text(file)
+                return ({"title": title} if title else {}), clean_control_chars(text)
             if ctype.startswith("text/") or ctype in ("application/json",):
                 return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
             if ctype == XLSX:

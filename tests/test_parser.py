@@ -233,3 +233,36 @@ def test_video_describe_fn_wired(tmp_path):
         services.parser.describe_fn("data:image/jpeg;base64,AAAA", "")
     )
     assert isinstance(out, str)
+
+
+def test_html_to_text_extraction():
+    from morphik_core_tpu.parser.html_text import html_to_text
+
+    html = b"""<!DOCTYPE html><html><head><title>Quarterly Report</title>
+    <style>body { color: red }</style><script>alert(1)</script></head>
+    <body><h1>Results</h1><p>Revenue grew <b>8%</b> in Q3.</p>
+    <ul><li>Cloud: up</li><li>Hardware: flat</li></ul>
+    <table><tr><th>Region</th><th>Sales</th></tr><tr><td>EMEA</td><td>4.2M</td></tr></table>
+    </body></html>"""
+    title, text = html_to_text(html)
+    assert title == "Quarterly Report"
+    assert "# Results" in text
+    assert "Revenue grew 8% in Q3." in text
+    assert "- Cloud: up" in text
+    assert "EMEA | 4.2M" in text or "| EMEA | 4.2M" in text
+    assert "alert(1)" not in text and "color: red" not in text
+
+
+def test_parser_routes_html(tmp_path):
+    import asyncio
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.parser.morphik_parser import MorphikParser
+
+    p = MorphikParser(Settings())
+    html = b"<!DOCTYPE html><html><head><title>T</title></head><body><p>HTML body text.</p></body></html>"
+    meta, text = asyncio.new_event_loop().run_until_complete(
+        p.parse_file_to_text(html, "page.html")
+    )
+    assert meta.get("title") == "T"
+    assert "HTML body text." in text and "<p>" not in text
