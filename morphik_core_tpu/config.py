@@ -131,6 +131,10 @@ class VectorStoreConfig(BaseModel):
     # ANN candidate pool before exact rerank: min(prefilter_multiplier*k, prefilter_cap)
     prefilter_multiplier: int = 10
     prefilter_cap: int = 75
+    # Training-free token pooling of stored page multivectors (PAPERS.md;
+    # 1 = off). Factor 2-4 cuts index memory + rerank FLOPs by the same
+    # factor at a small recall cost; queries are never pooled.
+    multivector_pooling: int = 1
     index_path: str = "./storage/index"
 
 

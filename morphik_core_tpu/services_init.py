@@ -209,6 +209,7 @@ def build_services(
             mesh=mesh,
             prefilter_multiplier=settings.vector_store.prefilter_multiplier,
             prefilter_cap=settings.vector_store.prefilter_cap,
+            pooling_factor=settings.vector_store.multivector_pooling,
             # None = auto (Pallas on TPU backends only); False = force XLA path
             use_pallas=None if settings.tpu.use_pallas else False,
         )

@@ -51,9 +51,12 @@ class TPUMultiVectorStore(BaseVectorStore):
         use_pallas: Optional[bool] = None,
         provider: str = "fde",  # "fde" (two-stage, reference 'morphik') |
         #                         "binary" (exact Hamming scan, reference 'postgres')
+        pooling_factor: int = 1,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
+        # training-free token pooling of stored multivectors (ops/pooling.py)
+        self.pooling_factor = max(1, int(pooling_factor))
         self.index_path = Path(index_path) if index_path else None
         self.mesh = mesh
         self.prefilter_multiplier = prefilter_multiplier
@@ -135,7 +138,12 @@ class TPUMultiVectorStore(BaseVectorStore):
                     content_key=key,
                 )
             )
-            mvs.append(np.asarray(chunk.embedding, dtype=np.float32))
+            mv = np.asarray(chunk.embedding, dtype=np.float32)
+            if self.pooling_factor > 1 and chunk.metadata.get("is_image"):
+                from morphik_core_tpu.ops.pooling import pool_multivector
+
+                mv = pool_multivector(mv, self.pooling_factor)
+            mvs.append(mv)
         metrics["chunk_payload_bytes"] = payload_bytes
         metrics["chunk_payload_upload_s"] = time.perf_counter() - t0
 

@@ -1,0 +1,55 @@
+"""Training-free multivector token pooling (PAPERS.md technique):
+shape/normalization semantics + retrieval quality preserved at 2x."""
+
+import asyncio
+
+import numpy as np
+
+from morphik_core_tpu.ops.pooling import pool_multivector
+
+
+def test_pool_shapes_and_norms():
+    rng = np.random.default_rng(0)
+    mv = rng.standard_normal((10, 16)).astype(np.float32)
+    mv /= np.linalg.norm(mv, axis=-1, keepdims=True)
+    p2 = pool_multivector(mv, 2)
+    assert p2.shape == (5, 16)
+    np.testing.assert_allclose(np.linalg.norm(p2, axis=-1), 1.0, atol=1e-5)
+    p3 = pool_multivector(mv, 3)
+    assert p3.shape == (4, 16)  # ceil(10/3); last group averages 1 token
+    np.testing.assert_allclose(p3[-1], mv[-1], atol=1e-5)  # single-token group unchanged
+    assert pool_multivector(mv, 1) is mv
+
+
+def test_pooled_store_retrieval_quality(tmp_path):
+    """At factor 2, self-similarity retrieval over pooled stores still
+    ranks the right page first, with half the stored tokens."""
+    from morphik_core_tpu.index.multivector_index import IndexRecord
+    from morphik_core_tpu.models.schemas import DocumentChunk
+    from morphik_core_tpu.ops.fde import FDEConfig
+    from morphik_core_tpu.vector_store.tpu_multivector_store import TPUMultiVectorStore
+
+    rng = np.random.default_rng(1)
+    cfg = FDEConfig(dimension=16, num_repetitions=4, num_simhash_projections=3, projection_dimension=8)
+    store = TPUMultiVectorStore(fde_config=cfg, pooling_factor=2)
+    loop = asyncio.new_event_loop()
+
+    def unit(n):
+        x = rng.standard_normal((n, 16)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    mvs = [unit(40) for _ in range(8)]
+    chunks = [
+        DocumentChunk(document_id=f"d{i}", chunk_number=0, content=f"page {i}",
+                      embedding=mv, metadata={"is_image": True})
+        for i, mv in enumerate(mvs)
+    ]
+    ok, ids, _ = loop.run_until_complete(store.store_embeddings(chunks))
+    assert ok
+    index = store._ns(None)
+    stored = index.get_multivector("d3", 0)
+    assert stored.shape[0] == 20  # pooled 40 -> 20
+
+    for i, mv in enumerate(mvs):
+        res = loop.run_until_complete(store.query_similar(mv, k=1))
+        assert res[0].document_id == f"d{i}"
