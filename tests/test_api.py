@@ -402,3 +402,40 @@ def test_concurrent_requests(server):
             assert results[12:] == [f"c{i}.txt" for i in range(12)]
 
     run(go())
+
+
+def test_typed_metadata_filters_route_level(server):
+    """Typed metadata ($gt on numbers, datetime coercion) through the
+    public route (reference api.py:356-373 filter language contract)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            for name, price, when in [("cheap", 5, "2026-01-10T00:00:00"),
+                                       ("mid", 50, "2026-03-10T00:00:00"),
+                                       ("dear", 500, "2026-06-10T00:00:00")]:
+                r = await c.post(
+                    "/ingest/text",
+                    json={"content": f"catalog item {name}", "filename": f"{name}.txt",
+                          "use_colpali": False,
+                          "metadata": {"price": price, "listed_at": when, "kind": "catalog"},
+                          "metadata_types": {"price": "number", "listed_at": "datetime"}},
+                )
+                assert r.status_code == 200
+            r = await c.post("/documents", json={"filters": {
+                "$and": [{"kind": "catalog"}, {"price": {"$gt": 10}}]}})
+            names = sorted(d["filename"] for d in r.json())
+            assert names == ["dear.txt", "mid.txt"]
+            r = await c.post("/documents", json={"filters": {
+                "$and": [{"kind": "catalog"},
+                          {"listed_at": {"$gte": "2026-03-01T00:00:00"}}]}})
+            names = sorted(d["filename"] for d in r.json())
+            assert names == ["dear.txt", "mid.txt"]
+            r = await c.post("/retrieve/chunks", json={
+                "query": "catalog item", "k": 5, "use_colpali": False,
+                "filters": {"price": {"$lt": 100}}})
+            contents = {x["content"] for x in r.json()}
+            assert any("cheap" in t for t in contents)
+            assert not any("dear" in t for t in contents)
+
+    run(go())
