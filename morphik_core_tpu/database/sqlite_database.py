@@ -15,7 +15,7 @@ status='completed' documents.
 
 from __future__ import annotations
 
-import asyncio
+
 import json
 import logging
 import sqlite3

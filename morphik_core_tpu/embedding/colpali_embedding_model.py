@@ -20,7 +20,6 @@ Behavioral parity kept from the reference:
 
 from __future__ import annotations
 
-import base64
 import io
 import logging
 import time

@@ -19,7 +19,7 @@ over query tokens happens on-chip. A pure-XLA reference implementation
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

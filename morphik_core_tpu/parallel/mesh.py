@@ -11,7 +11,7 @@ with XLA collectives over the TPU interconnect.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import numpy as np

@@ -19,7 +19,6 @@ from __future__ import annotations
 import io
 import logging
 import time
-import uuid
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 

@@ -9,7 +9,7 @@ through retrieve/query."""
 
 from __future__ import annotations
 
-import asyncio
+
 import functools
 import json
 import logging
