@@ -96,3 +96,84 @@ def test_s3_storage_requires_boto3():
 
     with pytest.raises(RuntimeError):
         S3Storage("bucket")
+
+
+def test_s3_storage_with_stub_boto3(monkeypatch, tmp_path):
+    """Exercise S3Storage logic against an in-memory fake boto3 client
+    (boto3 is absent from this image; the wire logic still needs tests)."""
+    import sys
+    import types
+
+    store_data = {}
+
+    class FakeBody:
+        def __init__(self, b):
+            self._b = b
+
+        def read(self):
+            return self._b
+
+    class FakeClient:
+        def put_object(self, Bucket, Key, Body, **kw):
+            store_data[(Bucket, Key)] = (Body, kw.get("ContentType"))
+
+        def get_object(self, Bucket, Key):
+            return {"Body": FakeBody(store_data[(Bucket, Key)][0])}
+
+        def generate_presigned_url(self, op, Params, ExpiresIn):
+            return f"https://fake/{Params['Bucket']}/{Params['Key']}?exp={ExpiresIn}"
+
+        def delete_object(self, Bucket, Key):
+            store_data.pop((Bucket, Key), None)
+
+        def head_object(self, Bucket, Key):
+            if (Bucket, Key) not in store_data:
+                raise KeyError(Key)
+            return {"ContentLength": len(store_data[(Bucket, Key)][0])}
+
+    fake_boto3 = types.ModuleType("boto3")
+    fake_boto3.client = lambda *a, **kw: FakeClient()
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+
+    from morphik_core_tpu.storage.s3_storage import S3Storage
+
+    s3 = S3Storage("default-bucket", upload_concurrency=2)
+
+    async def go():
+        b, k = await s3.upload_file(b"payload", "a/b.bin", "application/octet-stream")
+        assert (b, k) == ("default-bucket", "a/b.bin")
+        assert await s3.download_file("", "a/b.bin") == b"payload"
+        url = await s3.get_download_url("", "a/b.bin", expires_in=60)
+        assert url == "https://fake/default-bucket/a/b.bin?exp=60"
+        assert await s3.get_object_size("", "a/b.bin") == 7
+        assert await s3.delete_file("", "a/b.bin") is True
+        assert await s3.get_object_size("", "a/b.bin") is None
+        # base64 path + explicit bucket
+        from morphik_core_tpu.utils.fast_ops import encode_base64
+
+        await s3.upload_from_base64(encode_base64(b"x"), "c.txt", bucket="other")
+        assert await s3.download_file("other", "c.txt") == b"x"
+
+    run(go())
+
+
+def test_cached_s3_composition(monkeypatch, tmp_path):
+    """build_storage wires CachedStorage around S3 when configured."""
+    import sys
+    import types
+
+    fake_boto3 = types.ModuleType("boto3")
+    fake_boto3.client = lambda *a, **kw: object()
+    monkeypatch.setitem(sys.modules, "boto3", fake_boto3)
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.services_init import build_storage
+    from morphik_core_tpu.storage.cache_manager import CachedStorage
+
+    settings = Settings.model_validate(
+        {"storage": {"provider": "aws-s3", "bucket_name": "bk",
+                      "cache_path": str(tmp_path / "cache"),
+                      "storage_path": str(tmp_path / "s")}}
+    )
+    st = build_storage(settings)
+    assert isinstance(st, CachedStorage)
