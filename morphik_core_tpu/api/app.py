@@ -226,10 +226,13 @@ def build_app(services: Services) -> Router:
     async def retrieve_chunks(req: Request) -> Response:
         auth = await auth_of(req)
         body = req.json()
-        async with telemetry.track_operation("retrieve_chunks", auth.entity_id):
-            results = await services.document_service.retrieve_chunks(
-                body.get("query", ""), auth, **_retrieve_kwargs(body)
-            )
+        try:
+            async with telemetry.track_operation("retrieve_chunks", auth.entity_id):
+                results = await services.document_service.retrieve_chunks(
+                    body.get("query", ""), auth, **_retrieve_kwargs(body)
+                )
+        except ValueError as e:  # e.g. oversized query_image
+            raise HTTPError(400, str(e))
         return Response.json([r.model_dump(mode="json") for r in results])
 
     @router.post("/retrieve/chunks/grouped")

@@ -108,7 +108,11 @@ class DocumentService:
 
             from PIL import Image
 
-            img = Image.open(io.BytesIO(data_uri_to_bytes(query_image)))
+            raw = data_uri_to_bytes(query_image)
+            # reference caps image queries at 10 MB (document_service.py:234-246)
+            if len(raw) > 10 * 1024 * 1024:
+                raise ValueError("query_image exceeds the 10 MB limit")
+            img = Image.open(io.BytesIO(raw))
             embed_task = embed_model.embed_for_query(img)
         else:
             embed_task = embed_model.embed_for_query(query)

@@ -439,3 +439,47 @@ def test_typed_metadata_filters_route_level(server):
             assert not any("dear" in t for t in contents)
 
     run(go())
+
+
+def test_image_query_retrieval(server):
+    """query_image: retrieve by PIL image through the public route,
+    with the reference's 10 MB cap enforced (document_service.py:234-246)."""
+    import io as _io
+
+    from morphik_core_tpu.utils.fast_ops import bytes_to_data_uri
+
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            # ingest a visual page
+            img = Image.new("RGB", (336, 224), (255, 255, 255))
+            d = ImageDraw.Draw(img)
+            for y in range(20, 200, 16):
+                d.text((10, y), "IMAGE QUERY TARGET PAGE", fill=(0, 0, 0))
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            r = await c.post("/ingest/file", files={"file": ("iq.png", buf.getvalue(), "image/png")})
+            did = r.json()["external_id"]
+            for _ in range(100):
+                s = (await c.get(f"/documents/{did}/status")).json()
+                if s["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.2)
+            assert s["status"] == "completed"
+
+            # query WITH AN IMAGE (same page) -> must hit itself
+            r = await c.post(
+                "/retrieve/chunks",
+                json={"query": "", "k": 1,
+                      "query_image": bytes_to_data_uri(buf.getvalue(), "image/png")},
+            )
+            assert r.status_code == 200 and r.json(), r.text
+            assert r.json()[0]["document_id"] == did
+
+            # oversized image query -> 400 (reference 10 MB cap)
+            big = bytes_to_data_uri(b"\x89PNG" + b"0" * (11 * 1024 * 1024), "image/png")
+            r = await c.post("/retrieve/chunks", json={"query": "", "k": 1, "query_image": big})
+            assert r.status_code == 400
+
+    run(go())
