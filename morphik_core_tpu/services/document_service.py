@@ -330,7 +330,7 @@ class DocumentService:
                         download_url = await self.storage.get_download_url(MULTIVECTOR_CHUNKS_BUCKET, content)
                         content = download_url
                 elif output_format == "text":
-                    content = f"[image page {c.chunk_number} of {doc.filename if doc else c.document_id}]"
+                    content = await self._convert_image_to_text(c, doc)
             out.append(
                 ChunkResult(
                     content=content,
@@ -345,6 +345,30 @@ class DocumentService:
                 )
             )
         return out
+
+    async def _convert_image_to_text(self, chunk: DocumentChunk, doc) -> str:
+        """Image chunk -> markdown text via the vision completion model
+        (reference document_service.py:1497 `_convert_image_to_text`);
+        placeholder when no vision model answers."""
+        placeholder = f"[image page {chunk.chunk_number} of {doc.filename if doc else chunk.document_id}]"
+        if self.completion_model is None or not chunk.content.startswith("data:image"):
+            return placeholder
+        try:
+            from morphik_core_tpu.models.schemas import CompletionRequest
+
+            resp = await self.completion_model.complete(
+                CompletionRequest(
+                    query="Transcribe this page to markdown: all text, tables, and figure captions.",
+                    context_chunks=[chunk.content],
+                    max_tokens=1500,
+                )
+            )
+            text = str(resp.completion).strip()
+            if text and not text.startswith("[offline-stub]"):
+                return text
+        except Exception as e:  # noqa: BLE001
+            logger.warning("image-to-text conversion failed: %s", e)
+        return placeholder
 
     async def _create_document_results(
         self, auth: AuthContext, chunks: List[DocumentChunk]

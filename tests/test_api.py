@@ -483,3 +483,34 @@ def test_image_query_retrieval(server):
             assert r.status_code == 400
 
     run(go())
+
+
+def test_output_format_text_for_image_chunks(server):
+    """output_format='text': image chunks come back as text (VLM markdown
+    when a vision model is configured; placeholder under the offline
+    stub — never a data URI). Reference document_service.py:1497."""
+    import io as _io
+
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            img = Image.new("RGB", (336, 224), (255, 255, 255))
+            d = ImageDraw.Draw(img)
+            d.text((10, 100), "TEXT FORMAT PAGE", fill=(0, 0, 0))
+            buf = _io.BytesIO()
+            img.save(buf, format="PNG")
+            r = await c.post("/ingest/file", files={"file": ("tf.png", buf.getvalue(), "image/png")})
+            did = r.json()["external_id"]
+            for _ in range(100):
+                s = (await c.get(f"/documents/{did}/status")).json()
+                if s["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.2)
+            r = await c.post("/retrieve/chunks", json={
+                "query": "text format page", "k": 1, "output_format": "text"})
+            content = r.json()[0]["content"]
+            assert not content.startswith("data:image")
+            assert "tf.png" in content or content  # placeholder mentions the file
+
+    run(go())
