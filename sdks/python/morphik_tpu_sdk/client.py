@@ -411,6 +411,36 @@ class Morphik:
     def get_logs(self, op_type: Optional[str] = None, limit: int = 100) -> Dict[str, Any]:
         return self._get("/logs", op_type=op_type, limit=limit)
 
+    # ------------------------------------------------------------- v2 pipeline
+
+    def v2_ingest(self, file: Union[str, Path, bytes], *, filename: Optional[str] = None,
+                  metadata: Optional[Dict[str, Any]] = None,
+                  folder_path: Optional[str] = None) -> Document:
+        """Page-XML pipeline ingest (reference routes/v2.py)."""
+        if isinstance(file, (str, Path)):
+            p = Path(file)
+            data_bytes, fname = p.read_bytes(), filename or p.name
+        else:
+            data_bytes, fname = file, filename or "upload"
+        form = {"metadata": json.dumps(metadata or {})}
+        if folder_path:
+            form["folder_path"] = folder_path
+        r = self._client.post("/v2/documents", files={"file": (fname, data_bytes)}, data=form)
+        r.raise_for_status()
+        return Document(**r.json())
+
+    def v2_retrieve_chunks(self, query: str, k: int = 10,
+                           filters: Optional[Dict[str, Any]] = None,
+                           folder_path: Optional[str] = None) -> List[Dict[str, Any]]:
+        return self._post("/v2/retrieve/chunks",
+                          {"query": query, "k": k, "filters": filters,
+                           "folder_path": folder_path})
+
+    def v2_delete(self, document_id: str) -> Dict[str, Any]:
+        r = self._client.delete(f"/v2/documents/{document_id}")
+        r.raise_for_status()
+        return r.json()
+
 
 class AsyncMorphik:
     """Async client mirroring `Morphik` (reference async_.py)."""

@@ -189,3 +189,14 @@ def test_async_sdk_parity(server_url, tmp_path):
             assert toks
 
     aio.new_event_loop().run_until_complete(go())
+
+
+def test_sdk_v2_pipeline(server_url):
+    db = Morphik(base_url=server_url)
+    doc = db.v2_ingest(b"V2 sdk ingest body about turbines.", filename="t.txt")
+    assert doc.system_metadata.get("status") == "completed"
+    chunks = db.v2_retrieve_chunks("turbines", k=2)
+    assert chunks and chunks[0]["content"].startswith("<page")
+    out = db.v2_delete(doc.external_id)
+    assert out["status"] == "deleted"
+    db.close()
