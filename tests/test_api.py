@@ -514,3 +514,32 @@ def test_output_format_text_for_image_chunks(server):
             assert "tf.png" in content or content  # placeholder mentions the file
 
     run(go())
+
+
+def test_chat_history_persistence(server):
+    """chat_id threads history through /query; /chat/{id}, /chats and
+    title rename work (reference api.py:640-849, 1709-1749)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            await c.post("/ingest/text", json={"content": "The chat corpus mentions zeppelins.",
+                                               "use_colpali": False})
+            r = await c.post("/query", json={"query": "What is mentioned?", "k": 1,
+                                             "use_colpali": False, "chat_id": "chat-77"})
+            assert r.status_code == 200
+            r = await c.post("/query", json={"query": "Anything else?", "k": 1,
+                                             "use_colpali": False, "chat_id": "chat-77"})
+            assert r.status_code == 200
+            r = await c.get("/chat/chat-77")
+            hist = r.json()["history"]
+            assert [m["role"] for m in hist] == ["user", "assistant", "user", "assistant"]
+            assert hist[0]["content"] == "What is mentioned?"
+            r = await c.get("/chats")
+            assert any(ch["chat_id"] == "chat-77" for ch in r.json())
+            r = await c.patch("/chats/chat-77/title", json={"title": "Zeppelin chat"})
+            assert r.json()["success"] is True
+            r = await c.get("/chats")
+            assert any(ch.get("title") == "Zeppelin chat" for ch in r.json())
+
+    run(go())
