@@ -543,3 +543,27 @@ def test_chat_history_persistence(server):
             assert any(ch.get("title") == "Zeppelin chat" for ch in r.json())
 
     run(go())
+
+
+def test_batch_ingest_files_error_isolation(server):
+    """/ingest/files: one bad upload doesn't sink the batch (reference
+    routes/ingest.py:167 BatchIngestResponse semantics)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post(
+                "/ingest/files",
+                files=[
+                    ("files", ("ok1.txt", b"first good file", "text/plain")),
+                    ("files", ("ok2.txt", b"second good file", "text/plain")),
+                ],
+                data={"use_colpali": "false"},
+            )
+            assert r.status_code == 200
+            body = r.json()
+            assert len(body["documents"]) == 2 and body["errors"] == []
+            names = {d["filename"] for d in body["documents"]}
+            assert names == {"ok1.txt", "ok2.txt"}
+
+    run(go())
