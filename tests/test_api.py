@@ -567,3 +567,41 @@ def test_batch_ingest_files_error_isolation(server):
             assert names == {"ok1.txt", "ok2.txt"}
 
     run(go())
+
+
+def test_grouped_retrieval_with_padding_route(server):
+    """/retrieve/chunks/grouped with padding over a multi-page PDF:
+    response carries flat chunks + groups with main/padding split
+    (reference GroupedChunkResponse, models/documents.py:136-159)."""
+    from tests.test_parser import make_pdf
+
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            pdf = make_pdf([f"Grouped page {i}: reactor output {i * 100} MW" for i in range(4)])
+            r = await c.post("/ingest/file", files={"file": ("g.pdf", pdf, "application/pdf")})
+            did = r.json()["external_id"]
+            for _ in range(150):
+                s = (await c.get(f"/documents/{did}/status")).json()
+                if s["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.2)
+            assert s["status"] == "completed"
+            r = await c.post(
+                "/retrieve/chunks/grouped",
+                json={"query": "reactor output 200", "k": 1, "padding": 1},
+            )
+            body = r.json()
+            assert body["chunks"], body
+            assert body["groups"]
+            g = body["groups"][0]
+            assert g["main_chunk"]["document_id"] == did
+            pads = g["padding_chunks"]
+            assert all(p["is_padding"] for p in pads)
+            assert all(p["score"] == 0.0 for p in pads)
+            # neighbors are page +-1 of the main chunk
+            main_no = g["main_chunk"]["chunk_number"]
+            assert all(abs(p["chunk_number"] - main_no) <= 1 for p in pads)
+
+    run(go())
