@@ -580,7 +580,8 @@ def test_grouped_retrieval_with_padding_route(server):
     async def go():
         async with _client(base) as c:
             pdf = make_pdf([f"Grouped page {i}: reactor output {i * 100} MW" for i in range(4)])
-            r = await c.post("/ingest/file", files={"file": ("g.pdf", pdf, "application/pdf")})
+            r = await c.post("/ingest/file", files={"file": ("g.pdf", pdf, "application/pdf")},
+                              data={"metadata": json.dumps({"grouped_test": True})})
             did = r.json()["external_id"]
             for _ in range(150):
                 s = (await c.get(f"/documents/{did}/status")).json()
@@ -590,7 +591,8 @@ def test_grouped_retrieval_with_padding_route(server):
             assert s["status"] == "completed"
             r = await c.post(
                 "/retrieve/chunks/grouped",
-                json={"query": "reactor output 200", "k": 1, "padding": 1},
+                json={"query": "reactor output 200", "k": 1, "padding": 1,
+                      "filters": {"grouped_test": True}},
             )
             body = r.json()
             assert body["chunks"], body
