@@ -197,6 +197,30 @@ def main() -> None:
     t0 = time.time(); float(rr_2n(cand, cmask, q)); t_2n = time.time() - t0
     rerank_p50 = max(t_2n - t_n, 0.0) / rr_iters * 1e3
 
+    # ---- FDE document encode (ingest-side store stage) -------------------
+    from morphik_core_tpu.ops.fde import FDEConfig, fde_document_batch
+
+    fde_cfg = FDEConfig(dimension=cfg.embedding_dim)
+    fde_batch, fde_tok = 16, 1024
+    mvs = jax.random.normal(jax.random.PRNGKey(6), (fde_batch, fde_tok, cfg.embedding_dim), jnp.float32)
+    fde_mask = jnp.ones((fde_batch, fde_tok), jnp.float32)
+    fde_iters = 8
+
+    def make_fde_chain(n):
+        @jax.jit
+        def chain(x, m):
+            def body(i, acc):
+                v = fde_document_batch(x + acc * 1e-30, m, fde_cfg)
+                return acc + jnp.sum(v)
+            return jax.lax.fori_loop(0, n, body, 0.0)
+        return chain
+
+    fde_n, fde_2n = make_fde_chain(fde_iters), make_fde_chain(2 * fde_iters)
+    float(fde_n(mvs, fde_mask)); float(fde_2n(mvs, fde_mask))
+    t0 = time.time(); float(fde_n(mvs, fde_mask)); t_n = time.time() - t0
+    t0 = time.time(); float(fde_2n(mvs, fde_mask)); t_2n = time.time() - t0
+    fde_ms_per_page = max(t_2n - t_n, 0.0) / fde_iters / fde_batch * 1e3
+
     # ---- query encode p50 (reference per-stage 'encode_query' timing,
     # fast_multivector_store.py:513-605): 64-token bucket, batch 1 -------
     from morphik_core_tpu.models.colqwen.model import colqwen_text_forward
@@ -243,6 +267,7 @@ def main() -> None:
                     "ann_shard_rows": shard_rows,
                     "maxsim_rerank_p50_ms": round(rerank_p50, 3),
                     "query_encode_p50_ms": round(query_encode_p50, 3),
+                    "fde_encode_ms_per_page": round(fde_ms_per_page, 3),
                     "retrieval_p50_ms": round(query_encode_p50 + ann_p50 + rerank_p50, 3),
                     "compile_s": round(compile_s, 1),
                     "host_rtt_ms": round(rtt_s * 1e3, 2),
