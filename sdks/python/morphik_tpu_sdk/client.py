@@ -201,6 +201,13 @@ class Morphik:
         )
         return [FinalChunkResult(**c) for c in data]
 
+    def retrieve_chunks_grouped(self, query: str, k: int = 4, padding: int = 0,
+                                filters: Optional[Dict[str, Any]] = None, **kw) -> Dict[str, Any]:
+        """Grouped retrieval: flat chunks + main/padding groups
+        (reference /retrieve/chunks/grouped)."""
+        return self._post("/retrieve/chunks/grouped",
+                          {"query": query, "k": k, "padding": padding, "filters": filters, **kw})
+
     def retrieve_docs(self, query: str, filters: Optional[Dict[str, Any]] = None, k: int = 4, **kw) -> List[Dict[str, Any]]:
         return self._post("/retrieve/docs", {"query": query, "filters": filters, "k": k, **kw})
 
@@ -294,6 +301,15 @@ class Morphik:
         r = self._client.get("/folders")
         r.raise_for_status()
         return r.json()
+
+    def add_document_to_folder(self, folder_id: str, document_id: str) -> Dict[str, Any]:
+        return self._post(f"/folders/{folder_id}/documents/{document_id}", {})
+
+    def move_folder(self, folder_id: str, new_parent_path: Optional[str]) -> Dict[str, Any]:
+        return self._post(f"/folders/{folder_id}/move", {"new_parent_path": new_parent_path})
+
+    def folder_details(self, identifiers: Optional[List[str]] = None) -> Dict[str, Any]:
+        return self._post("/folders/details", {"identifiers": identifiers or []})
 
     def ping(self) -> Dict[str, Any]:
         r = self._client.get("/ping")

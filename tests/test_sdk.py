@@ -200,3 +200,20 @@ def test_sdk_v2_pipeline(server_url):
     out = db.v2_delete(doc.external_id)
     assert out["status"] == "deleted"
     db.close()
+
+
+def test_sdk_grouped_and_folder_ops(server_url):
+    db = Morphik(base_url=server_url)
+    f = db.create_folder("sdkgroup/sub")
+    doc = db.ingest_text("grouped sdk doc body", filename="gs.txt", use_colpali=False,
+                         metadata={"sdk_grouped": True})
+    out = db.add_document_to_folder(f["id"], doc.external_id)
+    assert out["status"] == "added"
+    grouped = db.retrieve_chunks_grouped("grouped sdk doc", k=1, use_colpali=False,
+                                         filters={"sdk_grouped": True})
+    assert grouped["chunks"] and grouped["groups"]
+    details = db.folder_details([f["id"]])
+    assert details["count"] >= 1
+    moved = db.move_folder(f["id"], None)
+    assert moved["status"] == "moved"
+    db.close()
