@@ -607,3 +607,33 @@ def test_grouped_retrieval_with_padding_route(server):
             assert all(abs(p["chunk_number"] - main_no) <= 1 for p in pads)
 
     run(go())
+
+
+def test_ingest_requeue_route(server):
+    """POST /ingest/requeue re-drives a document through the worker
+    (reference routes/ingest.py:272)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/ingest/file",
+                             files={"file": ("rq.txt", b"requeue target body", "text/plain")},
+                             data={"use_colpali": "false"})
+            did = r.json()["external_id"]
+            for _ in range(100):
+                s = (await c.get(f"/documents/{did}/status")).json()
+                if s["status"] in ("completed", "failed"):
+                    break
+                await asyncio.sleep(0.2)
+            assert s["status"] == "completed"
+            r = await c.post("/ingest/requeue", json={"document_ids": [did, "missing-id"],
+                                                       "use_colpali": False})
+            assert r.json()["requeued"] == [did]  # unknown ids skipped
+            for _ in range(100):
+                s = (await c.get(f"/documents/{did}/status")).json()
+                if s["status"] == "completed":
+                    break
+                await asyncio.sleep(0.2)
+            assert s["status"] == "completed"  # re-processed back to completed
+
+    run(go())
