@@ -30,6 +30,9 @@ class AuthConfig(BaseModel):
     dev_user_id: str = "dev_user"
     dev_entity_type: str = "developer"
     dev_permissions: List[str] = Field(default_factory=lambda: ["read", "write", "admin"])
+    # Password gating /local/generate_uri (reference LOCAL_URI_PASSWORD,
+    # core/api.py:963-977). Required when bypass_auth_mode is off.
+    local_uri_password: Optional[str] = None
 
 
 class ServiceConfig(BaseModel):
@@ -151,6 +154,10 @@ class MorphikFlags(BaseModel):
     # POST /embeddings) instead of running the tower in-process.
     colpali_mode: Literal["off", "local", "api"] = "local"
     morphik_embedding_api_endpoints: List[str] = Field(default_factory=list)
+    # Bearer key protecting POST /embeddings (reference
+    # MORPHIK_EMBEDDING_API_KEY, colpali_api_embedding_model.py:285).
+    # When unset, /embeddings falls back to the normal JWT auth path.
+    morphik_embedding_api_key: Optional[str] = None
     mode: Literal["self_hosted", "cloud"] = "self_hosted"
 
 
@@ -189,6 +196,19 @@ _settings: Optional[Settings] = None
 _settings_path: Optional[str] = None
 
 
+def _apply_env_overrides(s: Settings) -> Settings:
+    """Secrets come from env vars, never the TOML (reference config.py
+    reads JWT_SECRET_KEY / LOCAL_URI_PASSWORD / MORPHIK_EMBEDDING_API_KEY
+    from the environment)."""
+    if os.environ.get("JWT_SECRET_KEY"):
+        s.auth.jwt_secret_key = os.environ["JWT_SECRET_KEY"]
+    if os.environ.get("LOCAL_URI_PASSWORD"):
+        s.auth.local_uri_password = os.environ["LOCAL_URI_PASSWORD"]
+    if os.environ.get("MORPHIK_EMBEDDING_API_KEY"):
+        s.morphik.morphik_embedding_api_key = os.environ["MORPHIK_EMBEDDING_API_KEY"]
+    return s
+
+
 def load_settings(path: Optional[str | Path] = None) -> Settings:
     """Parse the TOML config at `path` (or defaults if absent)."""
     if path is None:
@@ -196,10 +216,10 @@ def load_settings(path: Optional[str | Path] = None) -> Settings:
         path = env if env else DEFAULT_CONFIG_FILENAME
     p = Path(path)
     if not p.exists():
-        return Settings()
+        return _apply_env_overrides(Settings())
     with open(p, "rb") as f:
         raw = tomllib.load(f)
-    return Settings.model_validate(raw)
+    return _apply_env_overrides(Settings.model_validate(raw))
 
 
 def get_settings(path: Optional[str | Path] = None, *, reload: bool = False) -> Settings:

@@ -56,6 +56,16 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 self.settings.model.checkpoint_path, mesh=mesh
             )
         else:
+            # Random weights serve garbage embeddings with HTTP 200 — only
+            # acceptable in development. A production/staging server must
+            # refuse to boot instead (reference always loads a real
+            # checkpoint, colpali_embedding_model.py:47-56).
+            if self.settings.service.environment != "development":
+                raise RuntimeError(
+                    "model.checkpoint_path is not configured and "
+                    f"service.environment={self.settings.service.environment!r}: refusing "
+                    "to serve random-weight embeddings outside development mode"
+                )
             logger.warning(
                 "No model.checkpoint_path configured — initializing a tiny random "
                 "ColQwen (dev/test mode; retrieval quality is meaningless)"

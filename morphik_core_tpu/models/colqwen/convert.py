@@ -27,7 +27,13 @@ def _find(state: Dict[str, np.ndarray], *names: str) -> np.ndarray:
     raise KeyError(f"none of {names} found (have {len(state)} keys, e.g. {list(state)[:5]})")
 
 
-def convert_state_dict(state: Dict[str, np.ndarray], cfg: ColQwenConfig, dtype=jnp.bfloat16) -> dict:
+def convert_state_dict(
+    state: Dict[str, np.ndarray],
+    cfg: ColQwenConfig,
+    dtype=jnp.bfloat16,
+    *,
+    allow_missing_projection: bool = False,
+) -> dict:
     """torch-layout state dict (numpy values) -> stacked-layer JAX pytree."""
 
     def t(x):  # torch Linear weight (out, in) -> (in, out)
@@ -121,7 +127,16 @@ def convert_state_dict(state: Dict[str, np.ndarray], cfg: ColQwenConfig, dtype=j
         params["proj_w"] = t(_find(state, "custom_text_proj.weight"))
         params["proj_b"] = a(_find(state, "custom_text_proj.bias"))
     except KeyError:
-        logger.warning("checkpoint has no custom_text_proj — using identity-ish random projection")
+        # A checkpoint without the ColPali projection head is a base
+        # Qwen2.5-VL (or mismatched) checkpoint: a random head would
+        # silently produce meaningless embeddings, so fail loudly unless
+        # a test explicitly opts into the random fallback.
+        if not allow_missing_projection:
+            raise KeyError(
+                "checkpoint has no custom_text_proj — this is not a ColPali-family "
+                "checkpoint (pass allow_missing_projection=True only for tests)"
+            )
+        logger.warning("checkpoint has no custom_text_proj — using random projection (test mode)")
         import jax
 
         k = jax.random.PRNGKey(0)
