@@ -139,6 +139,18 @@ class VectorStoreConfig(BaseModel):
     # factor at a small recall cost; queries are never pooled.
     multivector_pooling: int = 1
     index_path: str = "./storage/index"
+    # Device-resident ANN buffer dtype. int8 (per-row scale) is the
+    # default: the FDE scan is HBM-bandwidth-bound, so int8 is ~4x the
+    # scan rate of f32 AND what fits a 1M-page x 10,240-d index in one
+    # v5e chip's HBM; exact MaxSim rerank follows, so prefilter
+    # quantization noise only perturbs pool composition.
+    ann_dtype: Literal["int8", "bfloat16", "float32"] = "int8"
+    # Rows per immutable device block (single-chip path): ingest
+    # re-uploads only the tail block.
+    device_block_rows: int = 65536
+    # Tombstone compaction trigger: dead_rows/rows threshold.
+    compact_dead_fraction: float = 0.25
+    compact_min_rows: int = 4096
 
 
 class WorkerConfig(BaseModel):

@@ -10,17 +10,29 @@ TPU-resident structure (SURVEY.md §7 stage 2):
       (core/vector_store/multi_vector_store.py:39-980)
 
 Here:
-  - FDE vectors live in a device buffer (replicated on 1 chip, sharded
-    over the mesh's "data" axis on a pod), grown by power-of-2
-    capacity doubling so compiled programs are reused.
-  - Query = FDE matvec + local top-k + tiny ICI merge
-    (parallel/search.py), pool size min(multiplier*k, cap) like the
-    reference (fast_multivector_store.py:529-532).
+  - FDE vectors live in fixed-size device blocks (single chip) or a
+    row-sharded buffer over the mesh's "data" axis (pod). Blocks are
+    immutable once full, so an ingest job re-uploads only the tail
+    block — not the corpus.
+  - The device copy is int8-quantized by default (per-row scale):
+    the ANN scan is HBM-bandwidth-bound, so int8 is a 4x scan speedup
+    AND what lets a 1M-page x 10,240-d index fit one v5e chip
+    (10.2 GB vs 41 GB f32). Exact MaxSim reranking follows, so
+    prefilter quantization noise only perturbs pool composition.
+  - Query = blocked matvec top-k (async-dispatched across blocks) or
+    one shard_map matvec + tiny ICI all-gather merge (parallel/search.py),
+    pool size min(multiplier*k, cap) like the reference
+    (fast_multivector_store.py:529-532).
   - Exact MaxSim rerank of the pool runs through the Pallas kernel
     (ops/maxsim.py) over bucket-padded candidate multivectors.
-  - Full multivectors are kept host-side (numpy, fp16 by default) and
-    persisted as .npy under the index dir — same durable layout idea
-    as the reference's multivector/{doc_id}/{chunk}.npy objects.
+  - Persistence is APPEND-ONLY: fde.bin / mv.bin raw appends + a
+    records.jsonl WAL, so save() after an ingest job costs O(job), not
+    O(corpus) (the reference's analogue: one .npy object per chunk
+    streamed to S3, fast_multivector_store.py:673-707). Multivectors
+    are read back via mmap — host RSS stays page-cache-bounded at any
+    corpus size.
+  - Tombstones (upsert/delete) are compacted automatically once the
+    dead fraction crosses a threshold, bounding both file and HBM waste.
   - Authorization filtering = a validity mask built from doc ids
     (reference pre-filters ANN with document_id In [...]).
 """
@@ -29,6 +41,8 @@ from __future__ import annotations
 
 import json
 import logging
+import os
+import shutil
 import threading
 import time
 from dataclasses import dataclass, field
@@ -41,8 +55,19 @@ import numpy as np
 
 from morphik_core_tpu.ops.fde import FDEConfig, fde_document_batch, fde_query
 from morphik_core_tpu.ops.maxsim import maxsim_scores, pad_multivectors
+from morphik_core_tpu.parallel.search import quantize_rows_int8
 
 logger = logging.getLogger(__name__)
+
+FORMAT_VERSION = 2
+
+
+def _round_capacity(n: int, minimum: int = 1024) -> int:
+    """Power-of-2 capacity rounding (compiled-program reuse across grows)."""
+    c = minimum
+    while c < n:
+        c *= 2
+    return c
 
 
 @dataclass
@@ -52,13 +77,6 @@ class IndexRecord:
     metadata: Dict[str, Any] = field(default_factory=dict)
     content_key: Optional[str] = None  # storage key of the chunk payload
     n_tokens: int = 0
-
-
-def _round_capacity(n: int, minimum: int = 1024) -> int:
-    c = minimum
-    while c < n:
-        c *= 2
-    return c
 
 
 class MultiVectorIndex:
@@ -74,40 +92,75 @@ class MultiVectorIndex:
         store_dtype=np.float16,
         path: Optional[str | Path] = None,
         use_pallas: Optional[bool] = None,
+        ann_dtype: str = "int8",  # "int8" | "bfloat16" | "float32"
+        device_block_rows: int = 65536,
+        compact_dead_fraction: float = 0.25,
+        compact_min_rows: int = 4096,
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
         self.prefilter_multiplier = prefilter_multiplier
         self.prefilter_cap = prefilter_cap
-        self.store_dtype = store_dtype
+        self.store_dtype = np.dtype(store_dtype)
         self.use_pallas = use_pallas
         self.path = Path(path) if path else None
+        self.ann_dtype = ann_dtype
+        self.block_rows = int(device_block_rows)
+        self.compact_dead_fraction = compact_dead_fraction
+        self.compact_min_rows = compact_min_rows
 
         self._lock = threading.RLock()
         self.records: List[IndexRecord] = []
-        self.multivectors: List[np.ndarray] = []  # host copies (n_tokens, d)
         self._id_to_row: Dict[str, int] = {}  # "docid-chunkno" -> row
         self._doc_rows: Dict[str, List[int]] = {}
         self._alive = np.zeros(0, dtype=bool)
+        self._count = 0
+        self._dead = 0
 
         self._fde_dim = self.fde_config.fde_dim
-        self._capacity = 0
-        self._count = 0
-        self._fde_host = np.zeros((0, self._fde_dim), dtype=np.float32)
-        self._fde_dev = None  # device copy, refreshed lazily
-        self._dev_dirty = True
+        self._dim = self.fde_config.dimension
 
-        if self.path and (self.path / "meta.json").exists():
+        # --- persistence state: rows [0, _persisted) live in fde.bin /
+        # mv.bin (mmap-read); rows [_persisted, _count) are the pending
+        # tail held in RAM until the next flush.
+        self._persisted = 0
+        self._mv_off: List[int] = []  # per-row token offset into mv.bin (-1 = pending)
+        self._fde_mm: Optional[np.memmap] = None
+        self._mv_mm: Optional[np.memmap] = None
+        self._fde_pending: List[np.ndarray] = []
+        self._mv_pending: List[np.ndarray] = []
+        self._wal_buffer: List[dict] = []  # ops since last flush, in event order
+        self._mv_file_tokens = 0  # tokens already in mv.bin
+
+        # --- device state (single-chip blocked path). The active block
+        # size grows pow-2 with the corpus (compiled-program reuse, no
+        # 64k-row padding for small namespaces) and caps at block_rows.
+        self._active_block = 0
+        self._dev_blocks: List[Any] = []  # f/bf16 arrays or (int8, scales) tuples
+        self._dev_rows = 0  # rows reflected in _dev_blocks
+        self._mask_blocks: List[jax.Array] = []
+        self._mask_rows = 0  # rows reflected in _mask_blocks (0 = rebuild all)
+        # --- device state (mesh path: one sharded buffer, refreshed when dirty)
+        self._mesh_dev = None
+        self._mesh_rows = -1
+
+        if self.path and (
+            (self.path / "records.jsonl").exists() or (self.path / "meta.json").exists()
+        ):
             self._load()
 
     # ------------------------------------------------------------------ size
 
     def __len__(self) -> int:
-        return int(self._alive[: self._count].sum()) if self._count else 0
+        return self._count - self._dead
 
     @property
     def count_rows(self) -> int:
         return self._count
+
+    @property
+    def dead_fraction(self) -> float:
+        return self._dead / self._count if self._count else 0.0
 
     # ----------------------------------------------------------------- store
 
@@ -127,24 +180,40 @@ class MultiVectorIndex:
         ids = []
         with self._lock:
             need = self._count + len(records)
-            if need > self._capacity:
-                self._grow(need)
+            if need > len(self._alive):
+                alive = np.zeros(max(1024, 2 * need), dtype=bool)
+                alive[: self._count] = self._alive[: self._count]
+                self._alive = alive
             for mv, rec, fv in zip(multivectors, records, fde_vectors):
                 sid = f"{rec.document_id}-{rec.chunk_number}"
                 old = self._id_to_row.get(sid)
-                if old is not None:
+                if old is not None and self._alive[old]:
                     self._alive[old] = False
+                    self._dead += 1
                 row = self._count
+                mv = np.ascontiguousarray(mv, dtype=self.store_dtype)
                 rec.n_tokens = int(mv.shape[0])
                 self.records.append(rec)
-                self.multivectors.append(np.asarray(mv, dtype=self.store_dtype))
-                self._fde_host[row] = fv
+                self._mv_off.append(-1)
+                self._mv_pending.append(mv)
+                self._fde_pending.append(np.asarray(fv, dtype=np.float32))
                 self._alive[row] = True
                 self._id_to_row[sid] = row
                 self._doc_rows.setdefault(rec.document_id, []).append(row)
+                self._wal_buffer.append(
+                    {
+                        "op": "add",
+                        "document_id": rec.document_id,
+                        "chunk_number": rec.chunk_number,
+                        "metadata": rec.metadata,
+                        "content_key": rec.content_key,
+                        "n_tokens": rec.n_tokens,
+                    }
+                )
                 self._count += 1
                 ids.append(sid)
-            self._dev_dirty = True
+            self._mesh_rows = -1
+            self._maybe_compact()
         return ids
 
     def encode_documents(self, multivectors: Sequence[np.ndarray]) -> np.ndarray:
@@ -162,46 +231,205 @@ class MultiVectorIndex:
             for r in rows:
                 if self._alive[r]:
                     self._alive[r] = False
+                    self._dead += 1
                     n += 1
+                    self._mask_rows = min(self._mask_rows, r)
                 sid = f"{self.records[r].document_id}-{self.records[r].chunk_number}"
                 self._id_to_row.pop(sid, None)
-                self.multivectors[r] = np.zeros((0, self.fde_config.dimension), self.store_dtype)
             if n:
-                self._dev_dirty = True
+                self._wal_buffer.append({"op": "del_doc", "document_id": document_id})
+                self._mesh_rows = -1
+                self._maybe_compact()
             return n
 
-    def _grow(self, need: int) -> None:
-        new_cap = _round_capacity(need)
-        fde = np.zeros((new_cap, self._fde_dim), dtype=np.float32)
-        fde[: self._count] = self._fde_host[: self._count]
-        alive = np.zeros(new_cap, dtype=bool)
-        alive[: self._count] = self._alive[: self._count]
-        self._fde_host, self._alive, self._capacity = fde, alive, new_cap
-        self._dev_dirty = True
+    # ------------------------------------------------------------- row access
+
+    def _fde_rows(self, start: int, stop: int) -> np.ndarray:
+        """FDE vectors for rows [start, stop) as float32 (mmap + pending)."""
+        parts = []
+        if start < self._persisted:
+            parts.append(np.asarray(self._fde_mm[start : min(stop, self._persisted)]))
+        if stop > self._persisted:
+            lo = max(start, self._persisted) - self._persisted
+            hi = stop - self._persisted
+            pend = self._fde_pending[lo:hi]
+            if pend:
+                parts.append(np.stack(pend))
+        if not parts:
+            return np.zeros((0, self._fde_dim), dtype=np.float32)
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
+
+    def _mv_row(self, row: int) -> np.ndarray:
+        """One multivector (n_tokens, dim) in store dtype (mmap or pending)."""
+        if row >= self._persisted:
+            return self._mv_pending[row - self._persisted]
+        off = self._mv_off[row]
+        n = self.records[row].n_tokens
+        return np.asarray(self._mv_mm[off : off + n])
 
     # ----------------------------------------------------------------- query
 
-    def _device_fde(self):
-        if self._dev_dirty or self._fde_dev is None:
-            buf = self._fde_host[: self._capacity]
-            if self.mesh is not None:
-                from morphik_core_tpu.parallel.search import shard_rows
-
-                self._fde_dev = jax.device_put(buf, shard_rows(self.mesh))
-            else:
-                self._fde_dev = jnp.asarray(buf)
-            self._dev_dirty = False
-        return self._fde_dev
-
     def _valid_mask(self, doc_ids: Optional[Sequence[str]]) -> np.ndarray:
-        mask = self._alive[: self._capacity].copy()
+        mask = self._alive[: self._count].copy()
         if doc_ids is not None:
-            allowed = np.zeros(self._capacity, dtype=bool)
+            allowed = np.zeros(self._count, dtype=bool)
             for d in doc_ids:
                 for r in self._doc_rows.get(d, []):
                     allowed[r] = True
             mask &= allowed
         return mask
+
+    # --- device upload -----------------------------------------------------
+
+    def _target_block_rows(self) -> int:
+        return min(self.block_rows, _round_capacity(max(self._count, 1)))
+
+    def _sync_block_size(self) -> None:
+        B = self._target_block_rows()
+        if B != self._active_block:
+            self._active_block = B
+            self._dev_blocks = []
+            self._dev_rows = 0
+            self._mask_blocks = []
+            self._mask_rows = 0
+
+    def _block_arrays(self, b: int):
+        """Build the device payload for block b from host rows."""
+        B = self._active_block
+        lo, hi = b * B, min((b + 1) * B, self._count)
+        rows = self._fde_rows(lo, hi)
+        if self.ann_dtype == "int8":
+            q, s = quantize_rows_int8(rows)
+            if rows.shape[0] < B:
+                pad = B - rows.shape[0]
+                q = np.concatenate([q, np.zeros((pad, self._fde_dim), np.int8)])
+                s = np.concatenate([s, np.ones(pad, np.float32)])
+            return jnp.asarray(q), jnp.asarray(s)
+        if rows.shape[0] < B:
+            rows = np.concatenate(
+                [rows, np.zeros((B - rows.shape[0], self._fde_dim), np.float32)]
+            )
+        dt = jnp.bfloat16 if self.ann_dtype == "bfloat16" else jnp.float32
+        return jnp.asarray(rows, dt)
+
+    def _ensure_device_blocks(self) -> None:
+        """Refresh blocks covering rows >= _dev_rows (the tail); full
+        blocks below _dev_rows are immutable and stay resident."""
+        self._sync_block_size()
+        if self._dev_rows == self._count and self._dev_blocks:
+            return
+        B = self._active_block
+        first_dirty = self._dev_rows // B
+        n_blocks = -(-self._count // B)
+        del self._dev_blocks[first_dirty:]
+        for b in range(first_dirty, n_blocks):
+            self._dev_blocks.append(self._block_arrays(b))
+        self._dev_rows = self._count
+
+    def _ensure_mask_blocks(self) -> None:
+        self._sync_block_size()
+        if self._mask_rows == self._count and len(self._mask_blocks):
+            return
+        B = self._active_block
+        first_dirty = min(self._mask_rows // B, len(self._mask_blocks))
+        n_blocks = -(-self._count // B)
+        del self._mask_blocks[first_dirty:]
+        alive = self._alive
+        for b in range(first_dirty, n_blocks):
+            lo, hi = b * B, min((b + 1) * B, self._count)
+            m = np.zeros(B, np.float32)
+            m[: hi - lo] = alive[lo:hi]
+            self._mask_blocks.append(jnp.asarray(m))
+        self._mask_rows = self._count
+
+    def _mesh_buffer(self):
+        if self._mesh_rows != self._count or self._mesh_dev is None:
+            from morphik_core_tpu.parallel.search import shard_rows, shard_vec
+
+            n_dev = self.mesh.shape["data"]
+            padded = max(-(-self._count // n_dev) * n_dev, n_dev)
+            rows = self._fde_rows(0, self._count)
+            if padded > rows.shape[0]:
+                rows = np.concatenate(
+                    [rows, np.zeros((padded - rows.shape[0], self._fde_dim), np.float32)]
+                )
+            if self.ann_dtype == "int8":
+                q, s = quantize_rows_int8(rows)
+                self._mesh_dev = (
+                    jax.device_put(q, shard_rows(self.mesh)),
+                    jax.device_put(s, shard_vec(self.mesh)),
+                )
+            else:
+                dt = np.float32 if self.ann_dtype == "float32" else jnp.bfloat16
+                self._mesh_dev = jax.device_put(rows.astype(dt), shard_rows(self.mesh))
+            self._mesh_rows = self._count
+        return self._mesh_dev
+
+    # --- search ------------------------------------------------------------
+
+    def _ann_pool(
+        self, qe: np.ndarray, mask: np.ndarray, pool_size: int, unfiltered: bool = False
+    ) -> List[int]:
+        """Top-`pool_size` candidate rows by FDE dot product."""
+        from morphik_core_tpu.parallel.search import (
+            block_topk,
+            block_topk_q,
+            make_sharded_search,
+            make_sharded_search_q,
+            shard_vec,
+        )
+
+        if self.mesh is not None:
+            dev = self._mesh_buffer()
+            n_dev = self.mesh.shape["data"]
+            padded = max(-(-self._count // n_dev) * n_dev, n_dev)
+            m = np.zeros(padded, np.float32)
+            m[: self._count] = mask
+            mask_dev = jax.device_put(m, shard_vec(self.mesh))
+            # pow-2 bucket the compiled top-k size so corpus growth doesn't
+            # recompile the kernel per query; extra candidates are trimmed
+            # by the host-side merge below
+            k = min(_round_capacity(pool_size, minimum=16), padded // n_dev)
+            if self.ann_dtype == "int8":
+                qq, qs = quantize_rows_int8(qe[None])
+                search = make_sharded_search_q(self.mesh, k)
+                scores, idx = search(dev[0], dev[1], mask_dev, jnp.asarray(qq[0]), jnp.asarray(qs[0]))
+            else:
+                search = make_sharded_search(self.mesh, k)
+                scores, idx = search(dev, jnp.asarray(qe), mask_dev)
+            idx, scores = np.asarray(idx), np.asarray(scores)
+            return [int(i) for i, s in zip(idx, scores) if np.isfinite(s) and i < self._count]
+
+        # blocked single-device path
+        self._ensure_device_blocks()
+        use_cached_mask = unfiltered
+        if use_cached_mask:
+            self._ensure_mask_blocks()
+        B = self._active_block
+        kb = min(_round_capacity(pool_size, minimum=16), B)
+        if self.ann_dtype == "int8":
+            qq, qs = quantize_rows_int8(qe[None])
+            q_dev, qs_dev = jnp.asarray(qq[0]), jnp.asarray(qs[0])
+        else:
+            q_dev = jnp.asarray(qe)
+        outs = []
+        for b, block in enumerate(self._dev_blocks):
+            if use_cached_mask:
+                m_dev = self._mask_blocks[b]
+            else:
+                lo, hi = b * B, min((b + 1) * B, self._count)
+                m = np.zeros(B, np.float32)
+                m[: hi - lo] = mask[lo:hi]
+                m_dev = jnp.asarray(m)
+            if self.ann_dtype == "int8":
+                v, i = block_topk_q(block[0], block[1], m_dev, q_dev, qs_dev, kb)
+            else:
+                v, i = block_topk(block, q_dev, m_dev, kb)
+            outs.append((v, i, b * B))  # async dispatch; fetch below
+        vs = np.concatenate([np.asarray(v) for v, _, _ in outs])
+        gi = np.concatenate([np.asarray(i) + base for _, i, base in outs])
+        order = np.argsort(-vs)[:pool_size]
+        return [int(gi[o]) for o in order if np.isfinite(vs[o])]
 
     def query(
         self,
@@ -212,49 +440,42 @@ class MultiVectorIndex:
     ) -> List[Tuple[IndexRecord, float]]:
         """Two-stage search: FDE ANN pool -> exact MaxSim rerank -> top-k.
         Returns [(record, score)] best-first."""
-        t0 = time.perf_counter()
-        if self._count == 0 or k <= 0:
-            return []
-        q = np.asarray(query_embedding, dtype=np.float32)
-        qe = np.asarray(fde_query(jnp.asarray(q), self.fde_config))
-        t1 = time.perf_counter()
+        with self._lock:
+            t0 = time.perf_counter()
+            if self._count == 0 or k <= 0:
+                return []
+            q = np.asarray(query_embedding, dtype=np.float32)
+            qe = np.asarray(fde_query(jnp.asarray(q), self.fde_config))
+            t1 = time.perf_counter()
 
-        pool_size = min(self.prefilter_multiplier * k, self.prefilter_cap)
-        pool_size = min(max(pool_size, k), self._capacity)
-        mask = self._valid_mask(doc_ids)
-        if not mask.any():
-            return []
-        f = self._device_fde()
-        if self.mesh is not None:
-            from morphik_core_tpu.parallel.search import make_sharded_search, shard_vec
-
-            search = make_sharded_search(self.mesh, pool_size)
-            mask_dev = jax.device_put(mask.astype(np.float32), shard_vec(self.mesh))
-            scores, idx = search(f, jnp.asarray(qe), mask_dev)
-        else:
-            from morphik_core_tpu.parallel.search import single_device_search
-
-            scores, idx = single_device_search(f, jnp.asarray(qe), jnp.asarray(mask.astype(np.float32)), pool_size)
-        idx = np.asarray(idx)
-        pool = [int(i) for i, s in zip(idx, np.asarray(scores)) if np.isfinite(s)]
-        t2 = time.perf_counter()
-        if not pool:
-            return []
-
-        # exact rerank of the pool
-        cand = [self.multivectors[r].astype(np.float32) for r in pool]
-        dense, dmask = pad_multivectors(cand)
-        rescores = np.asarray(
-            maxsim_scores(jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask), use_pallas=self.use_pallas)
-        )
-        order = np.argsort(-rescores)[: min(k, len(pool))]
-        t3 = time.perf_counter()
-        if return_timing:
-            logger.info(
-                "index.query timing encode=%.1fms ann=%.1fms rerank=%.1fms pool=%d",
-                (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3, len(pool),
+            pool_size = min(self.prefilter_multiplier * k, self.prefilter_cap)
+            pool_size = min(max(pool_size, k), self._count)
+            mask = self._valid_mask(doc_ids)
+            if not mask.any():
+                return []
+            pool = self._ann_pool(
+                qe, mask.astype(np.float32), pool_size, unfiltered=doc_ids is None
             )
-        return [(self.records[pool[i]], float(rescores[i])) for i in order]
+            t2 = time.perf_counter()
+            if not pool:
+                return []
+
+            # exact rerank of the pool (host gather from mmap/pending)
+            cand = [self._mv_row(r).astype(np.float32) for r in pool]
+            dense, dmask = pad_multivectors(cand)
+            rescores = np.asarray(
+                maxsim_scores(
+                    jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask), use_pallas=self.use_pallas
+                )
+            )
+            order = np.argsort(-rescores)[: min(k, len(pool))]
+            t3 = time.perf_counter()
+            if return_timing:
+                logger.info(
+                    "index.query timing encode=%.1fms ann=%.1fms rerank=%.1fms pool=%d",
+                    (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3, len(pool),
+                )
+            return [(self.records[pool[i]], float(rescores[i])) for i in order]
 
     def get_chunks_by_id(self, chunk_ids: Sequence[Tuple[str, int]]) -> List[Optional[IndexRecord]]:
         out = []
@@ -267,75 +488,306 @@ class MultiVectorIndex:
         row = self._id_to_row.get(f"{document_id}-{chunk_number}")
         if row is None or not self._alive[row]:
             return None
-        return self.multivectors[row].astype(np.float32)
+        return self._mv_row(row).astype(np.float32)
 
     # ------------------------------------------------------------- persistence
+    #
+    # Layout under self.path:
+    #   header.json    — format version + FDE config + store dtype
+    #   records.jsonl  — append-only op log (add / del_doc), replayed on load
+    #   fde.bin        — raw float32 rows, appended in row order
+    #   mv.bin         — raw store_dtype tokens, appended; rows located by
+    #                    (token offset, n_tokens)
+
+    def _header(self) -> dict:
+        return {
+            "format": FORMAT_VERSION,
+            "store_dtype": self.store_dtype.name,
+            "fde": {
+                "dimension": self.fde_config.dimension,
+                "num_repetitions": self.fde_config.num_repetitions,
+                "num_simhash_projections": self.fde_config.num_simhash_projections,
+                "projection_dimension": self.fde_config.projection_dimension,
+                "projection_type": self.fde_config.projection_type,
+                "seed": self.fde_config.seed,
+            },
+        }
 
     def save(self) -> None:
-        """Durable snapshot: meta.json + fde.npy + mv_{row}.npy payloads."""
+        """Flush the pending tail: O(new rows since last save), not
+        O(corpus) — fde/mv data is appended, WAL lines are appended."""
         if not self.path:
             raise ValueError("index created without a path")
         with self._lock:
             self.path.mkdir(parents=True, exist_ok=True)
-            meta = {
-                "count": self._count,
-                "fde": {
-                    "dimension": self.fde_config.dimension,
-                    "num_repetitions": self.fde_config.num_repetitions,
-                    "num_simhash_projections": self.fde_config.num_simhash_projections,
-                    "projection_dimension": self.fde_config.projection_dimension,
-                    "projection_type": self.fde_config.projection_type,
-                    "seed": self.fde_config.seed,
-                },
-                "records": [
-                    {
-                        "document_id": r.document_id,
-                        "chunk_number": r.chunk_number,
-                        "metadata": r.metadata,
-                        "content_key": r.content_key,
-                        "n_tokens": r.n_tokens,
-                        "alive": bool(self._alive[i]),
-                    }
-                    for i, r in enumerate(self.records)
-                ],
-            }
-            with open(self.path / "meta.json", "w") as fh:
-                json.dump(meta, fh)
-            np.save(self.path / "fde.npy", self._fde_host[: self._count])
-            mv_dir = self.path / "multivectors"
-            mv_dir.mkdir(exist_ok=True)
-            for i, mv in enumerate(self.multivectors):
-                if self._alive[i]:
-                    np.save(mv_dir / f"{i}.npy", mv)
+            hdr = self.path / "header.json"
+            if not hdr.exists():
+                with open(hdr, "w") as fh:
+                    json.dump(self._header(), fh)
+            if not self._wal_buffer and self._persisted == self._count:
+                return
+            # 1) data appends BEFORE the WAL lines that reference them —
+            #    a crash in between leaves harmless orphan bytes that the
+            #    loader truncates.
+            if self._fde_pending:
+                with open(self.path / "fde.bin", "ab") as fh:
+                    fh.write(np.stack(self._fde_pending).tobytes())
+            new_offs: List[int] = []
+            if self._mv_pending:
+                off = self._mv_file_tokens
+                bufs = []
+                for mv in self._mv_pending:
+                    new_offs.append(off)
+                    off += mv.shape[0]
+                    bufs.append(mv.tobytes())
+                with open(self.path / "mv.bin", "ab") as fh:
+                    fh.write(b"".join(bufs))
+                self._mv_file_tokens = off
+            # 2) WAL lines (adds get their mv offsets in append order)
+            it = iter(new_offs)
+            lines = []
+            for op in self._wal_buffer:
+                if op["op"] == "add":
+                    op = {**op, "mv_off": next(it)}
+                lines.append(json.dumps(op, default=str))
+            with open(self.path / "records.jsonl", "a") as fh:
+                fh.write("".join(line + "\n" for line in lines))
+                fh.flush()
+                os.fsync(fh.fileno())
+            # 3) promote pending -> persisted
+            for i, off in enumerate(new_offs):
+                self._mv_off[self._persisted + i] = off
+            self._persisted = self._count
+            self._fde_pending.clear()
+            self._mv_pending.clear()
+            self._wal_buffer.clear()
+            self._open_mmaps()
+
+    def _open_mmaps(self) -> None:
+        fde_p, mv_p = self.path / "fde.bin", self.path / "mv.bin"
+        if self._persisted and fde_p.exists():
+            self._fde_mm = np.memmap(
+                fde_p, dtype=np.float32, mode="r", shape=(self._persisted, self._fde_dim)
+            )
+        if self._mv_file_tokens and mv_p.exists():
+            self._mv_mm = np.memmap(
+                mv_p, dtype=self.store_dtype, mode="r", shape=(self._mv_file_tokens, self._dim)
+            )
 
     def _load(self) -> None:
+        if not (self.path / "records.jsonl").exists():
+            self._load_legacy()
+            return
+        with open(self.path / "header.json") as fh:
+            hdr = json.load(fh)
+        if hdr["fde"]["dimension"] != self.fde_config.dimension or (
+            hdr["fde"]["num_repetitions"] != self.fde_config.num_repetitions
+        ):
+            raise ValueError(
+                f"index at {self.path} was built with a different FDE config: {hdr['fde']}"
+            )
+        self.store_dtype = np.dtype(hdr.get("store_dtype", "float16"))
+        fde_rows_on_disk = (self.path / "fde.bin").stat().st_size // (4 * self._fde_dim) if (
+            self.path / "fde.bin"
+        ).exists() else 0
+        mv_tokens_on_disk = (self.path / "mv.bin").stat().st_size // (
+            self.store_dtype.itemsize * self._dim
+        ) if (self.path / "mv.bin").exists() else 0
+
+        with open(self.path / "records.jsonl") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    op = json.loads(line)
+                except json.JSONDecodeError:
+                    logger.warning("truncated WAL line in %s — stopping replay", self.path)
+                    break
+                if op["op"] == "add":
+                    row = self._count
+                    if row >= fde_rows_on_disk or op["mv_off"] + op["n_tokens"] > mv_tokens_on_disk:
+                        logger.warning("WAL references missing data in %s — stopping replay", self.path)
+                        break
+                    rec = IndexRecord(
+                        document_id=op["document_id"],
+                        chunk_number=op["chunk_number"],
+                        metadata=op.get("metadata") or {},
+                        content_key=op.get("content_key"),
+                        n_tokens=op["n_tokens"],
+                    )
+                    sid = f"{rec.document_id}-{rec.chunk_number}"
+                    old = self._id_to_row.get(sid)
+                    if row >= len(self._alive):
+                        alive = np.zeros(max(1024, 2 * (row + 1)), dtype=bool)
+                        alive[: self._count] = self._alive[: self._count]
+                        self._alive = alive
+                    if old is not None and self._alive[old]:
+                        self._alive[old] = False
+                        self._dead += 1
+                    self.records.append(rec)
+                    self._mv_off.append(op["mv_off"])
+                    self._alive[row] = True
+                    self._id_to_row[sid] = row
+                    self._doc_rows.setdefault(rec.document_id, []).append(row)
+                    self._count += 1
+                elif op["op"] == "del_doc":
+                    for r in self._doc_rows.pop(op["document_id"], []):
+                        if self._alive[r]:
+                            self._alive[r] = False
+                            self._dead += 1
+                        sid = f"{self.records[r].document_id}-{self.records[r].chunk_number}"
+                        self._id_to_row.pop(sid, None)
+        self._persisted = self._count
+        # truncate orphan bytes (data appended but WAL write crashed) so
+        # future appends stay row-aligned
+        if fde_rows_on_disk > self._count:
+            with open(self.path / "fde.bin", "r+b") as fh:
+                fh.truncate(self._count * 4 * self._fde_dim)
+        used_tokens = max(
+            (self._mv_off[r] + self.records[r].n_tokens for r in range(self._count)),
+            default=0,
+        )
+        if mv_tokens_on_disk > used_tokens:
+            with open(self.path / "mv.bin", "r+b") as fh:
+                fh.truncate(used_tokens * self.store_dtype.itemsize * self._dim)
+        self._mv_file_tokens = used_tokens
+        self._open_mmaps()
+
+    def _load_legacy(self) -> None:
+        """Read the round-1 snapshot layout (meta.json + fde.npy +
+        multivectors/{row}.npy). Dead rows are dropped on the way in
+        (compact-on-migrate); alive rows become a pending tail that the
+        next save() writes in the append-only format."""
         with open(self.path / "meta.json") as fh:
             meta = json.load(fh)
         fde = np.load(self.path / "fde.npy")
-        n = meta["count"]
-        self._capacity = _round_capacity(max(n, 1))
-        self._fde_host = np.zeros((self._capacity, self._fde_dim), dtype=np.float32)
-        self._fde_host[:n] = fde
-        self._alive = np.zeros(self._capacity, dtype=bool)
-        self._count = n
         mv_dir = self.path / "multivectors"
         for i, rm in enumerate(meta["records"]):
+            if not rm.get("alive", True):
+                continue
+            f = mv_dir / f"{i}.npy"
+            mv = np.load(f).astype(self.store_dtype) if f.exists() else np.zeros(
+                (0, self._dim), self.store_dtype
+            )
             rec = IndexRecord(
                 document_id=rm["document_id"],
                 chunk_number=rm["chunk_number"],
                 metadata=rm["metadata"],
                 content_key=rm.get("content_key"),
-                n_tokens=rm.get("n_tokens", 0),
+                n_tokens=rm.get("n_tokens", mv.shape[0]),
             )
+            row = self._count
+            if row >= len(self._alive):
+                a = np.zeros(max(1024, 2 * (row + 1)), dtype=bool)
+                a[: self._count] = self._alive[: self._count]
+                self._alive = a
             self.records.append(rec)
-            alive = rm.get("alive", True)
-            self._alive[i] = alive
-            f = mv_dir / f"{i}.npy"
-            if alive and f.exists():
-                self.multivectors.append(np.load(f))
+            self._mv_off.append(-1)
+            self._mv_pending.append(mv)
+            self._fde_pending.append(np.asarray(fde[i], np.float32))
+            self._alive[row] = True
+            self._id_to_row[f"{rec.document_id}-{rec.chunk_number}"] = row
+            self._doc_rows.setdefault(rec.document_id, []).append(row)
+            self._wal_buffer.append(
+                {
+                    "op": "add",
+                    "document_id": rec.document_id,
+                    "chunk_number": rec.chunk_number,
+                    "metadata": rec.metadata,
+                    "content_key": rec.content_key,
+                    "n_tokens": rec.n_tokens,
+                }
+            )
+            self._count += 1
+        logger.info("migrated legacy snapshot at %s (%d alive rows)", self.path, self._count)
+
+    # ------------------------------------------------------------- compaction
+
+    def _maybe_compact(self) -> None:
+        if (
+            self._count >= self.compact_min_rows
+            and self.dead_fraction > self.compact_dead_fraction
+        ):
+            self.compact()
+
+    def compact(self) -> None:
+        """Drop tombstoned rows: rewrite files (if persistent) and rebuild
+        in-memory + device state. O(alive rows); amortized by the
+        dead-fraction trigger."""
+        with self._lock:
+            keep = [r for r in range(self._count) if self._alive[r]]
+            new_records: List[IndexRecord] = []
+            new_fde_pending: List[np.ndarray] = []
+            new_mv_pending: List[np.ndarray] = []
+            new_id_to_row: Dict[str, int] = {}
+            new_doc_rows: Dict[str, List[int]] = {}
+            for new_row, r in enumerate(keep):
+                rec = self.records[r]
+                new_records.append(rec)
+                new_fde_pending.append(np.asarray(self._fde_rows(r, r + 1)[0]))
+                new_mv_pending.append(np.asarray(self._mv_row(r)))
+                new_id_to_row[f"{rec.document_id}-{rec.chunk_number}"] = new_row
+                new_doc_rows.setdefault(rec.document_id, []).append(new_row)
+
+            if self.path and self.path.exists():
+                tmp = self.path.with_name(self.path.name + ".compact")
+                if tmp.exists():
+                    shutil.rmtree(tmp)
+                old_path = self.path
+                try:
+                    self.path = tmp
+                    self._reset_state(new_records, new_fde_pending, new_mv_pending,
+                                      new_id_to_row, new_doc_rows)
+                    self.save()
+                finally:
+                    self.path = old_path
+                for name in ("header.json", "records.jsonl", "fde.bin", "mv.bin"):
+                    src = tmp / name
+                    if src.exists():
+                        os.replace(src, self.path / name)
+                shutil.rmtree(tmp, ignore_errors=True)
+                # legacy snapshot files are superseded
+                (self.path / "meta.json").unlink(missing_ok=True)
+                legacy = self.path / "multivectors"
+                if legacy.exists():
+                    shutil.rmtree(legacy, ignore_errors=True)
+                self._open_mmaps()
             else:
-                self.multivectors.append(np.zeros((0, self.fde_config.dimension), self.store_dtype))
-            if alive:
-                self._id_to_row[f"{rec.document_id}-{rec.chunk_number}"] = i
-                self._doc_rows.setdefault(rec.document_id, []).append(i)
-        self._dev_dirty = True
+                self._reset_state(new_records, new_fde_pending, new_mv_pending,
+                                  new_id_to_row, new_doc_rows)
+            logger.info("compacted index: %d rows kept", len(new_records))
+
+    def _reset_state(self, records, fde_pending, mv_pending, id_to_row, doc_rows) -> None:
+        self.records = records
+        self._fde_pending = fde_pending
+        self._mv_pending = mv_pending
+        self._id_to_row = id_to_row
+        self._doc_rows = doc_rows
+        self._count = len(records)
+        self._dead = 0
+        self._persisted = 0
+        self._mv_off = [-1] * self._count
+        self._mv_file_tokens = 0
+        self._fde_mm = None
+        self._mv_mm = None
+        alive = np.zeros(max(1024, 2 * max(self._count, 1)), dtype=bool)
+        alive[: self._count] = True
+        self._alive = alive
+        self._wal_buffer = [
+            {
+                "op": "add",
+                "document_id": r.document_id,
+                "chunk_number": r.chunk_number,
+                "metadata": r.metadata,
+                "content_key": r.content_key,
+                "n_tokens": r.n_tokens,
+            }
+            for r in records
+        ]
+        self._dev_blocks = []
+        self._dev_rows = 0
+        self._mask_blocks = []
+        self._mask_rows = 0
+        self._mesh_dev = None
+        self._mesh_rows = -1

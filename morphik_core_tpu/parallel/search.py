@@ -68,3 +68,69 @@ def single_device_search(f: jax.Array, q: jax.Array, mask: jax.Array, k: int) ->
     scores = f @ q
     scores = jnp.where(mask > 0, scores, -jnp.inf)
     return jax.lax.top_k(scores, k)
+
+
+# ---------------------------------------------------------------- quantized
+
+def _local_topk_kernel_q(fq_shard, scale_shard, mask_shard, qq, q_scale, k: int, axis: str):
+    """int8 variant of _local_topk_kernel: rows stored as int8 with a
+    per-row scale; the dot runs on the MXU in int8 -> int32 (4x the HBM
+    bandwidth of f32 — the ANN scan is bandwidth-bound)."""
+    s32 = jax.lax.dot_general(
+        fq_shard, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = s32.astype(jnp.float32) * scale_shard * q_scale
+    scores = jnp.where(mask_shard > 0, scores, -jnp.inf)
+    v, i = jax.lax.top_k(scores, k)
+    base = jax.lax.axis_index(axis) * fq_shard.shape[0]
+    v_all = jax.lax.all_gather(v, axis).reshape(-1)
+    i_all = jax.lax.all_gather(i + base, axis).reshape(-1)
+    vm, im = jax.lax.top_k(v_all, k)
+    return vm, i_all[im]
+
+
+@functools.lru_cache(maxsize=32)
+def make_sharded_search_q(mesh: Mesh, k: int, axis: str = "data"):
+    """Quantized (int8 + per-row scale) mesh search: (Fq sharded, scales
+    sharded, mask sharded, q int8 replicated, q_scale) -> global top-k."""
+    fn = jax.shard_map(
+        functools.partial(_local_topk_kernel_q, k=k, axis=axis),
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def block_topk(f, q, mask, k: int) -> Tuple[jax.Array, jax.Array]:
+    """One fixed-shape block of the single-device blocked ANN scan
+    (float32/bfloat16 rows)."""
+    scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
+    scores = jnp.where(mask > 0, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def block_topk_q(fq, scales, mask, qq, q_scale, k: int) -> Tuple[jax.Array, jax.Array]:
+    """int8 block: rows int8 (B, D) + per-row scale (B,); query int8 (D,)
+    + scalar scale. MXU int8 dot -> int32, then rescale."""
+    s32 = jax.lax.dot_general(
+        fq, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    scores = s32.astype(jnp.float32) * scales * q_scale
+    scores = jnp.where(mask > 0, scores, -jnp.inf)
+    return jax.lax.top_k(scores, k)
+
+
+def quantize_rows_int8(x) -> Tuple["jax.Array", "jax.Array"]:
+    """Symmetric per-row int8 quantization (host-side, numpy).
+    Returns (int8 rows, float32 per-row scales)."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float32)
+    s = np.max(np.abs(x), axis=-1) / 127.0
+    s = np.where(s == 0, 1.0, s).astype(np.float32)
+    q = np.clip(np.rint(x / s[..., None]), -127, 127).astype(np.int8)
+    return q, s

@@ -212,6 +212,10 @@ def build_services(
             pooling_factor=settings.vector_store.multivector_pooling,
             # None = auto (Pallas on TPU backends only); False = force XLA path
             use_pallas=None if settings.tpu.use_pallas else False,
+            ann_dtype=settings.vector_store.ann_dtype,
+            device_block_rows=settings.vector_store.device_block_rows,
+            compact_dead_fraction=settings.vector_store.compact_dead_fraction,
+            compact_min_rows=settings.vector_store.compact_min_rows,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

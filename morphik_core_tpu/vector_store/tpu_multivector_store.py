@@ -52,6 +52,10 @@ class TPUMultiVectorStore(BaseVectorStore):
         provider: str = "fde",  # "fde" (two-stage, reference 'morphik') |
         #                         "binary" (exact Hamming scan, reference 'postgres')
         pooling_factor: int = 1,
+        ann_dtype: str = "int8",
+        device_block_rows: int = 65536,
+        compact_dead_fraction: float = 0.25,
+        compact_min_rows: int = 4096,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -63,6 +67,10 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.prefilter_cap = prefilter_cap
         self.use_pallas = use_pallas
         self.provider = provider
+        self.ann_dtype = ann_dtype
+        self.device_block_rows = device_block_rows
+        self.compact_dead_fraction = compact_dead_fraction
+        self.compact_min_rows = compact_min_rows
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -85,6 +93,10 @@ class TPUMultiVectorStore(BaseVectorStore):
                     prefilter_cap=self.prefilter_cap,
                     path=path,
                     use_pallas=self.use_pallas,
+                    ann_dtype=self.ann_dtype,
+                    device_block_rows=self.device_block_rows,
+                    compact_dead_fraction=self.compact_dead_fraction,
+                    compact_min_rows=self.compact_min_rows,
                 )
         return self._indexes[ns]
 

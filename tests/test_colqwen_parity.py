@@ -67,7 +67,7 @@ def torch_model():
 @pytest.fixture(scope="module")
 def jax_params(torch_model):
     state = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
-    params = convert_state_dict(state, CFG, dtype=jnp.float32)
+    params = convert_state_dict(state, CFG, dtype=jnp.float32, allow_missing_projection=True)
     # tiny random projection head standing in for custom_text_proj
     rng = np.random.default_rng(0)
     w = rng.standard_normal((CFG.text.hidden_size, CFG.embedding_dim)).astype(np.float32) * 0.05
