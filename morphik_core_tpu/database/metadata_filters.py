@@ -316,3 +316,290 @@ def matches_filter(
             raise InvalidMetadataFilterError(f"{op} expects a non-empty array")
 
     return eval_expr(filters, "metadata filter")
+
+
+# ---------------------------------------------------------------------------
+# SQL compilation (SQLite json_extract), mirroring reference
+# core/database/metadata_filters.py:29-856 (MetadataFilterBuilder compiles
+# the same tree to Postgres jsonb SQL so retrieval never scans in Python).
+#
+# Contract: the compiled clause is EXACT w.r.t. matches_filter for any
+# document whose metadata_types carries no hint for the fields used in
+# ordered comparisons; documents WITH such hints are matched by an extra
+# hint-presence disjunct and must be re-checked in Python by the caller
+# (the needs-python flag below). Filters containing a leaf whose
+# semantics cannot be reproduced exactly ($regex, $type, temporal string
+# comparisons, array/object operands) make compile_filter_sql return
+# None, and the caller falls back to full Python evaluation. Invalid
+# filters raise InvalidMetadataFilterError, like matches_filter.
+
+_TEMPORAL_RE = re.compile(r"^\d{4}-\d{2}-\d{2}")
+COLUMN_FIELDS = ("filename",)
+
+
+def _sql_md_num(jtype: Optional[str], value: Any) -> Optional[float]:
+    """Registered SQLite helper: numeric view of a json value with the
+    evaluator's coercion (_try_number), or NULL. Excludes booleans —
+    json_type reports them as 'true'/'false'."""
+    if jtype not in ("integer", "real", "text"):
+        return None
+    d = _try_number(value)
+    return float(d) if d is not None else None
+
+
+def register_sql_functions(conn) -> None:
+    """Install the helper functions compile_filter_sql emits."""
+    conn.create_function("md_num", 2, _sql_md_num, deterministic=True)
+
+
+class _Bail(Exception):
+    """Valid filter, but not exactly compilable — fall back to Python."""
+
+
+class _SqlCompiler:
+    def __init__(self, md_col: str, types_col: str):
+        self.md = md_col
+        self.types = types_col
+        self.params: list = []
+        self.ordered_fields: set = set()
+
+    # -- helpers ------------------------------------------------------------
+
+    def _path(self, field: str) -> str:
+        parts = field.split(".")
+        for p in parts:
+            if not p or '"' in p or "'" in p or "\\" in p or any(ord(c) < 32 for c in p):
+                raise _Bail(field)
+        return "$" + "".join(f'."{p}"' for p in parts)
+
+    def _je(self, field: str) -> str:
+        if field in COLUMN_FIELDS:
+            return field
+        return f"json_extract({self.md}, '{self._path(field)}')"
+
+    def _jt(self, field: str) -> str:
+        if field in COLUMN_FIELDS:
+            return f"(CASE WHEN {field} IS NULL THEN NULL ELSE 'text' END)"
+        return f"json_type({self.md}, '{self._path(field)}')"
+
+    def _each(self, field: str) -> str:
+        return f"json_each({self.md}, '{self._path(field)}')"
+
+    def _b(self, clause: str) -> str:
+        """NULL-proof a boolean expression (SQL three-valued logic)."""
+        return f"COALESCE(({clause}), 0)"
+
+    # -- leaves ---------------------------------------------------------------
+
+    def eq(self, field: str, v: Any) -> str:
+        je, jt = self._je(field), self._jt(field)
+        if v is None:
+            if field in COLUMN_FIELDS:
+                return self._b(f"{je} IS NULL")  # evaluator sees None == None
+            return self._b(f"{jt} = 'null'")
+        if isinstance(v, str):
+            scalar = f"({jt} = 'text' AND {je} = ?)"
+            self.params.append(v)
+            if field in COLUMN_FIELDS:
+                return self._b(scalar)
+            member = (
+                f"({jt} = 'array' AND EXISTS (SELECT 1 FROM {self._each(field)} "
+                f"WHERE json_each.type = 'text' AND json_each.value = ?))"
+            )
+            self.params.append(v)
+            return self._b(f"{scalar} OR {member}")
+        if isinstance(v, bool):
+            # _eq short-circuits on bool operands BEFORE the array-membership
+            # branch: actual is compared with == directly, arrays never match
+            self.params.append(int(v))
+            return self._b(f"{je} = ?")
+        if isinstance(v, (int, float)):
+            scalar = f"({je} = ?)"
+            self.params.append(v)
+            if field in COLUMN_FIELDS:
+                return self._b(scalar)
+            member = (
+                f"({jt} = 'array' AND EXISTS (SELECT 1 FROM {self._each(field)} "
+                f"WHERE json_each.value = ?))"
+            )
+            self.params.append(v)
+            return self._b(f"{scalar} OR {member}")
+        raise _Bail(f"$eq on {type(v).__name__}")
+
+    def ordered(self, field: str, op: str, v: Any) -> str:
+        sqlop = {"$gt": ">", "$gte": ">=", "$lt": "<", "$lte": "<="}[op]
+        self.ordered_fields.add(field)
+        je, jt = self._je(field), self._jt(field)
+        if v is None or isinstance(v, bool) or isinstance(v, (list, tuple, dict)):
+            # matches_filter: incomparable operand -> always False
+            return "0"
+        if field in COLUMN_FIELDS:
+            # filename is TEXT-or-NULL: numeric/temporal operands follow the
+            # untyped coercion ladder; keep only plain string compare exact
+            if isinstance(v, str) and _try_number(v) is None and not _TEMPORAL_RE.match(v):
+                self.params.append(v)
+                return self._b(f"{je} {sqlop} ?")
+            raise _Bail("ordered op on column field with coercing operand")
+        if isinstance(v, (int, float)):
+            # evaluator: numeric compare when the field coerces to a number
+            # (ints, reals, numeric strings; never booleans); else False
+            self.params.append(float(v))
+            return self._b(f"md_num({jt}, {je}) {sqlop} ?")
+        if isinstance(v, str):
+            if _TEMPORAL_RE.match(v):
+                raise _Bail("temporal string comparison")  # datetime coercion
+            num = _try_number(v)
+            if num is not None:
+                # numeric-string operand: numeric compare when the field
+                # coerces, else lexicographic text compare
+                self.params.extend([float(num), v])
+                return self._b(
+                    f"CASE WHEN md_num({jt}, {je}) IS NOT NULL THEN md_num({jt}, {je}) {sqlop} ? "
+                    f"WHEN {jt} = 'text' THEN {je} {sqlop} ? ELSE 0 END"
+                )
+            self.params.append(v)
+            return self._b(f"({jt} = 'text' AND {je} {sqlop} ?)")
+        raise _Bail(f"ordered op on {type(v).__name__}")
+
+    def contains(self, field: str, v: Any) -> str:
+        # $contains on arrays applies _eq per element, whose own membership
+        # branch looks ONE level deeper — hence the nested json_each.
+        je, jt = self._je(field), self._jt(field)
+        if isinstance(v, str):
+            sub = f"({jt} = 'text' AND instr({je}, ?) > 0)"
+            self.params.append(v)
+            if field in COLUMN_FIELDS:
+                return self._b(sub)
+            member = (
+                f"({jt} = 'array' AND EXISTS (SELECT 1 FROM {self._each(field)} AS e1 "
+                f"WHERE (e1.type = 'text' AND e1.value = ?) OR (e1.type = 'array' AND "
+                f"EXISTS (SELECT 1 FROM json_each(e1.value) AS e2 "
+                f"WHERE e2.type = 'text' AND e2.value = ?))))"
+            )
+            self.params.extend([v, v])
+            return self._b(f"{sub} OR {member}")
+        if isinstance(v, bool):
+            # _eq on a bool operand never recurses into nested arrays
+            if field in COLUMN_FIELDS:
+                return "0"
+            self.params.append(int(v))
+            return self._b(
+                f"({jt} = 'array' AND EXISTS (SELECT 1 FROM {self._each(field)} "
+                f"WHERE json_each.value = ?))"
+            )
+        if isinstance(v, (int, float)):
+            if field in COLUMN_FIELDS:
+                return "0"
+            self.params.extend([v, v])
+            return self._b(
+                f"({jt} = 'array' AND EXISTS (SELECT 1 FROM {self._each(field)} AS e1 "
+                f"WHERE e1.value = ? OR (e1.type = 'array' AND "
+                f"EXISTS (SELECT 1 FROM json_each(e1.value) AS e2 WHERE e2.value = ?))))"
+            )
+        raise _Bail(f"$contains on {type(v).__name__}")
+
+    def field_op(self, field: str, op: str, operand: Any) -> str:
+        if op == "$eq":
+            return self.eq(field, operand)
+        if op == "$ne":
+            return f"NOT {self.eq(field, operand)}"
+        if op in ("$gt", "$gte", "$lt", "$lte"):
+            return self.ordered(field, op, operand)
+        if op == "$in":
+            if not isinstance(operand, (list, tuple)):
+                raise InvalidMetadataFilterError("$in expects an array")
+            if not operand:
+                return "0"
+            return self._b(" OR ".join(self.eq(field, e) for e in operand))
+        if op == "$nin":
+            if not isinstance(operand, (list, tuple)):
+                raise InvalidMetadataFilterError("$nin expects an array")
+            if not operand:
+                return "1"
+            return f"NOT {self._b(' OR '.join(self.eq(field, e) for e in operand))}"
+        if op == "$exists":
+            if not isinstance(operand, bool):
+                raise InvalidMetadataFilterError("$exists expects a boolean")
+            if field in COLUMN_FIELDS:
+                # column fields are always present to the evaluator (their
+                # value may be None, but never _MISSING)
+                return "1" if operand else "0"
+            jt = self._jt(field)
+            return self._b(f"{jt} IS NOT NULL" if operand else f"{jt} IS NULL")
+        if op == "$contains":
+            return self.contains(field, operand)
+        if op in ("$regex", "$type"):
+            raise _Bail(op)  # exact reproduction needs Python
+        raise InvalidMetadataFilterError(f"unsupported field operator: {op}")
+
+    def field(self, field: str, cond: Any) -> str:
+        if isinstance(cond, dict) and any(k.startswith("$") for k in cond):
+            parts = []
+            for op, operand in cond.items():
+                if op == "$not":
+                    parts.append(f"NOT {self._b(self.field(field, operand))}")
+                    continue
+                if op not in FIELD_OPS:
+                    raise InvalidMetadataFilterError(f"unsupported field operator: {op}")
+                parts.append(self.field_op(field, op, operand))
+            return self._b(" AND ".join(parts))
+        return self.eq(field, cond)
+
+    def expr(self, e: Any, context: str) -> str:
+        if not isinstance(e, dict):
+            raise InvalidMetadataFilterError(f"{context}: expected an object")
+        parts = []
+        for key, value in e.items():
+            if key in ("$and", "$or", "$nor"):
+                if not isinstance(value, list) or not value:
+                    raise InvalidMetadataFilterError(f"{key} expects a non-empty array")
+                joined = {"$and": " AND ", "$or": " OR ", "$nor": " OR "}[key].join(
+                    self._b(self.expr(v, key)) for v in value
+                )
+                parts.append(f"NOT ({joined})" if key == "$nor" else f"({joined})")
+            elif key == "$not":
+                parts.append(f"NOT {self._b(self.expr(value, '$not'))}")
+            elif key.startswith("$"):
+                raise InvalidMetadataFilterError(f"unknown logical operator: {key}")
+            else:
+                parts.append(self.field(key, value))
+        return self._b(" AND ".join(parts)) if parts else "1"
+
+
+def compile_filter_sql(
+    filters: Optional[Dict[str, Any]],
+    md_col: str = "doc_metadata",
+    types_col: str = "metadata_types",
+) -> Optional[tuple]:
+    """Compile a filter tree to (clause, params, needs_python_clause).
+
+    - clause/params: SQLite WHERE fragment, exact for documents with no
+      metadata_types hints on ordered-comparison fields;
+    - needs_python_clause: boolean SQL expression marking rows that must
+      still be checked by matches_filter (hinted fields). Rows are
+      selected with `(clause OR needs_python_clause)`.
+
+    Returns None when the filter is valid but not exactly compilable.
+    Raises InvalidMetadataFilterError for invalid filters (same as
+    matches_filter)."""
+    if not filters:
+        return None
+    if not isinstance(filters, dict):
+        raise InvalidMetadataFilterError("Metadata filters must be a JSON object.")
+    c = _SqlCompiler(md_col, types_col)
+    try:
+        clause = c.expr(filters, "metadata filter")
+    except _Bail:
+        return None
+    if c.ordered_fields:
+        hint_terms = []
+        for f in sorted(c.ordered_fields):
+            try:
+                path = c._path(f)
+            except _Bail:
+                return None
+            hint_terms.append(f"json_extract({types_col}, '{path}') IS NOT NULL")
+        needs_py = "(" + " OR ".join(hint_terms) + ")"
+    else:
+        needs_py = "0"
+    return clause, c.params, needs_py

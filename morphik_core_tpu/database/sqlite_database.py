@@ -26,7 +26,11 @@ from datetime import UTC, datetime
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
-from morphik_core_tpu.database.metadata_filters import matches_filter
+from morphik_core_tpu.database.metadata_filters import (
+    compile_filter_sql,
+    matches_filter,
+    register_sql_functions,
+)
 from morphik_core_tpu.models.schemas import AuthContext, Document
 
 logger = logging.getLogger(__name__)
@@ -121,6 +125,7 @@ class SQLiteDatabase:
         self._conn = sqlite3.connect(self.path, check_same_thread=False)
         self._conn.row_factory = sqlite3.Row
         self._conn.execute("PRAGMA journal_mode=WAL")
+        register_sql_functions(self._conn)
 
     async def initialize(self) -> bool:
         with self._lock:
@@ -288,13 +293,26 @@ class SQLiteDatabase:
 
     async def _query_documents(self, auth, filters, system_filters) -> List[Document]:
         clause, params = self._access_clause(auth)
-        sql = f"SELECT * FROM documents WHERE {clause}"
+        # Compile the metadata-filter tree into the WHERE clause (reference
+        # metadata_filters.py:29-856 compiles to Postgres jsonb SQL for the
+        # same reason: retrieval must not scan all authorized rows in
+        # Python). Rows flagged _needs_py carry metadata_types hints the
+        # SQL can't honor and are re-checked by the evaluator; an
+        # uncompilable (but valid) filter falls back to full evaluation.
+        compiled = compile_filter_sql(filters) if filters else None
+        select = "SELECT *, 0 AS _needs_py FROM documents"
+        if compiled is not None:
+            fclause, fparams, needs_py = compiled
+            select = f"SELECT *, {needs_py} AS _needs_py FROM documents"
+            clause = f"{clause} AND (({fclause}) OR {needs_py})"
+            params = params + fparams
+        sql = f"{select} WHERE {clause}"
         sql, params = self._apply_system_filters(sql, params, system_filters)
         with self._lock:
             rows = self._conn.execute(sql + " ORDER BY updated_at DESC", params).fetchall()
         out = []
         for row in rows:
-            if filters:
+            if filters and (compiled is None or row["_needs_py"]):
                 md = json.loads(row["doc_metadata"] or "{}")
                 mt = json.loads(row["metadata_types"] or "{}")
                 cols = {"filename": row["filename"]}
