@@ -38,8 +38,12 @@ def smart_resize(
     [min_pixels, max_pixels], aspect ratio approximately preserved."""
     if max(height, width) / min(height, width) > 200:
         raise ValueError("aspect ratio must be < 200")
-    h = max(factor, round(height / factor) * factor)
-    w = max(factor, round(width / factor) * factor)
+    # exact formula of the reference processor's smart_resize
+    # (transformers qwen2_vl.image_processing_qwen2_vl), parameterized at
+    # our 112-px factor: the initial rounding is NOT clamped to `factor`,
+    # so extreme aspect ratios take the min_pixels rescale branch
+    h = round(height / factor) * factor
+    w = round(width / factor) * factor
     if h * w > max_pixels:
         beta = math.sqrt(height * width / max_pixels)
         h = max(factor, math.floor(height / beta / factor) * factor)
