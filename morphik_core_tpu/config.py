@@ -94,6 +94,16 @@ class ParserConfig(BaseModel):
     use_contextual_chunking: bool = False
     xml_max_tokens: int = 350
     frame_sample_rate: int = 120  # video: sample 1 frame / N frames
+    # "api" = POST documents to remote parse endpoints (reference
+    # PARSER_MODE="api", morphik_parser.py:502-525) with failover.
+    parser_mode: Literal["local", "api"] = "local"
+    parse_api_endpoints: List[str] = Field(default_factory=list)
+    parse_api_key: Optional[str] = None  # env MORPHIK_PARSE_API_KEY
+    # Deep-parse OCR hook (reference EasyOCR deep fallback,
+    # morphik_parser.py:552-582): none | api | auto | tesseract.
+    ocr_mode: str = "none"
+    ocr_api_endpoint: Optional[str] = None
+    ocr_api_key: Optional[str] = None  # env MORPHIK_OCR_API_KEY
 
 
 class PdfConfig(BaseModel):
@@ -218,6 +228,10 @@ def _apply_env_overrides(s: Settings) -> Settings:
         s.auth.local_uri_password = os.environ["LOCAL_URI_PASSWORD"]
     if os.environ.get("MORPHIK_EMBEDDING_API_KEY"):
         s.morphik.morphik_embedding_api_key = os.environ["MORPHIK_EMBEDDING_API_KEY"]
+    if os.environ.get("MORPHIK_PARSE_API_KEY"):
+        s.parser.parse_api_key = os.environ["MORPHIK_PARSE_API_KEY"]
+    if os.environ.get("MORPHIK_OCR_API_KEY"):
+        s.parser.ocr_api_key = os.environ["MORPHIK_OCR_API_KEY"]
     return s
 
 

@@ -33,6 +33,10 @@ logger = logging.getLogger(__name__)
 CompleteFn = Callable[[str], Awaitable[str]]
 
 
+class ParseAPIError(RuntimeError):
+    """All remote parse endpoints failed (parser_mode="api")."""
+
+
 class ContextualChunker:
     """LLM-prefixes each chunk with situating context (reference :110-193)."""
 
@@ -74,6 +78,7 @@ class MorphikParser:
         settings: Optional[Settings] = None,
         describe_fn=None,
         complete_fn: Optional[CompleteFn] = None,
+        ocr_engine=None,
     ):
         self.settings = settings or get_settings()
         p = self.settings.parser
@@ -86,6 +91,14 @@ class MorphikParser:
             if p.use_contextual_chunking and complete_fn
             else None
         )
+        if ocr_engine is None:
+            from morphik_core_tpu.parser.ocr import get_ocr_engine
+
+            ocr_engine = get_ocr_engine(self.settings)
+        self.ocr_engine = ocr_engine
+        self.parser_mode = p.parser_mode
+        self.parse_api_endpoints = [e.rstrip("/") for e in p.parse_api_endpoints]
+        self.parse_api_key = p.parse_api_key
 
     # ------------------------------------------------------------------
 
@@ -104,6 +117,14 @@ class MorphikParser:
                 return ({"title": title} if title else {}), clean_control_chars(text)
             if ctype.startswith("text/") or ctype in ("application/json",):
                 return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
+            if self.parser_mode == "api" and (
+                ctype in ("application/pdf", XLSX, DOCX, PPTX) or ctype.startswith("image/")
+            ):
+                # remote parse with endpoint failover (reference
+                # morphik_parser.py:502-525); raises when all are down,
+                # letting the ingestion ladder decide
+                text = await self._parse_via_api(file, filename or "file")
+                return {}, clean_control_chars(text)
             if ctype == XLSX:
                 return {}, xlsx_to_markdown(file)
             if ctype == DOCX:
@@ -120,9 +141,76 @@ class MorphikParser:
                 return await self._parse_video(file)
             if ctype in ("application/xml", "text/xml") or (filename or "").lower().endswith(".xml"):
                 return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
+        except ParseAPIError:
+            raise  # all remote endpoints down — the ingestion ladder decides
         except Exception as e:  # noqa: BLE001
             logger.warning("parse of %s (%s) failed: %s — falling back to utf-8 decode", filename, ctype, e)
         return {}, clean_control_chars(file.decode("utf-8", errors="replace"))
+
+    async def _parse_via_api(self, file: bytes, filename: str) -> str:
+        """POST the document to each configured parse endpoint until one
+        succeeds (reference _parse_document_via_api, :502-525)."""
+        if not self.parse_api_endpoints:
+            raise ParseAPIError("parser_mode=api but no parse_api_endpoints configured")
+        import asyncio as _asyncio
+        import json as _json
+        import urllib.error
+        import urllib.request
+
+        def post(endpoint: str) -> str:
+            boundary = "----morphikparse"
+            body = (
+                f"--{boundary}\r\n"
+                f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'
+                "Content-Type: application/octet-stream\r\n\r\n"
+            ).encode() + file + (
+                f"\r\n--{boundary}\r\n"
+                'Content-Disposition: form-data; name="filename"\r\n\r\n'
+                f"{filename}\r\n--{boundary}--\r\n"
+            ).encode()
+            headers = {"Content-Type": f"multipart/form-data; boundary={boundary}"}
+            if self.parse_api_key:
+                headers["Authorization"] = f"Bearer {self.parse_api_key}"
+            req = urllib.request.Request(endpoint, data=body, headers=headers)
+            with urllib.request.urlopen(req, timeout=300.0) as resp:
+                return _json.loads(resp.read().decode()).get("text", "")
+
+        last: Optional[Exception] = None
+        for ep in self.parse_api_endpoints:
+            try:
+                return await _asyncio.to_thread(post, ep)
+            except Exception as e:  # noqa: BLE001 — try the next endpoint
+                logger.warning("parse API %s failed: %s", ep, e)
+                last = e
+        raise ParseAPIError(f"all parse API endpoints failed: {last}")
+
+    async def parse_file_to_text_deep(
+        self, file: bytes, filename: Optional[str] = None, content_type: Optional[str] = None
+    ) -> Tuple[Dict[str, Any], str]:
+        """Expensive fallback after normal parsing produced no text
+        (reference _parse_document_local_deep + EasyOCR,
+        morphik_parser.py:552-582): rasterize pages and OCR them through
+        the configured engine. Returns ({}, "") when OCR is unavailable —
+        the ladder then records the document as unsearchable."""
+        if self.ocr_engine is None:
+            return {}, ""
+        ctype = content_type or detect_content_type(file, filename)
+        images = []
+        if ctype == "application/pdf":
+            from morphik_core_tpu.parser.pdf import rasterize_pdf
+
+            images, _ = rasterize_pdf(file, dpi=self.settings.pdf.colpali_pdf_dpi)
+        elif ctype.startswith("image/"):
+            import io as _io
+
+            from PIL import Image as _Image
+
+            images = [_Image.open(_io.BytesIO(file)).convert("RGB")]
+        if not images:
+            return {}, ""
+        texts = await self.ocr_engine.images_to_text(images)
+        text = "\n\n".join(t for t in texts if t and t.strip())
+        return ({"ocr_pages": len(images)} if text else {}), clean_control_chars(text)
 
     async def _parse_video(self, file: bytes) -> Tuple[Dict[str, Any], str]:
         from morphik_core_tpu.parser.video_parser import VideoParser

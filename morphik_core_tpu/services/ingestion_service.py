@@ -216,6 +216,30 @@ class IngestionService:
                     image_chunks = self._create_chunks_multivector(ctype, data, text)
                 phase_times["rasterize"] = time.perf_counter() - t
 
+            # Deep-parse rung of the ladder (reference
+            # ingestion_worker.py:822-902 + morphik_parser.py:552-582):
+            # nothing searchable so far -> OCR the pages through the
+            # configured engine; still nothing -> accept the document but
+            # record it as unsearchable instead of failing the job.
+            unsearchable = False
+            if not text_chunks and not image_chunks:
+                deep = getattr(self.parser, "parse_file_to_text_deep", None)
+                if deep is not None:
+                    t = time.perf_counter()
+                    deep_meta, deep_text = await deep(data, doc.filename, ctype)
+                    phase_times["deep_parse"] = time.perf_counter() - t
+                    if deep_text.strip():
+                        text = deep_text
+                        additional_metadata.update(deep_meta)
+                        text_chunks = await self.parser.split_text(deep_text)
+                        logger.info(
+                            "deep parse recovered %d text chunks for %s",
+                            len(text_chunks), doc.filename,
+                        )
+                if not text_chunks:
+                    unsearchable = True
+                    logger.warning("document %s accepted but unsearchable", doc.filename)
+
             t = time.perf_counter()
             await self._embed_and_store(doc, text_chunks, image_chunks, auth, use_colpali)
             phase_times["embed_store"] = time.perf_counter() - t
@@ -225,6 +249,7 @@ class IngestionService:
                     "status": "completed",
                     "page_count": len(image_chunks) or None,
                     "phase_times": phase_times,
+                    **({"unsearchable": True} if unsearchable else {}),
                 },
                 "additional_metadata": additional_metadata,
                 "chunk_ids": doc.chunk_ids,
