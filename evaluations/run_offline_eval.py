@@ -96,6 +96,7 @@ def main() -> int:
     ap.add_argument("--corpus", type=Path, default=None)
     ap.add_argument("--questions", type=Path, default=None)
     ap.add_argument("--use-colpali", action="store_true", default=False)
+    ap.add_argument("--out", type=Path, default=None, help="write the summary JSON artifact here")
     args = ap.parse_args()
 
     if args.corpus:
@@ -109,6 +110,15 @@ def main() -> int:
 
     out = asyncio.run(run_eval(corpus_dir, questions, args.use_colpali))
     print(json.dumps(out))
+    if args.out:
+        artifact = {
+            "benchmark": str(corpus_dir),
+            "n_documents": len(list(Path(corpus_dir).glob("*"))),
+            "use_colpali": args.use_colpali,
+            "judge": "substring (deterministic; reference uses an LLM judge, custom_eval/README.md)",
+            **out,
+        }
+        args.out.write_text(json.dumps(artifact, indent=1))
     return 0
 
 

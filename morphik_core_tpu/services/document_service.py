@@ -132,7 +132,8 @@ class DocumentService:
         else:
             search_k = min(3 * k, 20) if should_rerank else k  # oversample (ref :388-404)
             chunks = await self.vector_store.query_similar(
-                q_embedding, k=search_k, doc_ids=doc_ids, app_id=auth.app_id
+                q_embedding, k=search_k, doc_ids=doc_ids, app_id=auth.app_id,
+                query_text=query,
             )
 
         if should_rerank and chunks:

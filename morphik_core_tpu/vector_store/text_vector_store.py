@@ -1,13 +1,23 @@
 """Single-vector text store (the reference's pgvector path,
 reference core/vector_store/pgvector_store.py:98-594): cosine top-k over
 the stored embedding matrix on device, per-namespace, with oversampling
-hooks for the reranker and npz persistence."""
+hooks for the reranker and npz persistence.
+
+Being in-process (unlike pgvector), the store also keeps exact corpus
+statistics and scores a BM25 lexical component alongside the cosine —
+hybrid retrieval recovers the precision that the air-gapped hashing
+embedder lacks vs the reference's hosted neural embeddings. Disable
+with hybrid_lexical=False when a real embedding endpoint is configured.
+"""
 
 from __future__ import annotations
 
 import json
 import logging
+import math
+import re
 import threading
+from collections import Counter
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -22,6 +32,12 @@ logger = logging.getLogger(__name__)
 _DEFAULT_NS = "default"
 
 
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_BM25_K1 = 1.5
+_BM25_B = 0.75
+
+
 class _Namespace:
     def __init__(self, dim: Optional[int] = None):
         self.dim = dim
@@ -29,11 +45,60 @@ class _Namespace:
         self.rows: List[DocumentChunk] = []
         self._id_to_row: Dict[str, int] = {}
         self.alive: List[bool] = []
+        # BM25 corpus statistics (exact; maintained on store/delete)
+        self.tf: List[Counter] = []  # per-row term frequencies
+        self.df: Counter = Counter()  # term -> number of alive rows containing it
+        self.total_len = 0  # sum of alive rows' token counts
+
+    def n_alive(self) -> int:
+        return sum(self.alive)
+
+    def add_lexical(self, text: str) -> None:
+        toks = Counter(_TOKEN_RE.findall(text.lower()))
+        self.tf.append(toks)
+        for t in toks:
+            self.df[t] += 1
+        self.total_len += sum(toks.values())
+
+    def drop_lexical(self, row: int) -> None:
+        toks = self.tf[row]
+        for t in toks:
+            self.df[t] -= 1
+            if self.df[t] <= 0:
+                del self.df[t]
+        self.total_len -= sum(toks.values())
+
+    def bm25(self, query: str, mask: np.ndarray) -> np.ndarray:
+        """Exact BM25 over alive rows (k1/b standard)."""
+        n = self.n_alive()
+        scores = np.zeros(len(self.rows), dtype=np.float32)
+        if n == 0:
+            return scores
+        avg_len = max(self.total_len / n, 1.0)
+        q_terms = set(_TOKEN_RE.findall(query.lower()))
+        idf = {}
+        for t in q_terms:
+            dft = self.df.get(t, 0)
+            if dft:
+                idf[t] = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+        if not idf:
+            return scores
+        for i in np.nonzero(mask)[0]:
+            tfs = self.tf[int(i)]
+            dl = sum(tfs.values())
+            s = 0.0
+            for t, w in idf.items():
+                f = tfs.get(t, 0)
+                if f:
+                    s += w * (f * (_BM25_K1 + 1)) / (f + _BM25_K1 * (1 - _BM25_B + _BM25_B * dl / avg_len))
+            scores[int(i)] = s
+        return scores
 
 
 class TextVectorStore(BaseVectorStore):
-    def __init__(self, path: Optional[str | Path] = None):
+    def __init__(self, path: Optional[str | Path] = None, hybrid_lexical: bool = True):
         self.path = Path(path) if path else None
+        self.hybrid_lexical = hybrid_lexical
         self._ns_map: Dict[str, _Namespace] = {}
         self._lock = threading.RLock()
         if self.path and self.path.exists():
@@ -63,8 +128,9 @@ class TextVectorStore(BaseVectorStore):
             for c, v in zip(chunks, vecs):
                 sid = f"{c.document_id}-{c.chunk_number}"
                 old = ns._id_to_row.get(sid)
-                if old is not None:
+                if old is not None and ns.alive[old]:
                     ns.alive[old] = False
+                    ns.drop_lexical(old)
                 row = len(ns.rows)
                 stored = DocumentChunk(
                     document_id=c.document_id,
@@ -75,6 +141,7 @@ class TextVectorStore(BaseVectorStore):
                 )
                 ns.rows.append(stored)
                 ns.alive.append(True)
+                ns.add_lexical(c.content or "")
                 ns._id_to_row[sid] = row
                 n = float(np.linalg.norm(v))
                 ns.vectors = np.vstack([ns.vectors, (v / n if n else v)[None]])
@@ -88,6 +155,7 @@ class TextVectorStore(BaseVectorStore):
         doc_ids: Optional[Sequence[str]] = None,
         app_id: Optional[str] = None,
         skip_image_content: bool = False,
+        query_text: Optional[str] = None,
     ) -> List[DocumentChunk]:
         ns = self._ns(app_id)
         if not ns.rows:
@@ -108,6 +176,13 @@ class TextVectorStore(BaseVectorStore):
             scores = ns.vectors @ q
         else:
             scores = np.array(jnp.asarray(ns.vectors) @ jnp.asarray(q))
+        if self.hybrid_lexical and query_text:
+            lex = ns.bm25(query_text, mask)
+            peak = float(lex.max())
+            if peak > 0:
+                # equal-weight hybrid; BM25 normalized per query so the
+                # combined score stays cosine-scaled for min_score filters
+                scores = 0.5 * scores + 0.5 * (lex / peak)
         scores[~mask] = -np.inf
         k = min(k, int(mask.sum()))
         top = np.argpartition(-scores, k - 1)[:k]
@@ -147,6 +222,7 @@ class TextVectorStore(BaseVectorStore):
             for i, r in enumerate(ns.rows):
                 if r.document_id == document_id and ns.alive[i]:
                     ns.alive[i] = False
+                    ns.drop_lexical(i)
                     ns._id_to_row.pop(f"{r.document_id}-{r.chunk_number}", None)
         return True
 
@@ -185,4 +261,7 @@ class TextVectorStore(BaseVectorStore):
                 ns.rows.append(c)
                 if ns.alive[i]:
                     ns._id_to_row[f"{c.document_id}-{c.chunk_number}"] = i
+                    ns.add_lexical(c.content or "")
+                else:
+                    ns.tf.append(Counter())
             self._ns_map[key] = ns
