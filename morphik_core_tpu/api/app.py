@@ -696,7 +696,21 @@ def build_app(services: Services) -> Router:
         )
         if not ok:
             raise HTTPError(404, "folder not found")
-        return Response.json({"status": "moved"})
+        folder = await services.database.get_folder(req.path_params["folder_id"], auth)
+        return Response.json({**(folder or {}), "status": "moved"})
+
+    @router.post("/folders/{folder_id}/rename")
+    async def rename_folder(req: Request) -> Response:
+        """Rename the leaf segment of a folder (reference SDK
+        rename_folder semantics; descendants + documents follow)."""
+        auth = await auth_of(req)
+        _require_write(auth)
+        new_name = (req.json() or {}).get("new_name", "")
+        ok = await services.database.rename_folder(req.path_params["folder_id"], new_name, auth)
+        if not ok:
+            raise HTTPError(404, "rename failed (folder missing, invalid name, or name conflict)")
+        folder = await services.database.get_folder(req.path_params["folder_id"], auth)
+        return Response.json(folder)
 
     @router.post("/folders/{folder_id}/documents/{document_id}")
     async def folder_add_document(req: Request) -> Response:

@@ -523,6 +523,41 @@ class SQLiteDatabase:
             self._conn.commit()
         return True
 
+    async def rename_folder(self, folder_id: str, new_name: str, auth: AuthContext) -> bool:
+        """Rename the leaf segment of a folder path; subtree folder paths
+        and document folder_path values follow (reference SDK
+        rename_folder, sdks/python/morphik/sync.py:799)."""
+        folder = await self.get_folder(folder_id, auth)
+        if folder is None or not new_name or "/" in new_name:
+            return False
+        old_path = folder["path"]
+        parent = old_path.rstrip("/").rsplit("/", 1)[0]
+        new_path = (parent + "/" + new_name) if parent else "/" + new_name
+        if new_path == old_path:
+            return True
+        if await self.get_folder_by_path(new_path, auth) is not None:
+            return False  # target name already exists under this parent
+        prefix = old_path.rstrip("/") + "/"
+        with self._lock:
+            self._conn.execute(
+                "UPDATE folders SET name = ?, path = ?, updated_at = ? WHERE id = ?",
+                (new_name, new_path, _now_iso(), folder_id),
+            )
+            rows = self._conn.execute(
+                "SELECT id, path FROM folders WHERE path LIKE ?", (prefix + "%",)
+            ).fetchall()
+            for r in rows:
+                self._conn.execute(
+                    "UPDATE folders SET path = ? WHERE id = ?",
+                    (new_path.rstrip("/") + "/" + r["path"][len(prefix):], r["id"]),
+                )
+            self._conn.execute(
+                "UPDATE documents SET folder_path = REPLACE(folder_path, ?, ?) WHERE folder_path = ? OR folder_path LIKE ?",
+                (old_path, new_path, old_path, prefix + "%"),
+            )
+            self._conn.commit()
+        return True
+
     async def update_folder_metadata(
         self, folder_id: str, updates: Dict[str, Any], auth: AuthContext
     ) -> bool:

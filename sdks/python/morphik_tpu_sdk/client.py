@@ -49,6 +49,137 @@ class _Scope:
         return payload
 
 
+class _ScopedHandle:
+    """Base for Folder / UserScope: a view over the root client with a
+    folder/end-user scope baked in. Every client verb (ingest_*,
+    retrieve_*, query, list_documents, ...) is available on the handle
+    and inherits the scope (reference sdks/python/morphik/sync.py:57
+    _ScopedClientOps)."""
+
+    _scoped: "Morphik"
+
+    def __getattr__(self, name: str):
+        # delegate verbs to the scoped client clone; raise normally for
+        # dunder lookups so pickling/copy don't loop
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return getattr(self._scoped, name)
+
+
+class Folder(_ScopedHandle):
+    """Folder-scoped operations + folder metadata/lifecycle (reference
+    sdks/python/morphik/sync.py:394-558 Folder).
+
+    Also supports dict-style access to the raw folder payload
+    (``folder["id"]``) for callers that treat it as the API response."""
+
+    def __init__(self, client: "Morphik", name: str, info: Optional[Dict[str, Any]] = None):
+        self._client = client
+        self._info = dict(info or {})
+        self._info.setdefault("name", name)
+        self._scoped = client._clone(_Scope(folder_name=self.full_path,
+                                            end_user_id=client._scope.end_user_id))
+
+    # -- payload access ----------------------------------------------------
+    def __getitem__(self, key: str) -> Any:
+        return self._info[key]
+
+    def get(self, key: str, default: Any = None) -> Any:
+        return self._info.get(key, default)
+
+    @property
+    def name(self) -> str:
+        return self._info.get("name")
+
+    @property
+    def id(self) -> Optional[str]:
+        return self._info.get("id")
+
+    @property
+    def full_path(self) -> str:
+        return self._info.get("full_path") or self._info.get("path") or "/" + self._info["name"]
+
+    @property
+    def parent_id(self) -> Optional[str]:
+        return self._info.get("parent_id")
+
+    @property
+    def description(self) -> Optional[str]:
+        return self._info.get("description")
+
+    @property
+    def doc_count(self) -> Optional[int]:
+        return self._info.get("doc_count")
+
+    # -- lifecycle ----------------------------------------------------------
+    def _resync(self, info: Dict[str, Any]) -> "Folder":
+        self._info.update({k: v for k, v in info.items() if v is not None})
+        self._scoped = self._client._clone(
+            _Scope(folder_name=self.full_path, end_user_id=self._client._scope.end_user_id)
+        )
+        return self
+
+    def _require_id(self) -> str:
+        if not self.id:
+            info = self._client.folder_details([self.full_path])
+            if info["folders"]:
+                self._resync(info["folders"][0])
+        if not self.id:
+            raise ValueError(f"folder {self.full_path!r} not found on the server")
+        return self.id
+
+    def get_info(self) -> Dict[str, Any]:
+        info = self._client._get(f"/folders/{self._require_id()}")
+        self._resync(info)
+        return info
+
+    def move(self, new_parent_path: Optional[str]) -> "Folder":
+        return self._resync(self._client.move_folder(self._require_id(), new_parent_path))
+
+    def rename(self, new_name: str) -> "Folder":
+        return self._resync(self._client.rename_folder(self._require_id(), new_name))
+
+    def delete(self) -> Dict[str, Any]:
+        return self._client.delete_folder(self._require_id())
+
+    def add_document(self, document_id: str) -> Dict[str, Any]:
+        return self._client.add_document_to_folder(self._require_id(), document_id)
+
+    def remove_document(self, document_id: str) -> Dict[str, Any]:
+        return self._client.remove_document_from_folder(self._require_id(), document_id)
+
+    def get_summary(self) -> Dict[str, Any]:
+        return self._client._get(f"/folders/{self._require_id()}/summary")
+
+    def upsert_summary(self, content: str) -> Dict[str, Any]:
+        r = self._client._client.put(f"/folders/{self._require_id()}/summary",
+                                     json={"content": content})
+        r.raise_for_status()
+        return r.json()
+
+    def signin(self, end_user_id: str) -> "UserScope":
+        return UserScope(self._client, end_user_id, folder_name=self.full_path)
+
+
+class UserScope(_ScopedHandle):
+    """End-user-scoped operations (reference sync.py:561 UserScope):
+    every verb runs as `end_user_id`, optionally inside a folder."""
+
+    def __init__(self, client: "Morphik", end_user_id: str, folder_name: Optional[str] = None):
+        self._client = client
+        self._end_user_id = end_user_id
+        self._folder_name = folder_name
+        self._scoped = client._clone(_Scope(folder_name=folder_name, end_user_id=end_user_id))
+
+    @property
+    def end_user_id(self) -> str:
+        return self._end_user_id
+
+    @property
+    def folder_name(self) -> Optional[str]:
+        return self._folder_name
+
+
 class Morphik:
     """Synchronous client."""
 
@@ -69,17 +200,16 @@ class Morphik:
 
     # ------------------------------------------------------------ scoping
 
-    def folder(self, name: str) -> "Morphik":
-        return Morphik(
-            base_url=self.base_url, token=self.token,
-            scope=_Scope(folder_name=name, end_user_id=self._scope.end_user_id),
-        )
+    def _clone(self, scope: _Scope) -> "Morphik":
+        return Morphik(base_url=self.base_url, token=self.token, scope=scope)
 
-    def signin(self, end_user_id: str) -> "Morphik":
-        return Morphik(
-            base_url=self.base_url, token=self.token,
-            scope=_Scope(folder_name=self._scope.folder_name, end_user_id=end_user_id),
-        )
+    def folder(self, name: str) -> Folder:
+        """A Folder handle scoped to `name` (no server round-trip; call
+        .get_info() / any id-requiring method to resolve lazily)."""
+        return Folder(self, name)
+
+    def signin(self, end_user_id: str) -> UserScope:
+        return UserScope(self, end_user_id, folder_name=self._scope.folder_name)
 
     def close(self) -> None:
         self._client.close()
@@ -155,10 +285,20 @@ class Morphik:
     def ingest_files(self, files: List[Union[str, Path]], **kwargs) -> List[Document]:
         return [self.ingest_file(f, **kwargs) for f in files]
 
-    def ingest_directory(self, directory: Union[str, Path], recursive: bool = False, **kwargs) -> List[Document]:
+    def ingest_directory(
+        self,
+        directory: Union[str, Path],
+        recursive: bool = False,
+        pattern: str = "*",
+        **kwargs,
+    ) -> List[Document]:
+        """Ingest every file under `directory` matching the glob `pattern`
+        (reference sdks/python/morphik/sync.py:1080)."""
         root = Path(directory)
-        pattern = "**/*" if recursive else "*"
-        files = [p for p in root.glob(pattern) if p.is_file()]
+        if not root.is_dir():
+            raise ValueError(f"Directory not found: {root}")
+        files = sorted(p for p in (root.rglob(pattern) if recursive else root.glob(pattern))
+                       if p.is_file())
         return self.ingest_files(files, **kwargs)
 
     def wait_for_document_completion(self, document_id: str, timeout_s: float = 600.0) -> Document:
@@ -294,19 +434,44 @@ class Morphik:
 
     # ------------------------------------------------------------- folders
 
-    def create_folder(self, name: str, description: Optional[str] = None, parent_path: Optional[str] = None) -> Dict[str, Any]:
-        return self._post("/folders", {"name": name, "description": description, "parent_path": parent_path})
+    def create_folder(self, name: str, description: Optional[str] = None, parent_path: Optional[str] = None) -> Folder:
+        info = self._post("/folders", {"name": name, "description": description, "parent_path": parent_path})
+        return Folder(self, info["name"], info)
 
-    def list_folders(self) -> List[Dict[str, Any]]:
+    def get_folder(self, folder_id: str) -> Folder:
+        info = self._get(f"/folders/{folder_id}")
+        return Folder(self, info["name"], info)
+
+    def get_folder_by_name(self, name: str) -> Folder:
+        details = self.folder_details([name])
+        if not details["folders"]:
+            raise ValueError(f"folder {name!r} not found")
+        info = details["folders"][0]
+        return Folder(self, info["name"], info)
+
+    def list_folders(self) -> List[Folder]:
         r = self._client.get("/folders")
         r.raise_for_status()
-        return r.json()
+        return [Folder(self, info["name"], info) for info in r.json()]
 
     def add_document_to_folder(self, folder_id: str, document_id: str) -> Dict[str, Any]:
         return self._post(f"/folders/{folder_id}/documents/{document_id}", {})
 
+    def remove_document_from_folder(self, folder_id: str, document_id: str) -> Dict[str, Any]:
+        r = self._client.delete(f"/folders/{folder_id}/documents/{document_id}")
+        r.raise_for_status()
+        return r.json()
+
     def move_folder(self, folder_id: str, new_parent_path: Optional[str]) -> Dict[str, Any]:
         return self._post(f"/folders/{folder_id}/move", {"new_parent_path": new_parent_path})
+
+    def rename_folder(self, folder_id: str, new_name: str) -> Dict[str, Any]:
+        return self._post(f"/folders/{folder_id}/rename", {"new_name": new_name})
+
+    def delete_folder(self, folder_id: str) -> Dict[str, Any]:
+        r = self._client.delete(f"/folders/{folder_id}")
+        r.raise_for_status()
+        return r.json()
 
     def folder_details(self, identifiers: Optional[List[str]] = None) -> Dict[str, Any]:
         return self._post("/folders/details", {"identifiers": identifiers or []})

@@ -38,19 +38,40 @@ class ChunkResult(BaseModel):
 
 
 class FinalChunkResult(ChunkResult):
-    """Chunk with image data URIs auto-decoded to PIL
-    (reference sdk FinalChunkResult, _internal.py:28)."""
+    """Chunk whose `content` is auto-decoded to a PIL image when the
+    chunk is an image (reference sdk FinalChunkResult content: str|PILImage,
+    _internal.py:28 + _parse_chunk_result_list_response:628-650).
+
+    `content` stays the raw string on the model; `.image` decodes lazily
+    and `.decoded_content` mirrors the reference's union-typed field."""
 
     @property
     def image(self):
-        if not str(self.content).startswith("data:image/"):
+        content = str(self.content)
+        payload = None
+        if content.startswith("data:image/"):
+            payload = content.split(",", 1)[1]
+        elif self.metadata.get("is_image"):
+            payload = content.split(",", 1)[1] if content.startswith("data:") else content
+        if payload is None:
             return None
-        from PIL import Image
-
         import base64
 
-        payload = self.content.split(",", 1)[1]
-        return Image.open(io.BytesIO(base64.b64decode(payload)))
+        from PIL import Image
+
+        try:
+            return Image.open(io.BytesIO(base64.b64decode(payload)))
+        except Exception:
+            return None
+
+    @property
+    def decoded_content(self):
+        """PIL image for image chunks, the text content otherwise —
+        the reference's FinalChunkResult.content semantics."""
+        if self.metadata.get("is_image") or str(self.content).startswith("data:image/"):
+            img = self.image
+            return img if img is not None else self.content  # ref falls back to text
+        return self.content
 
 
 class CompletionResponse(BaseModel):

@@ -217,3 +217,106 @@ def test_sdk_grouped_and_folder_ops(server_url):
     moved = db.move_folder(f["id"], None)
     assert moved["status"] == "moved"
     db.close()
+
+
+def test_sdk_folder_objects_and_user_scope(server_url, tmp_path):
+    """Reference Folder/UserScope object surface (sync.py:394-590):
+    folder handles carry the scope, expose metadata, and support
+    lifecycle verbs; signin returns a UserScope."""
+    from morphik_tpu_sdk.client import Folder, UserScope
+
+    db = Morphik(base_url=server_url)
+
+    folder = db.create_folder("proj-x", description="folder object test")
+    assert isinstance(folder, Folder)
+    assert folder.name == "proj-x" and folder.full_path == "/proj-x"
+    assert folder.id and folder["id"] == folder.id  # dict-style compat
+    assert folder.description == "folder object test"
+
+    # scoped verbs on the handle
+    doc = folder.ingest_text("folder object fact: answer is 4242",
+                             filename="fx.txt", use_colpali=False)
+    assert doc.folder_path == "/proj-x"
+    chunks = folder.retrieve_chunks("folder object fact", k=1, use_colpali=False)
+    assert chunks and chunks[0].document_id == doc.external_id
+    docs = folder.list_documents()
+    assert any(d.external_id == doc.external_id for d in docs)
+
+    # lifecycle: info / rename / move
+    info = folder.get_info()
+    assert info["path"] == "/proj-x"
+    folder.rename("proj-y")
+    assert folder.full_path == "/proj-y"
+    assert db.get_document(doc.external_id).folder_path == "/proj-y"
+    parent = db.create_folder("archive")
+    folder.move(parent.full_path)
+    assert folder.full_path == "/archive/proj-y"
+    assert db.get_document(doc.external_id).folder_path == "/archive/proj-y"
+    # the renamed+moved folder is retrievable by name/path
+    got = db.get_folder_by_name("/archive/proj-y")
+    assert got.id == folder.id
+
+    # user scoping: plain and folder-scoped
+    user = db.signin("alice")
+    assert isinstance(user, UserScope) and user.end_user_id == "alice"
+    udoc = user.ingest_text("alice private note 777", filename="an.txt", use_colpali=False)
+    assert udoc.end_user_id == "alice"
+    fuser = folder.signin("bob")
+    assert fuser.folder_name == "/archive/proj-y" and fuser.end_user_id == "bob"
+    fdoc = fuser.ingest_text("bob note in folder", filename="bn.txt", use_colpali=False)
+    assert fdoc.end_user_id == "bob" and fdoc.folder_path == "/archive/proj-y"
+
+    # add/remove document through the handle
+    loose = db.ingest_text("loose doc", filename="ld.txt", use_colpali=False)
+    assert folder.add_document(loose.external_id)["status"] == "added"
+    assert db.get_document(loose.external_id).folder_path == "/archive/proj-y"
+    assert folder.remove_document(loose.external_id)["status"] == "removed"
+
+    # summaries through the handle
+    folder.upsert_summary("all about proj-y")
+    assert folder.get_summary()["content"] == "all about proj-y"
+
+    db.close()
+
+
+def test_sdk_ingest_directory_pattern(server_url, tmp_path):
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.txt").write_text("alpha doc")
+    (tmp_path / "b.md").write_text("bravo doc")
+    (tmp_path / "sub" / "c.txt").write_text("charlie doc")
+    db = Morphik(base_url=server_url)
+    docs = db.ingest_directory(tmp_path, pattern="*.txt", use_colpali=False)
+    assert sorted(d.filename for d in docs) == ["a.txt"]
+    docs = db.ingest_directory(tmp_path, recursive=True, pattern="*.txt", use_colpali=False)
+    assert sorted(d.filename for d in docs) == ["a.txt", "c.txt"]
+    with pytest.raises(ValueError):
+        db.ingest_directory(tmp_path / "missing")
+    db.close()
+
+
+def test_sdk_final_chunk_pil_decode():
+    """FinalChunkResult decodes image chunks to PIL (reference
+    _internal.py:628-650) and falls back to text on garbage."""
+    import base64
+    import io as _io
+
+    from PIL import Image
+
+    from morphik_tpu_sdk.models import FinalChunkResult
+
+    img = Image.new("RGB", (8, 8), (1, 2, 3))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    uri = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    c = FinalChunkResult(content=uri, score=1.0, document_id="d", chunk_number=0,
+                         metadata={"is_image": True})
+    assert c.image is not None and c.image.size == (8, 8)
+    assert c.decoded_content.size == (8, 8)
+
+    c2 = FinalChunkResult(content="plain text", score=1.0, document_id="d", chunk_number=1,
+                          metadata={})
+    assert c2.image is None and c2.decoded_content == "plain text"
+
+    c3 = FinalChunkResult(content="not-base64!!", score=1.0, document_id="d", chunk_number=2,
+                          metadata={"is_image": True})
+    assert c3.decoded_content == "not-base64!!"  # graceful fallback
