@@ -140,6 +140,25 @@ def main() -> None:
     step_s = min(steps)
     pages_per_s = batch / step_s
 
+    # ---- optional W8A8 int8 serving mode (config model.matmul_precision) --
+    # Same tower, MXU at its int8 rate. Reported alongside the bf16
+    # headline; NOT the headline because end-checkpoint retrieval quality
+    # must be validated per-checkpoint (evaluations/) before serving it.
+    from morphik_core_tpu.models.colqwen.model import quantize_colqwen_params
+
+    qparams = jax.jit(quantize_colqwen_params)(params)
+    jax.block_until_ready(qparams)
+    gq_n, gq_2n = chained_embed(embed_iters), chained_embed(2 * embed_iters)
+    float(gq_n(qparams, args)); float(gq_2n(qparams, args))
+    q_steps = []
+    for _ in range(3):
+        t0 = time.time(); float(gq_n(qparams, args)); t_n = time.time() - t0
+        t0 = time.time(); float(gq_2n(qparams, args)); t_2n = time.time() - t0
+        q_steps.append(max((t_2n - t_n) / embed_iters, 1e-9))
+    int8_pages_per_s = batch / min(q_steps)
+    for arr in jax.tree_util.tree_leaves(qparams):
+        arr.delete()
+
     # ---- retrieval: per-chip shard of a 1M-page index ---------------------
     # Index generated ON DEVICE: host-side RNG of 1.3B floats + a 2.5 GB
     # transfer over the tunnel costs minutes; one jitted normal() is ~ms.
@@ -250,6 +269,107 @@ def main() -> None:
     t0 = time.time(); float(qe_2n(params, q_ids, q_mask)); t_2n = time.time() - t0
     query_encode_p50 = max(t_2n - t_n, 0.0) / qe_iters * 1e3
 
+    # ---- END-TO-END retrieval on a 1M-row single-chip index ---------------
+    # The full production query path through MultiVectorIndex.query():
+    # device FDE-encode+int8-quantize of the query -> blocked int8 ANN scan
+    # over 1M x 10,240 rows (10.2 GB HBM) -> device top-k merge (one fetch)
+    # -> host mmap gather of the 75-candidate pool -> bucket pad -> 16-bit
+    # upload -> Pallas MaxSim rerank. Index rows are device-fabricated
+    # (uploading 10 GB of host RNG over the tunnel costs minutes) and the
+    # pool gather reads a real on-disk mv.bin via the index's own mmap
+    # path; pool rows map modulo into it so gather cost per row matches a
+    # full-size file resident in page cache.
+    # free the model + stage arrays first: 7.5 GB params + 10.2 GB
+    # index exceed one chip's HBM
+    for arr in jax.tree_util.tree_leaves((params, args, findex, cand, mvs)):
+        arr.delete()
+    if True:
+        import tempfile
+
+        from morphik_core_tpu.index.multivector_index import IndexRecord, MultiVectorIndex
+        from morphik_core_tpu.ops.fde import FDEConfig as _FDECfg
+
+        rows, tok, mv_real = (16_384, 128, 256) if small else (1_000_000, 1024, 2048)
+        n_queries = 5 if small else 15
+        tmp = tempfile.mkdtemp(prefix="bench1m_")
+        idx = MultiVectorIndex(_FDECfg(dimension=cfg.embedding_dim), ann_dtype="int8")
+        idx.records = [
+            IndexRecord(document_id=f"d{i >> 3}", chunk_number=i & 7, n_tokens=tok)
+            for i in range(rows)
+        ]
+        idx._count = rows
+        alive = np.zeros(rows, dtype=bool)
+        alive[:] = True
+        idx._alive = alive
+        idx._persisted = rows
+        idx._mv_off = [(i % mv_real) * tok for i in range(rows)]
+        mv_path = os.path.join(tmp, "mv.bin")
+        rng = np.random.default_rng(0)
+        with open(mv_path, "wb") as fh:
+            for _ in range(mv_real // 256):
+                fh.write(
+                    rng.standard_normal((256 * tok, cfg.embedding_dim), dtype=np.float32)
+                    .astype(np.float16)
+                    .tobytes()
+                )
+        idx._mv_file_tokens = mv_real * tok
+        idx._mv_mm = np.memmap(
+            mv_path, dtype=np.float16, mode="r", shape=(mv_real * tok, cfg.embedding_dim)
+        )
+        # fabricate the int8 device blocks in place of _ensure_device_blocks
+        idx._sync_block_size()
+        B = idx._active_block
+        n_blocks = -(-rows // B)
+        gen_q = jax.jit(
+            lambda k: jax.random.randint(k, (B, idx._fde_dim), -127, 128, dtype=jnp.int32).astype(
+                jnp.int8
+            )
+        )
+        for b in range(n_blocks):
+            blk = gen_q(jax.random.PRNGKey(100 + b))
+            idx._dev_blocks.append((blk, jnp.ones((B,), jnp.float32)))
+            m = np.zeros(B, np.float32)
+            m[: max(0, min(B, rows - b * B))] = 1.0
+            idx._mask_blocks.append(jnp.asarray(m))
+        jax.block_until_ready(idx._dev_blocks)
+        idx._dev_rows = rows
+        idx._mask_rows = rows
+
+        q32 = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(7), (32, cfg.embedding_dim)), np.float32
+        )
+        idx.query(q32, k=10)  # warm: compiles fde_q8 + block scan + merge + rerank
+        lat, stage = [], {"encode_ms": [], "ann_ms": [], "rerank_ms": []}
+        for qi in range(n_queries):
+            qq = np.asarray(
+                jax.random.normal(jax.random.PRNGKey(200 + qi), (32, cfg.embedding_dim)),
+                np.float32,
+            )
+            t0 = time.time()
+            res = idx.query(qq, k=10, return_timing=True)
+            lat.append((time.time() - t0) * 1e3)
+            for kk in stage:
+                stage[kk].append(idx.last_timing[kk])
+            assert len(res) == 10
+        pool_mb = 75 * tok * cfg.embedding_dim * 2 / 1e6
+        e2e = {
+            "retrieval_p50_ms_1M_e2e": round(float(np.median(lat)), 2),
+            "retrieval_p90_ms_1M_e2e": round(float(np.percentile(lat, 90)), 2),
+            "e2e_ann_p50_ms": round(float(np.median(stage["ann_ms"])), 2),
+            "e2e_rerank_p50_ms": round(float(np.median(stage["rerank_ms"])), 2),
+            "e2e_rows": rows,
+            "e2e_pool": 75,
+            "e2e_pool_upload_mb": round(pool_mb, 1),
+            # On this setup host<->device goes through a network relay
+            # (~50 MB/s fresh-data upload + ~30 ms RTT) — the rerank
+            # number is relay-bound. Locally-attached v5e (PCIe DMA)
+            # moves the pool in ~2 ms; the compute floor is the ann scan
+            # (10.2 GB int8 / 819 GB/s ~ 12.5 ms) + rerank kernel (<1 ms).
+        }
+        import shutil as _sh
+
+        _sh.rmtree(tmp, ignore_errors=True)
+
     target_pages_per_s_per_chip = 10_000 / 60 / 8  # BASELINE.json north star
     print(
         json.dumps(
@@ -263,12 +383,14 @@ def main() -> None:
                     "grid": [h_units, w_units],
                     "batch": batch,
                     "embed_step_ms": round(step_s * 1e3, 2),
+                    "int8_pages_per_s": round(int8_pages_per_s, 3),
                     "ann_shard_p50_ms": round(ann_p50, 3),
                     "ann_shard_rows": shard_rows,
                     "maxsim_rerank_p50_ms": round(rerank_p50, 3),
                     "query_encode_p50_ms": round(query_encode_p50, 3),
                     "fde_encode_ms_per_page": round(fde_ms_per_page, 3),
                     "retrieval_p50_ms": round(query_encode_p50 + ann_p50 + rerank_p50, 3),
+                    **e2e,
                     "compile_s": round(compile_s, 1),
                     "host_rtt_ms": round(rtt_s * 1e3, 2),
                     "init_s": round(init_s, 1),

@@ -56,6 +56,19 @@ def build_app(services: Services) -> Router:
         except LimitExceededError as e:
             raise HTTPError(402, str(e))  # payment-required, like the reference
 
+    # ------------------------------------------------------------ console
+
+    @router.get("/console")
+    async def console(req: Request) -> Response:
+        """Single-file admin console (counterpart of the reference's
+        Next.js ee/ui-component): documents, search, chat, folders,
+        system health. Static page; its API calls carry the bearer
+        token the user enters, so it needs no auth itself."""
+        import pathlib
+
+        html = (pathlib.Path(__file__).parent / "console.html").read_bytes()
+        return Response.binary(html, "text/html; charset=utf-8")
+
     # ------------------------------------------------------------- health
 
     @router.get("/ping")

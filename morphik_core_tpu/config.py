@@ -71,6 +71,11 @@ class ModelConfig(BaseModel):
     checkpoint_path: Optional[str] = None  # local HF-format dir (safetensors)
     embedding_dim: int = 128
     max_query_tokens: int = 64
+    # "bf16" = parity-tested default. "int8" = W8A8 dynamic-quantized
+    # serving (per-channel weight + per-token activation scales; the MXU
+    # runs int8 at 2x its bf16 rate on v5e). Opt-in: validate retrieval
+    # quality on your checkpoint with evaluations/ before enabling.
+    matmul_precision: Literal["bf16", "int8"] = "bf16"
     # Qwen2-VL style image token budget per page.
     min_pixels: int = 4 * 28 * 28
     max_pixels: int = 768 * 28 * 28

@@ -53,7 +53,8 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
             self.model = model
         elif self.settings.model.checkpoint_path:
             self.model = ColQwenModel.from_checkpoint(
-                self.settings.model.checkpoint_path, mesh=mesh
+                self.settings.model.checkpoint_path, mesh=mesh,
+                matmul_precision=self.settings.model.matmul_precision,
             )
         else:
             # Random weights serve garbage embeddings with HTTP 200 — only

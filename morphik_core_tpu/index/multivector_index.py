@@ -143,6 +143,7 @@ class MultiVectorIndex:
         # --- device state (mesh path: one sharded buffer, refreshed when dirty)
         self._mesh_dev = None
         self._mesh_rows = -1
+        self._fde_q8_fn = None  # lazy fused device encode+quantize (int8 path)
 
         if self.path and (
             (self.path / "records.jsonl").exists() or (self.path / "meta.json").exists()
@@ -365,6 +366,20 @@ class MultiVectorIndex:
             self._mesh_rows = self._count
         return self._mesh_dev
 
+    def _encode_query(self, q: np.ndarray):
+        """FDE-encode one query multivector. For the int8 ANN path the
+        encode + quantize run fused ON DEVICE and the result never
+        visits the host (one fewer round trip per query); other dtypes
+        return the float32 FDE vector."""
+        if self.ann_dtype == "int8":
+            if self._fde_q8_fn is None:
+                from morphik_core_tpu.parallel.search import quantize_vec_int8
+
+                cfg = self.fde_config
+                self._fde_q8_fn = jax.jit(lambda x: quantize_vec_int8(fde_query(x, cfg)))
+            return self._fde_q8_fn(jnp.asarray(q))
+        return np.asarray(fde_query(jnp.asarray(q), self.fde_config))
+
     # --- search ------------------------------------------------------------
 
     def _ann_pool(
@@ -372,10 +387,10 @@ class MultiVectorIndex:
     ) -> List[int]:
         """Top-`pool_size` candidate rows by FDE dot product."""
         from morphik_core_tpu.parallel.search import (
-            block_topk,
-            block_topk_q,
             make_sharded_search,
             make_sharded_search_q,
+            scan_blocks_topk,
+            scan_blocks_topk_q,
             shard_vec,
         )
 
@@ -391,45 +406,45 @@ class MultiVectorIndex:
             # by the host-side merge below
             k = min(_round_capacity(pool_size, minimum=16), padded // n_dev)
             if self.ann_dtype == "int8":
-                qq, qs = quantize_rows_int8(qe[None])
+                qq, qs = qe  # device (int8 vec, scale) from _encode_query
                 search = make_sharded_search_q(self.mesh, k)
-                scores, idx = search(dev[0], dev[1], mask_dev, jnp.asarray(qq[0]), jnp.asarray(qs[0]))
+                scores, idx = search(dev[0], dev[1], mask_dev, qq, qs)
             else:
                 search = make_sharded_search(self.mesh, k)
                 scores, idx = search(dev, jnp.asarray(qe), mask_dev)
             idx, scores = np.asarray(idx), np.asarray(scores)
             return [int(i) for i, s in zip(idx, scores) if np.isfinite(s) and i < self._count]
 
-        # blocked single-device path
+        # blocked single-device path: ALL blocks scanned + merged in one
+        # compiled program (one dispatch, one fetch — per-block dispatch
+        # pays the host<->device RTT n_blocks times on remote TPUs)
         self._ensure_device_blocks()
         use_cached_mask = unfiltered
         if use_cached_mask:
             self._ensure_mask_blocks()
         B = self._active_block
         kb = min(_round_capacity(pool_size, minimum=16), B)
-        if self.ann_dtype == "int8":
-            qq, qs = quantize_rows_int8(qe[None])
-            q_dev, qs_dev = jnp.asarray(qq[0]), jnp.asarray(qs[0])
+        if use_cached_mask:
+            masks = tuple(self._mask_blocks)
         else:
-            q_dev = jnp.asarray(qe)
-        outs = []
-        for b, block in enumerate(self._dev_blocks):
-            if use_cached_mask:
-                m_dev = self._mask_blocks[b]
-            else:
+            ms = []
+            for b in range(len(self._dev_blocks)):
                 lo, hi = b * B, min((b + 1) * B, self._count)
                 m = np.zeros(B, np.float32)
                 m[: hi - lo] = mask[lo:hi]
-                m_dev = jnp.asarray(m)
-            if self.ann_dtype == "int8":
-                v, i = block_topk_q(block[0], block[1], m_dev, q_dev, qs_dev, kb)
-            else:
-                v, i = block_topk(block, q_dev, m_dev, kb)
-            outs.append((v, i, b * B))  # async dispatch; fetch below
-        vs = np.concatenate([np.asarray(v) for v, _, _ in outs])
-        gi = np.concatenate([np.asarray(i) + base for _, i, base in outs])
-        order = np.argsort(-vs)[:pool_size]
-        return [int(gi[o]) for o in order if np.isfinite(vs[o])]
+                ms.append(jnp.asarray(m))
+            masks = tuple(ms)
+        if self.ann_dtype == "int8":
+            q_dev, qs_dev = qe  # device (int8 vec, scale) from _encode_query
+            vm, gi = scan_blocks_topk_q(
+                tuple(b[0] for b in self._dev_blocks),
+                tuple(b[1] for b in self._dev_blocks),
+                masks, q_dev, qs_dev, kb, pool_size,
+            )
+        else:
+            vm, gi = scan_blocks_topk(tuple(self._dev_blocks), masks, jnp.asarray(qe), kb, pool_size)
+        vm, gi = np.asarray(vm), np.asarray(gi)
+        return [int(g) for g, s in zip(gi, vm) if np.isfinite(s) and g < self._count]
 
     def query(
         self,
@@ -445,7 +460,7 @@ class MultiVectorIndex:
             if self._count == 0 or k <= 0:
                 return []
             q = np.asarray(query_embedding, dtype=np.float32)
-            qe = np.asarray(fde_query(jnp.asarray(q), self.fde_config))
+            qe = self._encode_query(q)
             t1 = time.perf_counter()
 
             pool_size = min(self.prefilter_multiplier * k, self.prefilter_cap)
@@ -460,9 +475,15 @@ class MultiVectorIndex:
             if not pool:
                 return []
 
-            # exact rerank of the pool (host gather from mmap/pending)
-            cand = [self._mv_row(r).astype(np.float32) for r in pool]
-            dense, dmask = pad_multivectors(cand)
+            # exact rerank of the pool (host gather from mmap/pending).
+            # The pool stays 16-bit through the host->device transfer
+            # (halves the upload vs f32; the f16->bf16 rounding adds at
+            # most 2^-8 relative on top of the f16 store quantization —
+            # orders of magnitude below MaxSim ranking margins).
+            cand = [self._mv_row(r) for r in pool]
+            dense, dmask = pad_multivectors(cand, dtype=self.store_dtype)
+            if dense.dtype == np.float16:
+                dense = dense.astype(jnp.bfloat16)
             rescores = np.asarray(
                 maxsim_scores(
                     jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask), use_pallas=self.use_pallas
@@ -471,6 +492,12 @@ class MultiVectorIndex:
             order = np.argsort(-rescores)[: min(k, len(pool))]
             t3 = time.perf_counter()
             if return_timing:
+                self.last_timing = {
+                    "encode_ms": (t1 - t0) * 1e3,
+                    "ann_ms": (t2 - t1) * 1e3,
+                    "rerank_ms": (t3 - t2) * 1e3,
+                    "pool": len(pool),
+                }
                 logger.info(
                     "index.query timing encode=%.1fms ann=%.1fms rerank=%.1fms pool=%d",
                     (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3, len(pool),

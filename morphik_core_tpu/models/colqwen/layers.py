@@ -12,6 +12,51 @@ import jax
 import jax.numpy as jnp
 
 
+def linear(x: jax.Array, w, b=None) -> jax.Array:
+    """Matmul that dispatches on the weight's form: a plain array runs
+    bf16/f32 on the MXU; a quantized leaf ({"q8": int8 (K, N),
+    "s": f32 (N,)}) runs the W8A8 path (`q8_matmul`). Lets the same
+    tower code serve both precision modes."""
+    if isinstance(w, dict):
+        return q8_matmul(x, w["q8"], w["s"], b)
+    out = x @ w
+    return out if b is None else out + b
+
+
+def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None) -> jax.Array:
+    """W8A8 dynamic-quantized matmul.
+
+    Weights: symmetric per-output-channel int8 (`wq` (K, N), `ws` (N,)).
+    Activations: symmetric per-row (per-token) int8 computed on the fly.
+    The int8 x int8 -> int32 dot runs on the MXU at 2x the bf16 rate on
+    v5e (394 TOPS vs 197 TFLOPS); the requantize epilogue is VPU
+    elementwise and fuses. Opt-in serving mode (config
+    model.matmul_precision = "int8"): validate retrieval quality on real
+    checkpoints with evaluations/ before enabling in production.
+    """
+    xf = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.where(ax == 0, 1.0, ax / 127.0)
+    xq = jnp.clip(jnp.rint(xf / xs), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * xs * ws
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def quantize_weight_int8(w: jax.Array) -> dict:
+    """Symmetric per-output-channel int8 quantization of a (K, N) or
+    (L, K, N) stacked weight. Returns the quantized leaf `linear`
+    dispatches on."""
+    s = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=False) / 127.0
+    s = jnp.where(s == 0, 1.0, s)
+    q = jnp.clip(jnp.rint(w.astype(jnp.float32) / s[..., None, :]), -127, 127).astype(jnp.int8)
+    return {"q8": q, "s": s.astype(jnp.float32)}
+
+
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     dtype = x.dtype
     xf = x.astype(jnp.float32)
@@ -51,17 +96,10 @@ def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
 
 
 def swiglu(x: jax.Array, gate_w, up_w, down_w, gate_b=None, up_b=None, down_b=None) -> jax.Array:
-    g = x @ gate_w
-    u = x @ up_w
-    if gate_b is not None:
-        g = g + gate_b
-    if up_b is not None:
-        u = u + up_b
+    g = linear(x, gate_w, gate_b)
+    u = linear(x, up_w, up_b)
     h = jax.nn.silu(g) * u
-    out = h @ down_w
-    if down_b is not None:
-        out = out + down_b
-    return out
+    return linear(h, down_w, down_b)
 
 
 def attention(

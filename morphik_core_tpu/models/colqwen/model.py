@@ -39,6 +39,35 @@ from morphik_core_tpu.models.colqwen.vision import (
 logger = logging.getLogger(__name__)
 
 
+#: weight leaves converted by `quantize_colqwen_params` (the big MXU
+#: matmuls; norms/biases/embeddings/rotary stay high-precision)
+_Q8_TEXT = ("q_w", "k_w", "v_w", "o_w", "gate_w", "up_w", "down_w")
+_Q8_VISION = ("q_w", "k_w", "v_w", "proj_w", "gate_w", "up_w", "down_w")
+
+
+def quantize_colqwen_params(params: dict) -> dict:
+    """W8A8 serving mode: convert the tower matmul weights to symmetric
+    per-channel int8 ({"q8", "s"} leaves that `layers.linear` dispatches
+    on). Halves weight HBM and runs the MXU at its int8 rate (2x bf16 on
+    v5e). OPT-IN (config model.matmul_precision="int8"): validate
+    retrieval quality on your checkpoint with evaluations/ first — the
+    bf16 path is the parity-tested default."""
+    from morphik_core_tpu.models.colqwen.layers import quantize_weight_int8
+
+    out = jax.tree_util.tree_map(lambda x: x, params)  # shallow-ish copy
+    out["text"] = dict(params["text"])
+    out["text"]["layers"] = {
+        k: (quantize_weight_int8(v) if k in _Q8_TEXT else v)
+        for k, v in params["text"]["layers"].items()
+    }
+    out["visual"] = dict(params["visual"])
+    out["visual"]["blocks"] = {
+        k: (quantize_weight_int8(v) if k in _Q8_VISION else v)
+        for k, v in params["visual"]["blocks"].items()
+    }
+    return out
+
+
 def init_colqwen_params(key: jax.Array, cfg: ColQwenConfig, dtype=jnp.float32) -> dict:
     kv, kt, kp = jax.random.split(key, 3)
     h = cfg.text.hidden_size
@@ -121,6 +150,7 @@ class ColQwenModel:
         dtype=jnp.bfloat16,
         query_buckets: Sequence[int] = (32, 64, 128, 256),
         mesh=None,
+        matmul_precision: str = "bf16",  # "bf16" (parity default) | "int8" (W8A8 serving)
     ):
         """`mesh`: optional jax.sharding.Mesh ("data", "model"). When set,
         the text decoder is tensor-parallel over "model", image batches
@@ -130,6 +160,11 @@ class ColQwenModel:
         (SURVEY.md §5 'distributed communication backend')."""
         self.cfg = cfg
         self.mesh = mesh
+        self.matmul_precision = matmul_precision
+        if matmul_precision == "int8":
+            params = jax.jit(quantize_colqwen_params)(params)
+        elif matmul_precision != "bf16":
+            raise ValueError(f"unknown matmul_precision {matmul_precision!r}")
         if mesh is not None:
             from morphik_core_tpu.parallel.mesh import (
                 colqwen_image_shardings,

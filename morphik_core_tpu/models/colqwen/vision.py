@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from morphik_core_tpu.models.colqwen.config import VisionConfig
-from morphik_core_tpu.models.colqwen.layers import apply_rotary, attention, rms_norm, swiglu
+from morphik_core_tpu.models.colqwen.layers import apply_rotary, attention, linear, rms_norm, swiglu
 
 
 # ---------------------------------------------------------------------------
@@ -160,9 +160,9 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
 
     res = x
     y = rms_norm(x, layer["norm1"], cfg.rms_norm_eps)
-    q = (y @ layer["q_w"] + layer["q_b"]).reshape(b, s, nh, hd)
-    k = (y @ layer["k_w"] + layer["k_b"]).reshape(b, s, nh, hd)
-    v = (y @ layer["v_w"] + layer["v_b"]).reshape(b, s, nh, hd)
+    q = linear(y, layer["q_w"], layer["q_b"]).reshape(b, s, nh, hd)
+    k = linear(y, layer["k_w"], layer["k_b"]).reshape(b, s, nh, hd)
+    v = linear(y, layer["v_w"], layer["v_b"]).reshape(b, s, nh, hd)
     q, k = apply_rotary(q, k, cos[None, :, None, :], sin[None, :, None, :])
 
     def full_attn(args):
@@ -177,7 +177,7 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
         return o.reshape(b, s, nh, hd)
 
     o = jax.lax.cond(is_full, full_attn, window_attn, (q, k, v))
-    x = res + (o.reshape(b, s, h) @ layer["proj_w"] + layer["proj_b"])
+    x = res + linear(o.reshape(b, s, h), layer["proj_w"], layer["proj_b"])
 
     y = rms_norm(x, layer["norm2"], cfg.rms_norm_eps)
     x = x + swiglu(

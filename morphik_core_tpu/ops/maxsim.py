@@ -38,13 +38,16 @@ def pad_multivectors(
     mvs: Sequence[np.ndarray],
     token_bucket: Optional[int] = None,
     dim: Optional[int] = None,
+    dtype=np.float32,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pack a ragged list of (n_tokens_i, dim) multivectors into a dense
     (C, N_pad, dim) array + validity mask (C, N_pad).
 
     Ragged token counts are the reference's norm (a page is 700-1300
     ColPali patch tokens); XLA wants static shapes, so we bucket-pad.
-    """
+    `dtype` lets rerank pools stay 16-bit end to end (the store dtype is
+    already fp16 — upcasting before the host->device transfer would
+    double the transfer for zero fidelity gain)."""
     if not len(mvs):
         raise ValueError("empty multivector list")
     d = dim or mvs[0].shape[-1]
@@ -53,11 +56,11 @@ def pad_multivectors(
     if n_pad < max_n:
         raise ValueError(f"token_bucket {n_pad} < longest multivector {max_n}")
     c = len(mvs)
-    out = np.zeros((c, n_pad, d), dtype=np.float32)
+    out = np.zeros((c, n_pad, d), dtype=dtype)
     mask = np.zeros((c, n_pad), dtype=np.float32)
     for i, m in enumerate(mvs):
         n = int(m.shape[0])
-        out[i, :n] = np.asarray(m, dtype=np.float32)
+        out[i, :n] = np.asarray(m, dtype=dtype)
         mask[i, :n] = 1.0
     return out, mask
 

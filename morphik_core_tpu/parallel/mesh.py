@@ -77,7 +77,15 @@ def shard_colqwen_params(params: dict, mesh: Mesh, model_axis: str = "model") ->
     }
     tl = params["text"]["layers"]
     for k, spec in specs.items():
-        out["text"]["layers"][k] = jax.device_put(tl[k], NamedSharding(mesh, spec))
+        leaf = tl[k]
+        if isinstance(leaf, dict):  # W8A8 leaf {"q8": (L,K,N) int8, "s": (L,N)}
+            out["text"]["layers"][k] = {
+                "q8": jax.device_put(leaf["q8"], NamedSharding(mesh, spec)),
+                # per-channel scales follow the output-channel sharding
+                "s": jax.device_put(leaf["s"], NamedSharding(mesh, P(spec[0], spec[2]))),
+            }
+        else:
+            out["text"]["layers"][k] = jax.device_put(leaf, NamedSharding(mesh, spec))
     return out
 
 

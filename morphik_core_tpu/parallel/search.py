@@ -124,6 +124,69 @@ def block_topk_q(fq, scales, mask, qq, q_scale, k: int) -> Tuple[jax.Array, jax.
     return jax.lax.top_k(scores, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "pool"))
+def scan_blocks_topk(blocks, masks, q, k: int, pool: int):
+    """Fused single-device blocked ANN scan: every block's matvec +
+    local top-k AND the global merge run in ONE compiled program (one
+    dispatch + one fetch — per-block dispatches pay the host<->device
+    RTT n_blocks times on remote-attached TPUs).
+    blocks: tuple of (B, D) float/bf16 arrays; masks: tuple of (B,)."""
+    vs, gis = [], []
+    for b, (f, m) in enumerate(zip(blocks, masks)):
+        scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
+        scores = jnp.where(m > 0, scores, -jnp.inf)
+        v, i = jax.lax.top_k(scores, k)
+        vs.append(v)
+        gis.append(i + b * f.shape[0])
+    v = jnp.concatenate(vs)
+    gi = jnp.concatenate(gis)
+    vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
+    return vm, gi[sel]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pool"))
+def scan_blocks_topk_q(blocks, scales, masks, qq, q_scale, k: int, pool: int):
+    """int8 variant of `scan_blocks_topk` (per-row scales; int8 MXU dot)."""
+    vs, gis = [], []
+    for b, (fq, s, m) in enumerate(zip(blocks, scales, masks)):
+        s32 = jax.lax.dot_general(
+            fq, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        scores = s32.astype(jnp.float32) * s * q_scale
+        scores = jnp.where(m > 0, scores, -jnp.inf)
+        v, i = jax.lax.top_k(scores, k)
+        vs.append(v)
+        gis.append(i + b * fq.shape[0])
+    v = jnp.concatenate(vs)
+    gi = jnp.concatenate(gis)
+    vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
+    return vm, gi[sel]
+
+
+@functools.partial(jax.jit, static_argnames=("pool", "bases"))
+def merge_block_topk(vs, idxs, bases: Tuple[int, ...], pool: int):
+    """Device-side merge of per-block top-k results: one concat + one
+    top_k + ONE host fetch instead of a host round-trip per block (the
+    per-block fetch is what a high-RTT host<->device link punishes).
+    vs/idxs: tuples of (k_b,) arrays; bases: per-block row offsets."""
+    v = jnp.concatenate(list(vs))
+    gi = jnp.concatenate([i + b for i, b in zip(idxs, bases)])
+    vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
+    return vm, gi[sel]
+
+
+@jax.jit
+def quantize_vec_int8(qe):
+    """Device-side symmetric int8 quantization of one vector. Composed
+    with fde_query under a single jit by the index so the encoded query
+    never visits the host (saves a round trip per query on
+    remote-attached TPUs). Returns (int8 (D,), float32 scalar scale)."""
+    s = jnp.max(jnp.abs(qe)) / 127.0
+    s = jnp.where(s == 0, 1.0, s).astype(jnp.float32)
+    q8 = jnp.clip(jnp.rint(qe / s), -127, 127).astype(jnp.int8)
+    return q8, s
+
+
 def quantize_rows_int8(x) -> Tuple["jax.Array", "jax.Array"]:
     """Symmetric per-row int8 quantization (host-side, numpy).
     Returns (int8 rows, float32 per-row scales)."""

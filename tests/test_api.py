@@ -637,3 +637,22 @@ def test_ingest_requeue_route(server):
             assert s["status"] == "completed"  # re-processed back to completed
 
     run(go())
+
+
+def test_console_served(server):
+    """GET /console serves the single-file admin console (counterpart of
+    reference ee/ui-component) with its main sections present."""
+    base, _ = server
+
+    async def fetch():
+        async with _client(base) as c:
+            return await c.get("/console")
+
+    r = run(fetch())
+    assert r.status_code == 200
+    assert r.headers["content-type"].startswith("text/html")
+    body = r.text
+    for marker in ("Morphik", 'data-tab="documents"', 'data-tab="search"',
+                   'data-tab="chat"', 'data-tab="folders"', "/retrieve/chunks",
+                   "/ingest/file", "stream_response"):
+        assert marker in body, marker
