@@ -1,10 +1,14 @@
 """Single-vector text embedding models (the reference's "regular" path,
 reference core/embedding/litellm_embedding.py).
 
-Two providers:
-  - OpenAICompatEmbeddingModel: any OpenAI-compatible /embeddings HTTP
-    endpoint (OpenAI, Ollama, vLLM, ...) — the deployment-time analogue
-    of the reference's LiteLLM routing.
+Providers:
+  - RoutedEmbeddingModel: the LiteLLMEmbeddingModel counterpart — takes
+    a `registered_models` key and routes by provider (ollama native
+    /api/embed, azure api-key deployments, any OpenAI-compatible
+    /embeddings for everything else), with the reference's local-vs-API
+    batch sizing and 2000-dim cap (litellm_embedding.py:22-141).
+  - OpenAICompatEmbeddingModel: direct OpenAI-compatible /embeddings
+    endpoint (OpenAI, Ollama-openai, vLLM, ...).
   - HashingEmbeddingModel: deterministic offline feature-hashing
     embedder (n-gram hashing -> L2-normalized dense vector). No
     network, no weights; used as the default in air-gapped dev/test
@@ -106,3 +110,96 @@ class OpenAICompatEmbeddingModel(BaseEmbeddingModel):
 
     async def embed_for_query(self, text: str) -> np.ndarray:
         return (await self._post([text]))[0]
+
+
+class RoutedEmbeddingModel(BaseEmbeddingModel):
+    """Multi-provider routing over `registered_models` config entries —
+    the counterpart of the reference's LiteLLMEmbeddingModel
+    (core/embedding/litellm_embedding.py:14-141).
+
+    Entry shape (morphik_tpu.toml [registered_models.<key>]):
+        model_name = "text-embedding-3-small" | "ollama/nomic-embed-text"
+                     | "azure/<deployment>"
+        api_base   = "https://..."        (required for non-OpenAI hosts)
+        api_key    = "..."                (or env var, applied by config)
+
+    Routing: "ollama/x" -> Ollama native POST {api_base}/api/embed;
+    "azure/x" -> {api_base}/embeddings with an `api-key` header;
+    everything else -> OpenAI-compatible POST {api_base}/embeddings.
+    Batch sizing follows the reference: 5 for local providers
+    (localhost / :11434 / ollama), 100 for hosted APIs; dims capped at
+    min(configured, 2000)."""
+
+    def __init__(self, model_key: str, settings=None):
+        from morphik_core_tpu.config import get_settings
+
+        s = settings or get_settings()
+        if model_key not in s.registered_models:
+            raise ValueError(f"Model '{model_key}' not found in registered_models configuration")
+        self.model_key = model_key
+        self.model_config = dict(s.registered_models[model_key])
+        self.dimensions = min(s.embedding.dimensions or 2000, 2000)
+        name = str(self.model_config.get("model_name", model_key))
+        base = str(self.model_config.get("api_base", "") or "")
+        self._is_local = (
+            any(h in base.lower() for h in ("localhost", "127.0.0.1", "host.docker.internal", ":11434"))
+            or "ollama" in name.lower()
+        )
+        self.batch_size = 5 if self._is_local else 100
+        if name.startswith("ollama/"):
+            self.provider, self.model_name = "ollama", name.split("/", 1)[1]
+            self.api_base = (base or "http://localhost:11434").rstrip("/")
+        elif name.startswith("azure/"):
+            self.provider, self.model_name = "azure", name.split("/", 1)[1]
+            self.api_base = base.rstrip("/")
+        else:
+            self.provider, self.model_name = "openai", name.removeprefix("openai/")
+            self.api_base = (base or "https://api.openai.com/v1").rstrip("/")
+        self.api_key = self.model_config.get("api_key")
+        self.timeout = float(self.model_config.get("timeout", 30.0))
+
+    async def _request(self, url: str, payload: dict, headers: dict) -> dict:
+        """Transport seam (tests stub this)."""
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            r = await client.post(url, json=payload, headers=headers)
+            r.raise_for_status()
+            return r.json()
+
+    async def _embed_batch(self, texts: List[str]) -> List[np.ndarray]:
+        headers = {"Content-Type": "application/json"}
+        if self.provider == "ollama":
+            data = await self._request(
+                f"{self.api_base}/api/embed",
+                {"model": self.model_name, "input": texts},
+                headers,
+            )
+            vecs = data["embeddings"]
+        else:
+            if self.api_key:
+                if self.provider == "azure":
+                    headers["api-key"] = self.api_key
+                else:
+                    headers["Authorization"] = f"Bearer {self.api_key}"
+            data = await self._request(
+                f"{self.api_base}/embeddings",
+                {"model": self.model_name, "input": texts},
+                headers,
+            )
+            vecs = [d["embedding"] for d in data["data"]]
+        return [np.asarray(v, dtype=np.float32)[: self.dimensions] for v in vecs]
+
+    async def embed_documents(self, texts: List[str]) -> List[np.ndarray]:
+        out: List[np.ndarray] = []
+        for i in range(0, len(texts), self.batch_size):
+            out.extend(await self._embed_batch(texts[i : i + self.batch_size]))
+        return out
+
+    async def embed_for_ingestion(self, chunks: Union[Chunk, List[Chunk]]) -> List[np.ndarray]:
+        if isinstance(chunks, Chunk):
+            chunks = [chunks]
+        return await self.embed_documents([c.content for c in chunks])
+
+    async def embed_for_query(self, text: str) -> np.ndarray:
+        return (await self.embed_documents([text]))[0]

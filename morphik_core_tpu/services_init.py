@@ -177,7 +177,15 @@ def build_services(
         return str(resp.completion)
 
     parser = MorphikParser(settings, describe_fn=describe_frame, complete_fn=complete_text)
-    embedding_model = HashingEmbeddingModel(dim=settings.embedding.dimensions)
+    # Text-path embeddings: a registered_models key routes to its
+    # provider (reference LiteLLMEmbeddingModel semantics); otherwise the
+    # offline hashing embedder keeps dev/test air-gapped.
+    if settings.embedding.model in settings.registered_models:
+        from morphik_core_tpu.embedding.text_embedding import RoutedEmbeddingModel
+
+        embedding_model = RoutedEmbeddingModel(settings.embedding.model, settings)
+    else:
+        embedding_model = HashingEmbeddingModel(dim=settings.embedding.dimensions)
 
     colpali_embedding_model = None
     colpali_vector_store = None

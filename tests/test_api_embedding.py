@@ -112,3 +112,72 @@ def test_embed_for_ingestion_splits_streams():
     assert seen["image"] == ["data:image/png;base64,AAAA"]
     assert seen["text"] == ["plain text", "more text"]
     assert np.array_equal(out[1], emb_for("data:image/png;base64,AAAA"))
+
+
+# ---------------------------------------------------------------------------
+# RoutedEmbeddingModel (reference LiteLLMEmbeddingModel routing semantics)
+# ---------------------------------------------------------------------------
+
+from morphik_core_tpu.config import Settings
+from morphik_core_tpu.embedding.text_embedding import RoutedEmbeddingModel
+
+
+def _settings(models, dims=64):
+    return Settings.model_validate(
+        {"registered_models": models, "embedding": {"model": list(models)[0], "dimensions": dims}}
+    )
+
+
+def _capture(model, response_fn):
+    calls = []
+
+    async def fake(url, payload, headers):
+        calls.append((url, payload, headers))
+        return response_fn(payload)
+
+    model._request = fake
+    return calls
+
+
+def test_routed_openai_compat():
+    s = _settings({"emb": {"model_name": "text-embedding-3-small", "api_key": "sk-x"}})
+    m = RoutedEmbeddingModel("emb", s)
+    assert m.provider == "openai" and m.batch_size == 100
+    calls = _capture(m, lambda p: {"data": [{"embedding": [0.5] * 128} for _ in p["input"]]})
+    out = run(m.embed_documents(["a", "b"]))
+    assert len(out) == 2 and out[0].shape == (64,)  # capped at configured dims
+    url, payload, headers = calls[0]
+    assert url == "https://api.openai.com/v1/embeddings"
+    assert headers["Authorization"] == "Bearer sk-x"
+    assert payload == {"model": "text-embedding-3-small", "input": ["a", "b"]}
+
+
+def test_routed_ollama_native_and_local_batching():
+    s = _settings({"emb": {"model_name": "ollama/nomic-embed-text",
+                           "api_base": "http://localhost:11434"}})
+    m = RoutedEmbeddingModel("emb", s)
+    assert m.provider == "ollama" and m.batch_size == 5  # local -> small batches
+    calls = _capture(m, lambda p: {"embeddings": [[0.1] * 32 for _ in p["input"]]})
+    out = run(m.embed_documents([f"t{i}" for i in range(7)]))
+    assert len(out) == 7
+    assert len(calls) == 2  # 5 + 2
+    assert calls[0][0] == "http://localhost:11434/api/embed"
+    assert calls[0][1]["model"] == "nomic-embed-text"
+
+
+def test_routed_azure_header():
+    s = _settings({"emb": {"model_name": "azure/embed-deploy",
+                           "api_base": "https://corp.azure.example/v1", "api_key": "az-1"}})
+    m = RoutedEmbeddingModel("emb", s)
+    calls = _capture(m, lambda p: {"data": [{"embedding": [1.0] * 8} for _ in p["input"]]})
+    vec = run(m.embed_for_query("q"))
+    assert vec.shape == (8,)
+    url, _, headers = calls[0]
+    assert url == "https://corp.azure.example/v1/embeddings"
+    assert headers["api-key"] == "az-1" and "Authorization" not in headers
+
+
+def test_routed_unknown_key_raises():
+    s = _settings({"emb": {"model_name": "x"}})
+    with pytest.raises(ValueError):
+        RoutedEmbeddingModel("nope", s)
