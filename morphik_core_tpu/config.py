@@ -109,6 +109,13 @@ class ParserConfig(BaseModel):
     ocr_mode: str = "none"
     ocr_api_endpoint: Optional[str] = None
     ocr_api_key: Optional[str] = None  # env MORPHIK_OCR_API_KEY
+    # Video transcription provider (reference: AssemblyAI,
+    # parse_video.py:162-253). Any OpenAI-compatible
+    # /audio/transcriptions endpoint (whisper servers, hosted APIs);
+    # unset -> transcript series stays empty.
+    transcription_api_base: Optional[str] = None
+    transcription_api_key: Optional[str] = None  # env MORPHIK_TRANSCRIPTION_API_KEY
+    transcription_model: str = "whisper-1"
 
 
 class PdfConfig(BaseModel):
@@ -237,6 +244,8 @@ def _apply_env_overrides(s: Settings) -> Settings:
         s.parser.parse_api_key = os.environ["MORPHIK_PARSE_API_KEY"]
     if os.environ.get("MORPHIK_OCR_API_KEY"):
         s.parser.ocr_api_key = os.environ["MORPHIK_OCR_API_KEY"]
+    if os.environ.get("MORPHIK_TRANSCRIPTION_API_KEY"):
+        s.parser.transcription_api_key = os.environ["MORPHIK_TRANSCRIPTION_API_KEY"]
     return s
 
 

@@ -213,9 +213,16 @@ class MorphikParser:
         return ({"ocr_pages": len(images)} if text else {}), clean_control_chars(text)
 
     async def _parse_video(self, file: bytes) -> Tuple[Dict[str, Any], str]:
-        from morphik_core_tpu.parser.video_parser import VideoParser
+        from morphik_core_tpu.parser.video_parser import OpenAITranscriptionClient, VideoParser
 
-        parser = VideoParser(file, describe_fn=self.describe_fn, frame_sample_rate=self.frame_sample_rate)
+        transcribe = None
+        pc = self.settings.parser if self.settings else None
+        if pc is not None and pc.transcription_api_base:
+            transcribe = OpenAITranscriptionClient(
+                pc.transcription_api_base, pc.transcription_api_key, pc.transcription_model
+            )
+        parser = VideoParser(file, describe_fn=self.describe_fn,
+                             frame_sample_rate=self.frame_sample_rate, transcribe_fn=transcribe)
         result = await parser.process_video()
         frames = result["frame_descriptions"]
         transcript = result["transcript"]

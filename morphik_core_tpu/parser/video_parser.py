@@ -19,6 +19,47 @@ from morphik_core_tpu.utils.fast_ops import bytes_to_data_uri
 logger = logging.getLogger(__name__)
 
 DescribeFn = Callable[[str, str], Awaitable[str]]  # (frame_data_uri, context) -> description
+TranscribeFn = Callable[[bytes], Awaitable[Dict[float, str]]]  # video bytes -> {t_s: text}
+
+
+class OpenAITranscriptionClient:
+    """Transcript provider over any OpenAI-compatible
+    POST /audio/transcriptions endpoint (whisper.cpp servers, hosted
+    APIs) — fills the role of the reference's AssemblyAI integration
+    (parse_video.py:162-253). verbose_json segments become the
+    {start_s: text} map TimeSeriesData wants."""
+
+    def __init__(self, api_base: str, api_key: Optional[str] = None, model: str = "whisper-1",
+                 timeout: float = 300.0):
+        self.api_base = api_base.rstrip("/")
+        self.api_key = api_key
+        self.model = model
+        self.timeout = timeout
+
+    async def _request(self, url: str, files: dict, data: dict, headers: dict) -> dict:
+        """Transport seam (tests stub this)."""
+        import httpx
+
+        async with httpx.AsyncClient(timeout=self.timeout) as client:
+            r = await client.post(url, files=files, data=data, headers=headers)
+            r.raise_for_status()
+            return r.json()
+
+    async def __call__(self, video_bytes: bytes) -> Dict[float, str]:
+        headers = {}
+        if self.api_key:
+            headers["Authorization"] = f"Bearer {self.api_key}"
+        out = await self._request(
+            f"{self.api_base}/audio/transcriptions",
+            files={"file": ("video.mp4", video_bytes, "video/mp4")},
+            data={"model": self.model, "response_format": "verbose_json"},
+            headers=headers,
+        )
+        segments = out.get("segments") or []
+        if not segments and out.get("text"):
+            return {0.0: out["text"]}
+        return {float(s.get("start", 0.0)): str(s.get("text", "")).strip()
+                for s in segments if str(s.get("text", "")).strip()}
 
 
 class VideoParser:
@@ -27,10 +68,12 @@ class VideoParser:
         video_bytes: bytes,
         describe_fn: Optional[DescribeFn] = None,
         frame_sample_rate: int = 120,
+        transcribe_fn: Optional[TranscribeFn] = None,
     ):
         self.video_bytes = video_bytes
         self.describe_fn = describe_fn
         self.frame_sample_rate = frame_sample_rate
+        self.transcribe_fn = transcribe_fn
 
     def sample_frames(self) -> Tuple[List[Tuple[float, bytes]], Dict[str, float]]:
         """-> ([(timestamp_s, jpeg_bytes)], {fps, duration, frame_count})."""
@@ -74,7 +117,13 @@ class VideoParser:
                 desc = await self.describe_fn(bytes_to_data_uri(jpeg, "image/jpeg"), prev)
             time_to_desc[ts] = desc
             prev = desc
+        transcript: Dict[float, str] = {}
+        if self.transcribe_fn is not None:
+            try:
+                transcript = await self.transcribe_fn(self.video_bytes)
+            except Exception as e:  # provider outage must not fail ingest
+                logger.warning("transcription failed (%s); continuing without transcript", e)
         return {
             "frame_descriptions": TimeSeriesData(time_to_content=time_to_desc),
-            "transcript": TimeSeriesData(time_to_content={}),
+            "transcript": TimeSeriesData(time_to_content=transcript),
         }

@@ -266,3 +266,75 @@ def test_parser_routes_html(tmp_path):
     )
     assert meta.get("title") == "T"
     assert "HTML body text." in text and "<p>" not in text
+
+
+def test_video_transcript_provider():
+    """Pluggable transcript provider fills the transcript series; frame
+    sampling is stubbed (cv2 absent in this image). Reference:
+    parse_video.py:162-253 (AssemblyAI transcript -> TimeSeriesData)."""
+    import asyncio
+
+    from morphik_core_tpu.parser.video_parser import VideoParser
+
+    async def transcribe(video_bytes):
+        assert video_bytes == b"vid"
+        return {0.0: "hello", 2.5: "world"}
+
+    vp = VideoParser(b"vid", transcribe_fn=transcribe)
+    vp.sample_frames = lambda: ([(0.0, b"jpg")], {"fps": 30.0, "duration": 1.0, "frame_count": 30.0})
+    out = asyncio.new_event_loop().run_until_complete(vp.process_video())
+    assert out["transcript"].time_to_content == {0.0: "hello", 2.5: "world"}
+    assert out["frame_descriptions"].time_to_content
+
+
+def test_video_transcript_provider_outage_tolerated():
+    import asyncio
+
+    from morphik_core_tpu.parser.video_parser import VideoParser
+
+    async def transcribe(_):
+        raise ConnectionError("provider down")
+
+    vp = VideoParser(b"vid", transcribe_fn=transcribe)
+    vp.sample_frames = lambda: ([], {"fps": 30.0, "duration": 0.0, "frame_count": 0.0})
+    out = asyncio.new_event_loop().run_until_complete(vp.process_video())
+    assert out["transcript"].time_to_content == {}  # ingest survives
+
+
+def test_openai_transcription_client_parses_segments():
+    import asyncio
+
+    from morphik_core_tpu.parser.video_parser import OpenAITranscriptionClient
+
+    client = OpenAITranscriptionClient("http://stt.local/v1", api_key="k1", model="whisper-1")
+    seen = {}
+
+    async def fake(url, files, data, headers):
+        seen.update(url=url, data=data, auth=headers.get("Authorization"))
+        return {"segments": [
+            {"start": 0.0, "text": " intro "},
+            {"start": 3.2, "text": "body"},
+            {"start": 9.9, "text": "   "},
+        ]}
+
+    client._request = fake
+    out = asyncio.new_event_loop().run_until_complete(client(b"vid"))
+    assert out == {0.0: "intro", 3.2: "body"}
+    assert seen["url"] == "http://stt.local/v1/audio/transcriptions"
+    assert seen["data"]["response_format"] == "verbose_json"
+    assert seen["auth"] == "Bearer k1"
+
+
+def test_openai_transcription_client_plain_text_fallback():
+    import asyncio
+
+    from morphik_core_tpu.parser.video_parser import OpenAITranscriptionClient
+
+    client = OpenAITranscriptionClient("http://stt.local/v1")
+
+    async def fake(url, files, data, headers):
+        return {"text": "full transcript"}
+
+    client._request = fake
+    out = asyncio.new_event_loop().run_until_complete(client(b"vid"))
+    assert out == {0.0: "full transcript"}
