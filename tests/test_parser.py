@@ -338,3 +338,31 @@ def test_openai_transcription_client_plain_text_fallback():
     client._request = fake
     out = asyncio.new_event_loop().run_until_complete(client(b"vid"))
     assert out == {0.0: "full transcript"}
+
+
+def test_xml_chunker_auto_unit_tag_and_ignore():
+    """Schemas without preferred tag names get an auto-selected unit tag
+    (reference _choose_unit_tag frequency heuristic); TOC/INDEX subtrees
+    are skipped (ignore_tags)."""
+    from morphik_core_tpu.parser.xml_chunker import XMLChunker
+
+    xml = """<filing>
+      <toc><line>1. Overview .... 3</line><line>2. Risk .... 9</line></toc>
+      <block num="1">Overview text body one.</block>
+      <block num="2">Risk factors body two.</block>
+      <block num="3">Financials body three.</block>
+    </filing>"""
+    chunks = XMLChunker(max_tokens=50).chunk(xml)
+    contents = [c["content"] for c in chunks]
+    assert sum(1 for c in chunks if c["tag"] == "block") == 3
+    assert not any("Overview ...." in c for c in contents)  # TOC skipped
+    # auto-unit elements get a first-words xml id in their breadcrumb
+    assert any("block[" in c for c in contents)
+
+
+def test_xml_chunker_first_words_id_for_units():
+    from morphik_core_tpu.parser.xml_chunker import XMLChunker
+
+    xml = "<doc><section>Quarterly revenue summary for 2024.</section></doc>"
+    chunks = XMLChunker(max_tokens=50).chunk(xml)
+    assert chunks[0]["breadcrumbs"][-1].startswith("section[Quarterly_revenue_summary")
