@@ -288,27 +288,43 @@ class ColQwenModel:
         return ids + aug
 
     def embed_queries(self, queries: Sequence[str]) -> List[np.ndarray]:
-        """-> list of (n_tokens_i, dim) f32 multivectors."""
+        """-> list of (n_tokens_i, dim) f32 multivectors.
+
+        Queries are GROUPED by length bucket before batching: one long
+        query must not re-bucket (re-pad + possibly re-compile) the
+        whole batch — short queries run in their own small bucket and
+        only the long ones pay for the big one."""
         if not queries:
             return []
         all_ids = [self.query_token_ids(q) for q in queries]
-        max_len = max(len(i) for i in all_ids)
-        bucket = next((b for b in self.query_buckets if b >= max_len), max_len)
-        b = len(all_ids)
-        input_ids = np.zeros((b, bucket), dtype=np.int32)
-        mask = np.zeros((b, bucket), dtype=np.float32)
+
+        def bucket_of(n: int) -> int:
+            return next((b for b in self.query_buckets if b >= n), n)
+
+        groups: Dict[int, List[int]] = {}
         for i, ids in enumerate(all_ids):
-            n = min(len(ids), bucket)
-            input_ids[i, :n] = ids[:n]
-            mask[i, :n] = 1.0
-        pos = mrope_position_ids(input_ids, -1, [None] * b, attention_mask=mask)
-        cos_t, sin_t = mrope_cos_sin(pos, self.cfg.text)
-        out = self._text_fn(
-            self.params,
-            input_ids=jnp.asarray(input_ids),
-            attention_mask=jnp.asarray(mask),
-            cos_t=jnp.asarray(cos_t),
-            sin_t=jnp.asarray(sin_t),
-        )
-        out = np.asarray(out, dtype=np.float32)
-        return [out[i, : len(all_ids[i])] for i in range(b)]
+            groups.setdefault(bucket_of(len(ids)), []).append(i)
+
+        out: List[Optional[np.ndarray]] = [None] * len(all_ids)
+        for bucket, idxs in sorted(groups.items()):
+            b = len(idxs)
+            input_ids = np.zeros((b, bucket), dtype=np.int32)
+            mask = np.zeros((b, bucket), dtype=np.float32)
+            for j, i in enumerate(idxs):
+                ids = all_ids[i]
+                n = min(len(ids), bucket)
+                input_ids[j, :n] = ids[:n]
+                mask[j, :n] = 1.0
+            pos = mrope_position_ids(input_ids, -1, [None] * b, attention_mask=mask)
+            cos_t, sin_t = mrope_cos_sin(pos, self.cfg.text)
+            emb = self._text_fn(
+                self.params,
+                input_ids=jnp.asarray(input_ids),
+                attention_mask=jnp.asarray(mask),
+                cos_t=jnp.asarray(cos_t),
+                sin_t=jnp.asarray(sin_t),
+            )
+            emb = np.asarray(emb, dtype=np.float32)
+            for j, i in enumerate(idxs):
+                out[i] = emb[j, : min(len(all_ids[i]), bucket)]
+        return out  # type: ignore[return-value]

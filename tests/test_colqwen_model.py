@@ -102,3 +102,32 @@ def test_mesh_sharded_embed_matches_single_device(mesh8):
     out_mesh = m_mesh.embed_image_batch(patches, 4, 4)
     assert out_mesh.shape == out_single.shape
     np.testing.assert_allclose(out_mesh, out_single, rtol=2e-5, atol=2e-5)
+
+
+def test_embed_queries_groups_by_bucket(monkeypatch):
+    """One long query must not re-bucket the short ones: each query runs
+    in the smallest bucket that fits it, and results keep input order."""
+    import jax
+    import numpy as np
+
+    from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+
+    model = ColQwenModel.init_random(jax.random.PRNGKey(0), ColQwenConfig.tiny(),
+                                     query_buckets=(16, 32, 64, 128))
+    seen_shapes = []
+    orig = model._text_fn
+
+    def spy(params, input_ids, attention_mask, cos_t, sin_t):
+        seen_shapes.append(tuple(input_ids.shape))
+        return orig(params, input_ids=input_ids, attention_mask=attention_mask,
+                    cos_t=cos_t, sin_t=sin_t)
+
+    model._text_fn = spy
+    short = "hi"
+    long = "x " * 90  # tokens > 64 -> 128 bucket
+    out = model.embed_queries([short, long, short])
+    assert len(out) == 3
+    assert out[0].shape == out[2].shape and np.allclose(out[0], out[2])
+    buckets = sorted(s[1] for s in seen_shapes)
+    assert buckets[0] <= 32 and buckets[-1] >= 128  # two groups, not one big
+    assert sorted(s[0] for s in seen_shapes) == [1, 2]  # 2 shorts + 1 long
