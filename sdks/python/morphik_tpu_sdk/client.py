@@ -623,15 +623,75 @@ class Morphik:
         return r.json()
 
 
+class AsyncFolder(_ScopedHandle):
+    """Async folder handle (reference async_.py AsyncFolder): delegates
+    every verb to a folder-scoped AsyncMorphik clone."""
+
+    def __init__(self, client: "AsyncMorphik", name: str, info: Optional[Dict[str, Any]] = None):
+        self._client = client
+        self._info = dict(info or {})
+        self._info.setdefault("name", name)
+        self._scoped = client._clone(_Scope(folder_name=self.full_path,
+                                            end_user_id=client._scope.end_user_id))
+
+    __getitem__ = Folder.__getitem__
+    get = Folder.get
+    name = Folder.name
+    id = Folder.id
+    full_path = Folder.full_path
+    parent_id = Folder.parent_id
+    description = Folder.description
+
+    def signin(self, end_user_id: str) -> "AsyncUserScope":
+        return AsyncUserScope(self._client, end_user_id, folder_name=self.full_path)
+
+
+class AsyncUserScope(_ScopedHandle):
+    """Async end-user scope (reference async_.py AsyncUserScope)."""
+
+    def __init__(self, client: "AsyncMorphik", end_user_id: str, folder_name: Optional[str] = None):
+        self._client = client
+        self._end_user_id = end_user_id
+        self._folder_name = folder_name
+        self._scoped = client._clone(_Scope(folder_name=folder_name, end_user_id=end_user_id))
+
+    end_user_id = UserScope.end_user_id
+    folder_name = UserScope.folder_name
+
+
 class AsyncMorphik:
     """Async client mirroring `Morphik` (reference async_.py)."""
 
     def __init__(self, uri: Optional[str] = None, *, base_url: Optional[str] = None,
-                 token: Optional[str] = None, timeout: float = 300.0):
+                 token: Optional[str] = None, timeout: float = 300.0,
+                 scope: Optional[_Scope] = None):
         self.base_url, uri_token = _parse_uri(uri, base_url)
         self.token = token or uri_token
         headers = {"Authorization": f"Bearer {self.token}"} if self.token else {}
         self._client = httpx.AsyncClient(base_url=self.base_url, timeout=timeout, headers=headers)
+        self._scope = scope or _Scope()
+
+    # ------------------------------------------------------------ scoping
+
+    def _clone(self, scope: _Scope) -> "AsyncMorphik":
+        return AsyncMorphik(base_url=self.base_url, token=self.token, scope=scope)
+
+    def folder(self, name: str) -> AsyncFolder:
+        return AsyncFolder(self, name)
+
+    def signin(self, end_user_id: str) -> AsyncUserScope:
+        return AsyncUserScope(self, end_user_id, folder_name=self._scope.folder_name)
+
+    async def create_folder(self, name: str, description: Optional[str] = None,
+                            parent_path: Optional[str] = None) -> AsyncFolder:
+        info = await self._post("/folders", {"name": name, "description": description,
+                                             "parent_path": parent_path})
+        return AsyncFolder(self, info["name"], info)
+
+    async def list_folders(self) -> List[AsyncFolder]:
+        r = await self._client.get("/folders")
+        r.raise_for_status()
+        return [AsyncFolder(self, info["name"], info) for info in r.json()]
 
     async def aclose(self) -> None:
         await self._client.aclose()
@@ -643,7 +703,7 @@ class AsyncMorphik:
         await self.aclose()
 
     async def _post(self, path: str, payload: Dict[str, Any]) -> Any:
-        r = await self._client.post(path, json=payload)
+        r = await self._client.post(path, json=self._scope.apply(payload))
         r.raise_for_status()
         return r.json()
 
@@ -700,10 +760,10 @@ class AsyncMorphik:
     ) -> Document:
         data, fname = self._file_tuple(file, filename)
         fields = {"metadata": json.dumps(metadata or {}), "use_colpali": json.dumps(use_colpali)}
-        if folder_name:
-            fields["folder_name"] = folder_name
-        if end_user_id:
-            fields["end_user_id"] = end_user_id
+        scoped = self._scope.apply({"folder_name": folder_name, "end_user_id": end_user_id})
+        for key in ("folder_name", "end_user_id"):
+            if scoped.get(key):
+                fields[key] = scoped[key]
         r = await self._client.post("/ingest/file", files={"file": (fname, data)}, data=fields)
         r.raise_for_status()
         doc = Document(**r.json())
@@ -761,14 +821,6 @@ class AsyncMorphik:
     async def batch_get_chunks(self, sources: List[Dict[str, Any]]) -> List[FinalChunkResult]:
         data = await self._post("/batch/chunks", {"sources": sources})
         return [FinalChunkResult(**c) for c in data]
-
-    async def create_folder(self, name: str, description: Optional[str] = None,
-                            parent_path: Optional[str] = None) -> Dict[str, Any]:
-        return await self._post("/folders", {"name": name, "description": description,
-                                             "parent_path": parent_path})
-
-    async def list_folders(self) -> List[Dict[str, Any]]:
-        return await self._get("/folders")
 
     async def query_document(self, file: Union[str, Path, bytes], prompt: str, *,
                              schema: Optional[Dict[str, Any]] = None,

@@ -90,3 +90,24 @@ def test_quantize_params_structure():
     assert qp["text"]["embed"].dtype != jnp.int8
     assert qp["visual"]["blocks"]["down_w"]["q8"].dtype == jnp.int8
     assert qp["visual"]["merger"]["fc1_w"].dtype != jnp.int8
+
+
+def test_int8_mesh_sharding(mesh8):
+    """W8A8 leaves ({"q8","s"}) shard over the tp axis like their bf16
+    counterparts; the mesh-sharded int8 embed matches the single-device
+    int8 embed."""
+    key = jax.random.PRNGKey(3)
+    cfg = ColQwenConfig.tiny()
+    m_single = ColQwenModel.init_random(key, cfg, dtype=jnp.float32)
+    m_single_q8 = ColQwenModel(cfg, m_single.params, dtype=jnp.float32, matmul_precision="int8")
+    m_mesh_q8 = ColQwenModel(cfg, m_single.params, dtype=jnp.float32,
+                             matmul_precision="int8", mesh=mesh8)
+    rng = np.random.default_rng(0)
+    patches = rng.standard_normal(
+        (3, 4 * 4 * cfg.vision.merge_unit, cfg.vision.patch_input_dim)
+    ).astype(np.float32)
+    out_a = m_single_q8.embed_image_batch(patches, 4, 4)
+    out_b = m_mesh_q8.embed_image_batch(patches, 4, 4)
+    # sharded-reduction ordering can flip values sitting on an int8
+    # rounding boundary: allow a few 1e-3-scale outliers
+    np.testing.assert_allclose(out_a, out_b, rtol=2e-2, atol=2e-3)

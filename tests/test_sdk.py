@@ -320,3 +320,31 @@ def test_sdk_final_chunk_pil_decode():
     c3 = FinalChunkResult(content="not-base64!!", score=1.0, document_id="d", chunk_number=2,
                           metadata={"is_image": True})
     assert c3.decoded_content == "not-base64!!"  # graceful fallback
+
+
+def test_async_folder_and_user_scope(server_url):
+    import asyncio as aio
+
+    from morphik_tpu_sdk import AsyncMorphik
+    from morphik_tpu_sdk.client import AsyncFolder, AsyncUserScope
+
+    async def go():
+        async with AsyncMorphik(base_url=server_url) as db:
+            folder = await db.create_folder("async-proj")
+            assert isinstance(folder, AsyncFolder) and folder.id
+            doc = await folder.ingest_text("async folder fact 1212", filename="af.txt",
+                                           use_colpali=False)
+            assert doc.folder_path == "/async-proj"
+            chunks = await folder.retrieve_chunks("async folder fact", k=1, use_colpali=False)
+            assert chunks and chunks[0].document_id == doc.external_id
+            folders = await db.list_folders()
+            assert any(f.full_path == "/async-proj" for f in folders)
+            user = db.signin("carol")
+            assert isinstance(user, AsyncUserScope)
+            ud = await user.ingest_text("carol async note", filename="cn.txt", use_colpali=False)
+            assert ud.end_user_id == "carol"
+            fu = folder.signin("dave")
+            fd = await fu.ingest_file(b"dave doc body", filename="dd.txt", use_colpali=False)
+            assert fd.end_user_id == "dave" and fd.folder_path == "/async-proj"
+
+    aio.new_event_loop().run_until_complete(go())
