@@ -292,7 +292,10 @@ def main() -> None:
         rows, tok, mv_real = (16_384, 128, 256) if small else (1_000_000, 1024, 2048)
         n_queries = 5 if small else 15
         tmp = tempfile.mkdtemp(prefix="bench1m_")
-        idx = MultiVectorIndex(_FDECfg(dimension=cfg.embedding_dim), ann_dtype="int8")
+        idx = MultiVectorIndex(
+            _FDECfg(dimension=cfg.embedding_dim), ann_dtype="int8",
+            device_cache_slots=256, device_cache_token_bucket=tok,
+        )
         idx.records = [
             IndexRecord(document_id=f"d{i >> 3}", chunk_number=i & 7, n_tokens=tok)
             for i in range(rows)
@@ -351,8 +354,22 @@ def main() -> None:
             for kk in stage:
                 stage[kk].append(idx.last_timing[kk])
             assert len(res) == 10
+        # warm-path p50: repeated query -> the HBM candidate LRU serves
+        # the pool on device (the analogue of the reference's disk-cache
+        # hit path, fast_multivector_store.py:713-774)
+        qw = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(300), (32, cfg.embedding_dim)), np.float32
+        )
+        idx.query(qw, k=10)  # cold (fills cache)
+        warm = []
+        for _ in range(8):
+            t0 = time.time()
+            idx.query(qw, k=10)
+            warm.append((time.time() - t0) * 1e3)
+
         pool_mb = 75 * tok * cfg.embedding_dim * 2 / 1e6
         e2e = {
+            "retrieval_p50_ms_1M_warm": round(float(np.median(warm)), 2),
             "retrieval_p50_ms_1M_e2e": round(float(np.median(lat)), 2),
             "retrieval_p90_ms_1M_e2e": round(float(np.percentile(lat, 90)), 2),
             "e2e_ann_p50_ms": round(float(np.median(stage["ann_ms"])), 2),

@@ -173,6 +173,12 @@ class VectorStoreConfig(BaseModel):
     # Tombstone compaction trigger: dead_rows/rows threshold.
     compact_dead_fraction: float = 0.25
     compact_min_rows: int = 4096
+    # HBM LRU of rerank-candidate multivectors (the TPU analogue of the
+    # reference's disk FileCacheManager): hot candidates are gathered on
+    # device and skip the host read + transfer. Slot cost = token_bucket
+    # x 128 x 2 B (256 KB at 1024 tokens); 0 disables.
+    device_cache_slots: int = 1024
+    device_cache_token_bucket: int = 1024
 
 
 class WorkerConfig(BaseModel):

@@ -1,0 +1,155 @@
+"""Device-resident LRU cache of rerank-candidate multivectors.
+
+The reference keeps hot multivectors in a disk LRU so retrieval reads
+storage "cache-first" (FileCacheManager, reference
+core/vector_store/fast_multivector_store.py:69-292, 713-774). On TPU
+the equivalent hot tier is HBM: a fixed pool of (token_bucket, dim)
+slots living next to the FDE index. A query's candidate rows that are
+already resident are gathered ON DEVICE; only misses pay the host mmap
+read + host->device transfer, and inserting them into the pool doubles
+as the upload. One fused jit performs insert + gather + exact MaxSim,
+so a fully-warm query costs a single dispatch with zero bulk transfer.
+
+Eviction is host-side LRU over slot ids; upserts/deletes invalidate by
+row id. Rows longer than the slot bucket bypass the cache (the caller
+falls back to the direct upload path).
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import OrderedDict
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morphik_core_tpu.ops.maxsim import maxsim_scores
+
+
+def _round_pow2(n: int, minimum: int = 8) -> int:
+    p = minimum
+    while p < n:
+        p *= 2
+    return p
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _insert(buf, mbuf, new_rows, new_masks, slots):
+    """Scatter `new_rows` into the pool at `slots` (donated buffers —
+    the update happens in place on device)."""
+    buf = buf.at[slots].set(new_rows.astype(buf.dtype))
+    mbuf = mbuf.at[slots].set(new_masks)
+    return buf, mbuf
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _gather_and_score(buf, mbuf, gather_idx, q, use_pallas: bool):
+    dense = buf[gather_idx]
+    dmask = mbuf[gather_idx]
+    return maxsim_scores(q, dense, dmask, use_pallas=use_pallas)
+
+
+class DevicePoolCache:
+    def __init__(self, slots: int, token_bucket: int, dim: int, dtype=jnp.bfloat16):
+        self.slots = int(slots)
+        self.token_bucket = int(token_bucket)
+        self.dim = int(dim)
+        self._buf = jnp.zeros((self.slots, self.token_bucket, self.dim), dtype)
+        self._mbuf = jnp.zeros((self.slots, self.token_bucket), jnp.float32)
+        self._row_to_slot: "OrderedDict[int, int]" = OrderedDict()  # LRU: oldest first
+        self._slot_to_row: Dict[int, int] = {}
+        self._free: List[int] = list(range(self.slots))
+        self.hits = 0
+        self.misses = 0
+
+    # ------------------------------------------------------------- state
+
+    def invalidate(self, row: int) -> None:
+        slot = self._row_to_slot.pop(row, None)
+        if slot is not None:
+            self._slot_to_row.pop(slot, None)
+            self._free.append(slot)
+
+    def invalidate_all(self) -> None:
+        self._row_to_slot.clear()
+        self._slot_to_row.clear()
+        self._free = list(range(self.slots))
+
+    def _alloc(self, n: int, protected: frozenset) -> List[int]:
+        """Free/evict `n` slots, never evicting `protected` rows (the
+        current query's pool — its hits haven't been LRU-touched yet).
+        Safe: pool_size <= slots guarantees enough unprotected victims."""
+        out = []
+        while len(out) < n:
+            if self._free:
+                out.append(self._free.pop())
+                continue
+            row, slot = next(iter(self._row_to_slot.items()))  # LRU first
+            if row in protected:
+                self._row_to_slot.move_to_end(row)
+                continue
+            del self._row_to_slot[row]
+            self._slot_to_row.pop(slot, None)
+            out.append(slot)
+        return out
+
+    # ------------------------------------------------------------- query
+
+    def score(
+        self,
+        pool_rows: Sequence[int],
+        q: np.ndarray,
+        fetch_row,  # row -> (n_tokens, dim) np array in store dtype
+        n_tokens,  # row -> int
+        use_pallas: Optional[bool],
+    ) -> Optional[np.ndarray]:
+        """Exact MaxSim scores for `pool_rows` (in order), insert-on-miss.
+        Returns None when any row exceeds the slot bucket (caller falls
+        back to the direct path)."""
+        if any(n_tokens(r) > self.token_bucket for r in pool_rows):
+            return None
+        misses = [r for r in pool_rows if r not in self._row_to_slot]
+        if misses:
+            # pow-2 bucket the insert batch: a fresh compile per distinct
+            # miss count would dominate cold queries. Padding repeats the
+            # LAST miss (same slot, same data — the duplicate scatter
+            # writes are idempotent). 16-bit upload.
+            m_pad = _round_pow2(len(misses))
+            new = np.zeros((m_pad, self.token_bucket, self.dim), np.float16)
+            masks = np.zeros((m_pad, self.token_bucket), np.float32)
+            for j, r in enumerate(misses):
+                mv = fetch_row(r)
+                n = mv.shape[0]
+                new[j, :n] = mv.astype(np.float16)
+                masks[j, :n] = 1.0
+            slots = self._alloc(len(misses), frozenset(pool_rows))
+            new[len(misses):] = new[len(misses) - 1]
+            masks[len(misses):] = masks[len(misses) - 1]
+            slot_arr = np.asarray(slots + [slots[-1]] * (m_pad - len(slots)), np.int32)
+            self._buf, self._mbuf = _insert(
+                self._buf, self._mbuf, jnp.asarray(new), jnp.asarray(masks),
+                jnp.asarray(slot_arr),
+            )
+            for r, s in zip(misses, slots):
+                self._row_to_slot[r] = s
+                self._slot_to_row[s] = r
+        self.hits += len(pool_rows) - len(misses)
+        self.misses += len(misses)
+        # LRU touch in query order
+        gather = []
+        for r in pool_rows:
+            self._row_to_slot.move_to_end(r)
+            gather.append(self._row_to_slot[r])
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        # pow-2 bucket the gather too (pool size varies with k); padded
+        # entries repeat the last slot and are sliced off after
+        g_pad = _round_pow2(len(gather))
+        g_arr = np.asarray(gather + [gather[-1]] * (g_pad - len(gather)), np.int32)
+        scores = _gather_and_score(
+            self._buf, self._mbuf, jnp.asarray(g_arr),
+            jnp.asarray(np.asarray(q, np.float32)), use_pallas,
+        )
+        return np.asarray(scores)[: len(pool_rows)]

@@ -96,6 +96,8 @@ class MultiVectorIndex:
         device_block_rows: int = 65536,
         compact_dead_fraction: float = 0.25,
         compact_min_rows: int = 4096,
+        device_cache_slots: int = 0,
+        device_cache_token_bucket: int = 1024,
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
@@ -144,6 +146,12 @@ class MultiVectorIndex:
         self._mesh_dev = None
         self._mesh_rows = -1
         self._fde_q8_fn = None  # lazy fused device encode+quantize (int8 path)
+        # HBM LRU of rerank candidates (the disk FileCacheManager's hot
+        # tier, moved on-device — see index/device_cache.py). Lazy: the
+        # buffers are only allocated on first use.
+        self._cache_slots = int(device_cache_slots)
+        self._cache_bucket = int(device_cache_token_bucket)
+        self._pool_cache = None
 
         if self.path and (
             (self.path / "records.jsonl").exists() or (self.path / "meta.json").exists()
@@ -191,6 +199,8 @@ class MultiVectorIndex:
                 if old is not None and self._alive[old]:
                     self._alive[old] = False
                     self._dead += 1
+                    if self._pool_cache is not None:
+                        self._pool_cache.invalidate(old)
                 row = self._count
                 mv = np.ascontiguousarray(mv, dtype=self.store_dtype)
                 rec.n_tokens = int(mv.shape[0])
@@ -235,6 +245,8 @@ class MultiVectorIndex:
                     self._dead += 1
                     n += 1
                     self._mask_rows = min(self._mask_rows, r)
+                    if self._pool_cache is not None:
+                        self._pool_cache.invalidate(r)
                 sid = f"{self.records[r].document_id}-{self.records[r].chunk_number}"
                 self._id_to_row.pop(sid, None)
             if n:
@@ -475,20 +487,27 @@ class MultiVectorIndex:
             if not pool:
                 return []
 
-            # exact rerank of the pool (host gather from mmap/pending).
-            # The pool stays 16-bit through the host->device transfer
-            # (halves the upload vs f32; the f16->bf16 rounding adds at
-            # most 2^-8 relative on top of the f16 store quantization —
-            # orders of magnitude below MaxSim ranking margins).
-            cand = [self._mv_row(r) for r in pool]
-            dense, dmask = pad_multivectors(cand, dtype=self.store_dtype)
-            if dense.dtype == np.float16:
-                dense = dense.astype(jnp.bfloat16)
-            rescores = np.asarray(
-                maxsim_scores(
-                    jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask), use_pallas=self.use_pallas
+            # exact rerank of the pool. Hot candidates come from the HBM
+            # LRU (insert-on-miss, device gather — zero bulk transfer on
+            # warm queries); the fallback path gathers from mmap/pending
+            # and uploads 16-bit (halves the transfer vs f32; the
+            # f16->bf16 rounding adds at most 2^-8 relative on top of the
+            # f16 store quantization — orders of magnitude below MaxSim
+            # ranking margins).
+            rescores = None
+            if self._cache_slots > 0:
+                rescores = self._pool_scores_cached(pool, q)
+            if rescores is None:
+                cand = [self._mv_row(r) for r in pool]
+                dense, dmask = pad_multivectors(cand, dtype=self.store_dtype)
+                if dense.dtype == np.float16:
+                    dense = dense.astype(jnp.bfloat16)
+                rescores = np.asarray(
+                    maxsim_scores(
+                        jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask),
+                        use_pallas=self.use_pallas,
+                    )
                 )
-            )
             order = np.argsort(-rescores)[: min(k, len(pool))]
             t3 = time.perf_counter()
             if return_timing:
@@ -503,6 +522,24 @@ class MultiVectorIndex:
                     (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3, len(pool),
                 )
             return [(self.records[pool[i]], float(rescores[i])) for i in order]
+
+    def _pool_scores_cached(self, pool: List[int], q: np.ndarray) -> Optional[np.ndarray]:
+        """MaxSim scores via the HBM candidate cache; None -> fall back
+        (oversized rows, or the cache can't hold this pool)."""
+        if len(pool) > self._cache_slots:
+            return None
+        if self._pool_cache is None:
+            from morphik_core_tpu.index.device_cache import DevicePoolCache
+
+            self._pool_cache = DevicePoolCache(
+                self._cache_slots, self._cache_bucket, self._dim
+            )
+        return self._pool_cache.score(
+            pool, q,
+            fetch_row=self._mv_row,
+            n_tokens=lambda r: self.records[r].n_tokens,
+            use_pallas=self.use_pallas,
+        )
 
     def get_chunks_by_id(self, chunk_ids: Sequence[Tuple[str, int]]) -> List[Optional[IndexRecord]]:
         out = []
@@ -818,3 +855,5 @@ class MultiVectorIndex:
         self._mask_rows = 0
         self._mesh_dev = None
         self._mesh_rows = -1
+        if self._pool_cache is not None:  # compaction renumbers rows
+            self._pool_cache.invalidate_all()

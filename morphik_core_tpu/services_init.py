@@ -224,6 +224,8 @@ def build_services(
             device_block_rows=settings.vector_store.device_block_rows,
             compact_dead_fraction=settings.vector_store.compact_dead_fraction,
             compact_min_rows=settings.vector_store.compact_min_rows,
+            device_cache_slots=settings.vector_store.device_cache_slots,
+            device_cache_token_bucket=settings.vector_store.device_cache_token_bucket,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

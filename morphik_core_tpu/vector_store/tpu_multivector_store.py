@@ -56,6 +56,8 @@ class TPUMultiVectorStore(BaseVectorStore):
         device_block_rows: int = 65536,
         compact_dead_fraction: float = 0.25,
         compact_min_rows: int = 4096,
+        device_cache_slots: int = 0,
+        device_cache_token_bucket: int = 1024,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -71,6 +73,8 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.device_block_rows = device_block_rows
         self.compact_dead_fraction = compact_dead_fraction
         self.compact_min_rows = compact_min_rows
+        self.device_cache_slots = device_cache_slots
+        self.device_cache_token_bucket = device_cache_token_bucket
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -97,6 +101,8 @@ class TPUMultiVectorStore(BaseVectorStore):
                     device_block_rows=self.device_block_rows,
                     compact_dead_fraction=self.compact_dead_fraction,
                     compact_min_rows=self.compact_min_rows,
+                    device_cache_slots=self.device_cache_slots,
+                    device_cache_token_bucket=self.device_cache_token_bucket,
                 )
         return self._indexes[ns]
 
