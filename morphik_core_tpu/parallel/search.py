@@ -63,13 +63,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def single_device_search(f: jax.Array, q: jax.Array, mask: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Non-mesh fallback (one chip / CPU)."""
-    scores = f @ q
-    scores = jnp.where(mask > 0, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
-
-
 # ---------------------------------------------------------------- quantized
 
 def _local_topk_kernel_q(fq_shard, scale_shard, mask_shard, qq, q_scale, k: int, axis: str):
@@ -101,27 +94,6 @@ def make_sharded_search_q(mesh: Mesh, k: int, axis: str = "data"):
         check_vma=False,
     )
     return jax.jit(fn)
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def block_topk(f, q, mask, k: int) -> Tuple[jax.Array, jax.Array]:
-    """One fixed-shape block of the single-device blocked ANN scan
-    (float32/bfloat16 rows)."""
-    scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
-    scores = jnp.where(mask > 0, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def block_topk_q(fq, scales, mask, qq, q_scale, k: int) -> Tuple[jax.Array, jax.Array]:
-    """int8 block: rows int8 (B, D) + per-row scale (B,); query int8 (D,)
-    + scalar scale. MXU int8 dot -> int32, then rescale."""
-    s32 = jax.lax.dot_general(
-        fq, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    scores = s32.astype(jnp.float32) * scales * q_scale
-    scores = jnp.where(mask > 0, scores, -jnp.inf)
-    return jax.lax.top_k(scores, k)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pool"))
@@ -162,17 +134,6 @@ def scan_blocks_topk_q(blocks, scales, masks, qq, q_scale, k: int, pool: int):
     vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
     return vm, gi[sel]
 
-
-@functools.partial(jax.jit, static_argnames=("pool", "bases"))
-def merge_block_topk(vs, idxs, bases: Tuple[int, ...], pool: int):
-    """Device-side merge of per-block top-k results: one concat + one
-    top_k + ONE host fetch instead of a host round-trip per block (the
-    per-block fetch is what a high-RTT host<->device link punishes).
-    vs/idxs: tuples of (k_b,) arrays; bases: per-block row offsets."""
-    v = jnp.concatenate(list(vs))
-    gi = jnp.concatenate([i + b for i, b in zip(idxs, bases)])
-    vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
-    return vm, gi[sel]
 
 
 @jax.jit
