@@ -6,6 +6,7 @@ Request/response shapes follow the reference's pydantic models
 
 from __future__ import annotations
 
+import asyncio
 import json
 import logging
 import time
@@ -1018,6 +1019,35 @@ def build_app(services: Services) -> Router:
         return Response.json({**result, "document": document})
 
     # ---------------------------------------------------------------- logs
+
+    @router.post("/logs/profile/device")
+    async def capture_device_profile(req: Request) -> Response:
+        """Capture a jax/xprof device trace for N seconds — the TPU-native
+        counterpart of the reference's per-request yappi CPU profiles
+        (reference middleware/profiling.py:34-71; SURVEY.md §5 maps it to
+        'jax profiler/xprof traces'). Any device work issued during the
+        window (concurrent embeds, ANN scans, reranks) lands in the
+        trace; open it with xprof/tensorboard."""
+        auth = await auth_of(req)
+        _require_write(auth)
+        body = req.json() if req.body else {}
+        seconds = min(float(body.get("seconds", 2.0)), 30.0)
+        import time as _time
+
+        import jax as _jax
+
+        logdir = Path(telemetry.dir).parent / "profiles" / f"device_{int(_time.time())}"
+        logdir.mkdir(parents=True, exist_ok=True)
+        try:
+            _jax.profiler.start_trace(str(logdir))
+        except Exception as e:  # already tracing / unsupported backend
+            raise HTTPError(409, f"profiler unavailable: {e}")
+        try:
+            await asyncio.sleep(seconds)
+        finally:
+            _jax.profiler.stop_trace()
+        files = [str(p.relative_to(logdir)) for p in logdir.rglob("*") if p.is_file()]
+        return Response.json({"trace_dir": str(logdir), "seconds": seconds, "files": files[:50]})
 
     @router.get("/logs")
     async def get_logs(req: Request) -> Response:

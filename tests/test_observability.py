@@ -171,3 +171,23 @@ def test_log_uploader_budget(tmp_path):
     up = LogUploader(d, upload_url=None, budget_bytes=100)
     assert up.upload_once() is False
     assert not new.exists()  # over budget -> dropped
+
+
+def test_device_profile_capture(server):
+    """POST /logs/profile/device captures a jax trace window (reference
+    yappi middleware analogue, SURVEY.md §5 -> xprof)."""
+    base, _ = server
+
+    async def go():
+        async with httpx.AsyncClient(base_url=base, timeout=60.0) as c:
+            r = await c.post("/logs/profile/device", json={"seconds": 0.2})
+            assert r.status_code == 200, r.text
+            out = r.json()
+            assert out["seconds"] == 0.2
+            import pathlib
+            assert pathlib.Path(out["trace_dir"]).exists()
+            return out
+
+    out = run(go())
+    # a trace directory is produced (file layout is backend-specific)
+    assert "trace_dir" in out
