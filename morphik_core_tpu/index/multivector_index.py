@@ -439,13 +439,13 @@ class MultiVectorIndex:
         if use_cached_mask:
             masks = tuple(self._mask_blocks)
         else:
-            ms = []
-            for b in range(len(self._dev_blocks)):
-                lo, hi = b * B, min((b + 1) * B, self._count)
-                m = np.zeros(B, np.float32)
-                m[: hi - lo] = mask[lo:hi]
-                ms.append(jnp.asarray(m))
-            masks = tuple(ms)
+            # one stacked upload for all blocks (a transfer per block
+            # would pay the host link latency n_blocks times)
+            n_blocks = len(self._dev_blocks)
+            m = np.zeros((n_blocks, B), np.float32)
+            flat = mask[: self._count]
+            m.reshape(-1)[: flat.shape[0]] = flat
+            masks = jnp.asarray(m)
         if self.ann_dtype == "int8":
             q_dev, qs_dev = qe  # device (int8 vec, scale) from _encode_query
             vm, gi = scan_blocks_topk_q(

@@ -102,7 +102,9 @@ def scan_blocks_topk(blocks, masks, q, k: int, pool: int):
     local top-k AND the global merge run in ONE compiled program (one
     dispatch + one fetch — per-block dispatches pay the host<->device
     RTT n_blocks times on remote-attached TPUs).
-    blocks: tuple of (B, D) float/bf16 arrays; masks: tuple of (B,)."""
+    blocks: tuple of (B, D) float/bf16 arrays; masks: tuple of (B,)
+    device-cached masks OR one stacked (n_blocks, B) array (filtered
+    queries upload the whole mask in one transfer)."""
     vs, gis = [], []
     for b, (f, m) in enumerate(zip(blocks, masks)):
         scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
