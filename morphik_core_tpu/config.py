@@ -179,6 +179,11 @@ class VectorStoreConfig(BaseModel):
     # x 128 x 2 B (256 KB at 1024 tokens); 0 disables.
     device_cache_slots: int = 1024
     device_cache_token_bucket: int = 1024
+    # Rerank precision: "bf16" (default, matches the reference's f32-npy
+    # exact rerank within 16-bit store noise) | "int8" (per-token scales:
+    # half the pool transfer + 2x the cache capacity + int8 MXU rate;
+    # still 8x the precision of the reference's 1-bit postgres rerank).
+    rerank_dtype: Literal["bf16", "int8"] = "bf16"
 
 
 class WorkerConfig(BaseModel):

@@ -98,6 +98,7 @@ class MultiVectorIndex:
         compact_min_rows: int = 4096,
         device_cache_slots: int = 0,
         device_cache_token_bucket: int = 1024,
+        rerank_dtype: str = "bf16",  # "bf16" | "int8" (per-token scales)
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
@@ -152,6 +153,9 @@ class MultiVectorIndex:
         self._cache_slots = int(device_cache_slots)
         self._cache_bucket = int(device_cache_token_bucket)
         self._pool_cache = None
+        if rerank_dtype not in ("bf16", "int8"):
+            raise ValueError(f"unknown rerank_dtype {rerank_dtype!r}")
+        self.rerank_dtype = rerank_dtype
 
         if self.path and (
             (self.path / "records.jsonl").exists() or (self.path / "meta.json").exists()
@@ -499,15 +503,25 @@ class MultiVectorIndex:
                 rescores = self._pool_scores_cached(pool, q)
             if rescores is None:
                 cand = [self._mv_row(r) for r in pool]
-                dense, dmask = pad_multivectors(cand, dtype=self.store_dtype)
-                if dense.dtype == np.float16:
-                    dense = dense.astype(jnp.bfloat16)
-                rescores = np.asarray(
-                    maxsim_scores(
-                        jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask),
-                        use_pallas=self.use_pallas,
+                if self.rerank_dtype == "int8":
+                    from morphik_core_tpu.ops.maxsim import maxsim_scores_q8, quantize_pool_int8
+
+                    d8, ds, dmask = quantize_pool_int8(
+                        [np.asarray(c, np.float32) for c in cand]
                     )
-                )
+                    rescores = np.asarray(
+                        maxsim_scores_q8(q, d8, ds, dmask, use_pallas=self.use_pallas)
+                    )
+                else:
+                    dense, dmask = pad_multivectors(cand, dtype=self.store_dtype)
+                    if dense.dtype == np.float16:
+                        dense = dense.astype(jnp.bfloat16)
+                    rescores = np.asarray(
+                        maxsim_scores(
+                            jnp.asarray(q), jnp.asarray(dense), jnp.asarray(dmask),
+                            use_pallas=self.use_pallas,
+                        )
+                    )
             order = np.argsort(-rescores)[: min(k, len(pool))]
             t3 = time.perf_counter()
             if return_timing:
@@ -532,7 +546,8 @@ class MultiVectorIndex:
             from morphik_core_tpu.index.device_cache import DevicePoolCache
 
             self._pool_cache = DevicePoolCache(
-                self._cache_slots, self._cache_bucket, self._dim
+                self._cache_slots, self._cache_bucket, self._dim,
+                quantized=self.rerank_dtype == "int8",
             )
         return self._pool_cache.score(
             pool, q,

@@ -217,6 +217,181 @@ def maxsim_scores(
     return _maxsim_pallas(q, d, m, candidate_tile=tc, token_tile=tn)[:c]
 
 
+# ---------------------------------------------------------------------------
+# int8 variant: per-token-quantized candidates (halves pool transfers and
+# doubles HBM cache capacity; the int8 MXU dot runs at 2x the bf16 rate).
+# The reference's own postgres rerank quantizes far harder — to 1 BIT —
+# (multi_vector_store.py:329-345), so 8-bit "exact" reranking is well
+# inside reference-blessed fidelity.
+# ---------------------------------------------------------------------------
+
+
+def _maxsim_kernel_q8(q_ref, qs_ref, d_ref, ds_ref, m_ref, out_ref, acc_ref):
+    """int8 x int8 -> int32 score tile, rescaled by per-doc-token and
+    per-query-token scales. Grid/accumulator layout matches
+    `_maxsim_kernel`."""
+    j = pl.program_id(1)
+    tc, tn, dim = d_ref.shape
+    nq = q_ref.shape[0]
+
+    d2 = d_ref[:].reshape(tc * tn, dim)
+    s32 = jax.lax.dot_general(
+        d2, q_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).reshape(tc, tn, nq)
+    s = s32.astype(jnp.float32) * ds_ref[:][:, :, None] * qs_ref[0, :][None, None, :]
+    s = jnp.where(m_ref[:][:, :, None] > 0, s, NEG_INF)
+    part = jnp.max(s, axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] = jnp.maximum(acc_ref[:], part)
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        acc = jnp.where(acc_ref[:] <= NEG_INF * 0.5, 0.0, acc_ref[:])
+        out_ref[:] = jnp.sum(acc, axis=1)[None, None, :]
+
+
+def quantize_pool_int8(mvs: Sequence[np.ndarray], token_bucket: Optional[int] = None):
+    """Per-TOKEN symmetric int8 quantization of a ragged candidate pool.
+    Returns (q8 (C, N_pad, D) int8, scales (C, N_pad) f32, mask)."""
+    if not len(mvs):
+        raise ValueError("empty multivector list")
+    d = mvs[0].shape[-1]
+    max_n = max(int(m.shape[0]) for m in mvs)
+    n_pad = token_bucket if token_bucket is not None else _round_up(max_n, 128)
+    c = len(mvs)
+    q8 = np.zeros((c, n_pad, d), dtype=np.int8)
+    scales = np.zeros((c, n_pad), dtype=np.float32)
+    mask = np.zeros((c, n_pad), dtype=np.float32)
+    for i, m in enumerate(mvs):
+        m = np.asarray(m, dtype=np.float32)
+        n = int(m.shape[0])
+        s = np.max(np.abs(m), axis=-1) / 127.0
+        s = np.where(s == 0, 1.0, s).astype(np.float32)
+        q8[i, :n] = np.clip(np.rint(m / s[:, None]), -127, 127).astype(np.int8)
+        scales[i, :n] = s
+        mask[i, :n] = 1.0
+    return q8, scales, mask
+
+
+def maxsim_scores_q8(
+    query: jax.Array,
+    docs_q8,
+    doc_scales,
+    doc_mask,
+    *,
+    use_pallas: Optional[bool] = None,
+    candidate_tile: int = 8,
+    token_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """MaxSim over per-token int8-quantized candidates. `query` stays
+    float; it is row-quantized here so both dot operands hit the int8
+    MXU path."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    q = np.asarray(query, dtype=np.float32)
+    qs_host = np.max(np.abs(q), axis=-1) / 127.0
+    qs_host = np.where(qs_host == 0, 1.0, qs_host).astype(np.float32)
+    q8_host = np.clip(np.rint(q / qs_host[:, None]), -127, 127).astype(np.int8)
+
+    if not (use_pallas or interpret):
+        # dequantize BOTH sides so CPU scores match the TPU kernel's
+        # quantization exactly (backend-consistent results)
+        deq_d = jnp.asarray(docs_q8, jnp.float32) * jnp.asarray(doc_scales)[:, :, None]
+        deq_q = jnp.asarray(q8_host, jnp.float32) * jnp.asarray(qs_host)[:, None]
+        return maxsim_scores_ref(deq_q, deq_d, jnp.asarray(doc_mask))
+
+    c, nd, dim = docs_q8.shape
+    # fast path: device-resident, already tile-aligned candidates skip
+    # the host pad/copy entirely (fetching a device array back to host
+    # to re-pad it would cost 2x the pool transfer)
+    if (
+        isinstance(docs_q8, jax.Array)
+        and c % min(candidate_tile, _round_up(c, 8)) == 0
+        and nd % min(token_tile, _round_up(nd, 8)) == 0
+    ):
+        nq_pad_f = _round_up(max(q8_host.shape[0], 8), 8)
+        q8f = np.zeros((nq_pad_f, dim), np.int8)
+        q8f[: q8_host.shape[0]] = q8_host
+        qsf = np.zeros((1, nq_pad_f), np.float32)
+        qsf[0, : q8_host.shape[0]] = qs_host
+        return _maxsim_pallas_q8(
+            jnp.asarray(q8f), jnp.asarray(qsf), docs_q8, doc_scales, doc_mask,
+            candidate_tile=min(candidate_tile, c), token_tile=min(token_tile, nd),
+            interpret=interpret,
+        )[:c]
+    nq = q8_host.shape[0]
+    nq_pad = _round_up(max(nq, 8), 8)
+    tc = min(candidate_tile, _round_up(c, 8))
+    tn = min(token_tile, _round_up(nd, 8))
+    c_pad = _round_up(c, tc)
+    nd_pad = _round_up(nd, tn)
+    q8 = np.zeros((nq_pad, dim), np.int8)
+    q8[:nq] = q8_host
+    qs = np.zeros((1, nq_pad), np.float32)
+    qs[0, :nq] = qs_host
+    d8 = np.zeros((c_pad, nd_pad, dim), np.int8)
+    d8[:c, :nd] = np.asarray(docs_q8)
+    ds = np.ones((c_pad, nd_pad), np.float32)
+    ds[:c, :nd] = np.asarray(doc_scales)
+    m = np.zeros((c_pad, nd_pad), np.float32)
+    m[:c, :nd] = np.asarray(doc_mask)
+
+    out = _maxsim_pallas_q8(
+        jnp.asarray(q8), jnp.asarray(qs), jnp.asarray(d8), jnp.asarray(ds), jnp.asarray(m),
+        candidate_tile=tc, token_tile=tn, interpret=interpret,
+    )
+    return out[:c]
+
+
+@functools.partial(jax.jit, static_argnames=("candidate_tile", "token_tile", "interpret"))
+def _maxsim_pallas_q8(
+    q8: jax.Array,  # (NQ_pad, D) int8
+    qs: jax.Array,  # (1, NQ_pad) f32
+    d8: jax.Array,  # (C_pad, N_pad, D) int8 — C_pad % tc == 0, N_pad % tn == 0
+    ds: jax.Array,  # (C_pad, N_pad) f32
+    m: jax.Array,  # (C_pad, N_pad) f32
+    candidate_tile: int = 8,
+    token_tile: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Jitted q8 kernel core over ALREADY-padded (device-resident)
+    arrays — the HBM candidate cache scores gathered pools through this
+    without a host round trip."""
+    c_pad, nd_pad, dim = d8.shape
+    nq_pad = q8.shape[0]
+    tc, tn = candidate_tile, token_tile
+    grid = (pl.cdiv(c_pad, tc), pl.cdiv(nd_pad, tn))
+    out = pl.pallas_call(
+        _maxsim_kernel_q8,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nq_pad, dim), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq_pad), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, tn, dim), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tc, tn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tc), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((grid[0], 1, tc), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((tc, nq_pad), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * c_pad * nd_pad * dim * nq_pad,
+            bytes_accessed=d8.size + q8.size + (ds.size + m.size + c_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q8, qs, d8, ds, m)
+    return out.reshape(-1)
+
+
 def maxsim_topk(
     query: jax.Array,
     docs: jax.Array,

@@ -226,6 +226,7 @@ def build_services(
             compact_min_rows=settings.vector_store.compact_min_rows,
             device_cache_slots=settings.vector_store.device_cache_slots,
             device_cache_token_bucket=settings.vector_store.device_cache_token_bucket,
+            rerank_dtype=settings.vector_store.rerank_dtype,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

@@ -58,6 +58,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         compact_min_rows: int = 4096,
         device_cache_slots: int = 0,
         device_cache_token_bucket: int = 1024,
+        rerank_dtype: str = "bf16",
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -75,6 +76,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.compact_min_rows = compact_min_rows
         self.device_cache_slots = device_cache_slots
         self.device_cache_token_bucket = device_cache_token_bucket
+        self.rerank_dtype = rerank_dtype
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -103,6 +105,7 @@ class TPUMultiVectorStore(BaseVectorStore):
                     compact_min_rows=self.compact_min_rows,
                     device_cache_slots=self.device_cache_slots,
                     device_cache_token_bucket=self.device_cache_token_bucket,
+                    rerank_dtype=self.rerank_dtype,
                 )
         return self._indexes[ns]
 

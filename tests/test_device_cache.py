@@ -127,3 +127,37 @@ def test_alloc_never_evicts_current_pool():
     out = cache.score([0, 4, 5, 6], q, fetch, lambda r: 2, use_pallas=False)
     assert out is not None and out.shape == (4,)
     assert 0 in cache._row_to_slot  # survived
+
+
+def test_int8_rerank_matches_bf16_ranking():
+    """rerank_dtype=int8 (cold + cached paths) ranks like bf16 and its
+    scores stay within per-token-int8 tolerance."""
+    rng = np.random.default_rng(3)
+    mvs, recs = [], []
+    for i in range(8):
+        mv = rng.standard_normal((12 + i, 16)).astype(np.float32)
+        mv /= np.linalg.norm(mv, axis=-1, keepdims=True)
+        mvs.append(mv)
+        recs.append(IndexRecord(document_id=f"d{i}", chunk_number=0))
+    ref_idx = MultiVectorIndex(CFG)
+    ref_idx.store([np.copy(m) for m in mvs], [IndexRecord(document_id=r.document_id, chunk_number=0) for r in recs])
+
+    for slots in (0, 16):  # 0 = cold int8 path, 16 = cached int8 path
+        q8_idx = MultiVectorIndex(CFG, rerank_dtype="int8",
+                                  device_cache_slots=slots, device_cache_token_bucket=32)
+        q8_idx.store([np.copy(m) for m in mvs],
+                     [IndexRecord(document_id=r.document_id, chunk_number=0) for r in recs])
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        want = ref_idx.query(q, k=8)
+        got = q8_idx.query(q, k=8)
+        got = q8_idx.query(q, k=8)  # warm pass for the cached variant
+        w = {r.document_id: s for r, s in want}
+        g = {r.document_id: s for r, s in got}
+        assert set(w) == set(g)
+        for d in w:
+            assert abs(w[d] - g[d]) < 0.02 * max(1.0, abs(w[d])), (slots, d, w[d], g[d])
+
+
+def test_int8_rerank_rejects_bad_dtype():
+    with pytest.raises(ValueError):
+        MultiVectorIndex(CFG, rerank_dtype="fp4")
