@@ -48,6 +48,12 @@ class TPUConfig(BaseModel):
     # the tower's hidden dims. (-1 = infer from device count.)
     mesh_shape: List[int] = Field(default_factory=lambda: [-1, 1])
     mesh_axis_names: List[str] = Field(default_factory=lambda: ["data", "model"])
+    # Build the serving mesh from mesh_shape at boot (dp-sharded embeds,
+    # tp-sharded decoder, mesh-sharded ANN). Off by default: single-chip
+    # serving skips the sharding machinery entirely. Multi-host pod
+    # slices get the hybrid ICI/DCN device order (parallel/mesh.py
+    # best_mesh).
+    auto_mesh: bool = False
     compute_dtype: Literal["bfloat16", "float32"] = "bfloat16"
     # Static-shape buckets for variable-resolution pages (Qwen2-VL
     # NaViT-style patching is ragged; XLA wants static shapes).

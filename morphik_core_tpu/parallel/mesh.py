@@ -42,7 +42,29 @@ def make_mesh(shape: Sequence[int], axis_names: Sequence[str] = ("data", "model"
 
 
 def best_mesh(axis_names: Tuple[str, str] = ("data", "model"), model_parallel: int = 1) -> Mesh:
-    """Default mesh: all devices data-parallel, optional model axis."""
+    """Default mesh: all devices data-parallel, optional model axis.
+
+    Multi-host (pod slice): the data axis spans hosts over DCN while the
+    model axis stays inside a host's ICI domain —
+    `mesh_utils.create_hybrid_device_mesh` orders devices so XLA's
+    collectives ride ICI for tensor-parallel all-reduces and only the
+    (small) data-parallel traffic crosses DCN. Single-host falls back to
+    the plain contiguous mesh."""
+    if jax.process_count() > 1:
+        from jax.experimental import mesh_utils
+
+        n_local = jax.local_device_count()
+        if model_parallel <= 0 or n_local % model_parallel:
+            raise ValueError(
+                f"model_parallel={model_parallel} must divide local device count {n_local} "
+                "(the model axis must stay inside one host's ICI domain)"
+            )
+        per_host = (n_local // model_parallel, model_parallel)
+        devices = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=per_host,
+            dcn_mesh_shape=(jax.process_count(), 1),  # data axis spans hosts
+        )
+        return Mesh(devices, axis_names=tuple(axis_names))
     return make_mesh((-1, model_parallel), axis_names)
 
 

@@ -149,6 +149,19 @@ def build_services(
     colqwen_model=None,
 ) -> Services:
     settings = settings or get_settings()
+    if mesh is None and settings.tpu.auto_mesh:
+        import jax
+
+        if len(jax.devices()) > 1:
+            from morphik_core_tpu.parallel.mesh import best_mesh, make_mesh
+
+            shape = list(settings.tpu.mesh_shape)
+            axes = tuple(settings.tpu.mesh_axis_names)
+            if jax.process_count() > 1:  # pod slice: hybrid ICI/DCN order
+                mesh = best_mesh(axes, model_parallel=shape[1] if len(shape) > 1 else 1)
+            else:
+                mesh = make_mesh(shape, axes)
+            logger.info("auto mesh: %s", dict(zip(axes, mesh.devices.shape)))
     storage_root = Path(settings.storage.storage_path)
     database = SQLiteDatabase(settings.database.path)
     storage = build_storage(settings)

@@ -367,3 +367,48 @@ def test_warmup_compiles_serving_programs(tmp_path):
         np.zeros((1, s, emb.model.cfg.vision.patch_input_dim), np.float32), 4, 4
     )
     assert out.shape[0] == 1
+
+
+def test_auto_mesh_serving(tmp_path):
+    """tpu.auto_mesh=true builds the serving mesh from config at boot:
+    ingest + colpali retrieval run dp/tp-sharded end to end (8 virtual
+    CPU devices via conftest)."""
+    import io as _io
+
+    from PIL import Image, ImageDraw
+
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(tmp_path / "st")},
+            "database": {"path": str(tmp_path / "db.sqlite")},
+            "tpu": {"auto_mesh": True, "mesh_shape": [4, 2]},
+            "vector_store": {
+                "index_path": str(tmp_path / "ix"),
+                "fde_num_repetitions": 4,
+                "fde_num_simhash_projections": 3,
+                "fde_projection_dimension": 8,
+            },
+        }
+    )
+    services = build_services(settings)
+    assert services.colpali_embedding_model.model.mesh is not None
+    assert dict(zip(("data", "model"),
+                    services.colpali_embedding_model.model.mesh.devices.shape)) == {
+        "data": 4, "model": 2}
+    run(services.initialize())
+    try:
+        img = Image.new("RGB", (448, 336), (255, 255, 255))
+        ImageDraw.Draw(img).text((30, 80), "auto mesh page", fill=(0, 0, 0))
+        buf = _io.BytesIO()
+        img.save(buf, format="PNG")
+        auth = AuthContext(entity_id="dev_user", permissions=["read", "write", "admin"])
+        doc = run(services.ingestion_service.ingest_file_content(
+            buf.getvalue(), "m.png", {}, auth, use_colpali=True))
+        run(services.job_queue.enqueue_job(
+            "process_ingestion_job",
+            document_id=doc.external_id, auth=auth.model_dump(mode="json"), use_colpali=True))
+        assert run(services.job_queue.drain(120))
+        res = run(services.document_service.retrieve_chunks("auto mesh page", auth, k=1))
+        assert res and res[0].document_id == doc.external_id
+    finally:
+        run(services.shutdown())
