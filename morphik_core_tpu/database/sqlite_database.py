@@ -516,9 +516,12 @@ class SQLiteDatabase:
                     "UPDATE folders SET path = ? WHERE id = ?",
                     (new_path.rstrip("/") + "/" + r["path"][len(prefix):], r["id"]),
                 )
+            # prefix-safe rewrite (see rename_folder: substring REPLACE
+            # corrupts descendant paths containing the old path again)
             self._conn.execute(
-                "UPDATE documents SET folder_path = REPLACE(folder_path, ?, ?) WHERE folder_path = ? OR folder_path LIKE ?",
-                (old_path, new_path, old_path, prefix + "%"),
+                "UPDATE documents SET folder_path = ? || substr(folder_path, ?)"
+                " WHERE folder_path = ? OR folder_path LIKE ?",
+                (new_path, len(old_path) + 1, old_path, prefix + "%"),
             )
             self._conn.commit()
         return True
@@ -551,9 +554,13 @@ class SQLiteDatabase:
                     "UPDATE folders SET path = ? WHERE id = ?",
                     (new_path.rstrip("/") + "/" + r["path"][len(prefix):], r["id"]),
                 )
+            # prefix-safe rewrite (REPLACE would substitute EVERY
+            # occurrence of the old path substring, corrupting
+            # descendant paths like '/a/ab' -> '/z/zb' on '/a'->'/z')
             self._conn.execute(
-                "UPDATE documents SET folder_path = REPLACE(folder_path, ?, ?) WHERE folder_path = ? OR folder_path LIKE ?",
-                (old_path, new_path, old_path, prefix + "%"),
+                "UPDATE documents SET folder_path = ? || substr(folder_path, ?)"
+                " WHERE folder_path = ? OR folder_path LIKE ?",
+                (new_path, len(old_path) + 1, old_path, prefix + "%"),
             )
             self._conn.commit()
         return True

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from morphik_core_tpu.ops.maxsim import maxsim_scores
+from morphik_core_tpu.parallel.search import quantize_rows_int8
 
 
 def _round_pow2(n: int, minimum: int = 8) -> int:
@@ -164,10 +165,7 @@ class DevicePoolCache:
                 mv = np.asarray(fetch_row(r), dtype=np.float32)
                 n = mv.shape[0]
                 if self.quantized:
-                    s = np.max(np.abs(mv), axis=-1) / 127.0
-                    s = np.where(s == 0, 1.0, s).astype(np.float32)
-                    new[j, :n] = np.clip(np.rint(mv / s[:, None]), -127, 127).astype(np.int8)
-                    scales[j, :n] = s
+                    new[j, :n], scales[j, :n] = quantize_rows_int8(mv)
                 else:
                     new[j, :n] = mv.astype(np.float16)
                 masks[j, :n] = 1.0
@@ -203,10 +201,7 @@ class DevicePoolCache:
         g_pad = _round_pow2(len(gather))
         g_arr = np.asarray(gather + [gather[-1]] * (g_pad - len(gather)), np.int32)
         if self.quantized:
-            qf = np.asarray(q, np.float32)
-            qs_h = np.max(np.abs(qf), axis=-1) / 127.0
-            qs_h = np.where(qs_h == 0, 1.0, qs_h).astype(np.float32)
-            q8_h = np.clip(np.rint(qf / qs_h[:, None]), -127, 127).astype(np.int8)
+            q8_h, qs_h = quantize_rows_int8(np.asarray(q, np.float32))
             nq_pad = _round_pow2(max(q8_h.shape[0], 8), minimum=8)
             q8 = np.zeros((nq_pad, self.dim), np.int8)
             q8[: q8_h.shape[0]] = q8_h

@@ -157,6 +157,9 @@ class MultiVectorIndex:
             raise ValueError(f"unknown rerank_dtype {rerank_dtype!r}")
         self.rerank_dtype = rerank_dtype
 
+        if self.path:
+            # finish or discard an interrupted compaction before loading
+            self.recover_compact(self.path)
         if self.path and (
             (self.path / "records.jsonl").exists() or (self.path / "meta.json").exists()
         ):
@@ -203,6 +206,10 @@ class MultiVectorIndex:
                 if old is not None and self._alive[old]:
                     self._alive[old] = False
                     self._dead += 1
+                    # dirty the cached device mask block covering the old
+                    # row, exactly like delete_document — otherwise an
+                    # unfiltered ANN query keeps serving the dead row
+                    self._mask_rows = min(self._mask_rows, old)
                     if self._pool_cache is not None:
                         self._pool_cache.invalidate(old)
                 row = self._count
@@ -429,7 +436,11 @@ class MultiVectorIndex:
                 search = make_sharded_search(self.mesh, k)
                 scores, idx = search(dev, jnp.asarray(qe), mask_dev)
             idx, scores = np.asarray(idx), np.asarray(scores)
-            return [int(i) for i, s in zip(idx, scores) if np.isfinite(s) and i < self._count]
+            # k is pow-2-bucketed above; trim back to the requested pool
+            # (extra candidates would inflate the rerank gather/transfer
+            # and can push the pool past the HBM cache's slot count)
+            out = [int(i) for i, s in zip(idx, scores) if np.isfinite(s) and i < self._count]
+            return out[:pool_size]
 
         # blocked single-device path: ALL blocks scanned + merged in one
         # compiled program (one dispatch, one fetch — per-block dispatch
@@ -659,11 +670,16 @@ class MultiVectorIndex:
             return
         with open(self.path / "header.json") as fh:
             hdr = json.load(fh)
-        if hdr["fde"]["dimension"] != self.fde_config.dimension or (
-            hdr["fde"]["num_repetitions"] != self.fde_config.num_repetitions
-        ):
+        stored = hdr["fde"]
+        current = self._header()["fde"]
+        # EVERY field matters: dims/reps/projections change the row
+        # stride (stale strides silently truncate data on load) and the
+        # seed changes the random projections (same shapes, broken
+        # retrieval). scripts/rebuild_fde.py re-encodes an index.
+        if stored != current:
             raise ValueError(
-                f"index at {self.path} was built with a different FDE config: {hdr['fde']}"
+                f"index at {self.path} was built with a different FDE config: "
+                f"stored={stored} configured={current}"
             )
         self.store_dtype = np.dtype(hdr.get("store_dtype", "float16"))
         fde_rows_on_disk = (self.path / "fde.bin").stat().st_size // (4 * self._fde_dim) if (
@@ -790,52 +806,119 @@ class MultiVectorIndex:
         ):
             self.compact()
 
+    _COMPACT_FILES = ("header.json", "records.jsonl", "fde.bin", "mv.bin")
+
     def compact(self) -> None:
         """Drop tombstoned rows: rewrite files (if persistent) and rebuild
         in-memory + device state. O(alive rows); amortized by the
-        dead-fraction trigger."""
+        dead-fraction trigger.
+
+        Crash safety (persistent case): the compacted index is built in
+        a SIDE directory by a fresh index object (this object's state is
+        untouched until the build fully succeeds), then committed
+        two-phase — a COMMIT marker makes the per-file os.replace swap
+        resumable by `_recover_compact` on the next load. A failure
+        during the build leaves the live index exactly as it was."""
         with self._lock:
             keep = [r for r in range(self._count) if self._alive[r]]
-            new_records: List[IndexRecord] = []
-            new_fde_pending: List[np.ndarray] = []
-            new_mv_pending: List[np.ndarray] = []
-            new_id_to_row: Dict[str, int] = {}
-            new_doc_rows: Dict[str, List[int]] = {}
-            for new_row, r in enumerate(keep):
-                rec = self.records[r]
-                new_records.append(rec)
-                new_fde_pending.append(np.asarray(self._fde_rows(r, r + 1)[0]))
-                new_mv_pending.append(np.asarray(self._mv_row(r)))
-                new_id_to_row[f"{rec.document_id}-{rec.chunk_number}"] = new_row
-                new_doc_rows.setdefault(rec.document_id, []).append(new_row)
+            new_records = [
+                IndexRecord(
+                    document_id=self.records[r].document_id,
+                    chunk_number=self.records[r].chunk_number,
+                    metadata=self.records[r].metadata,
+                    content_key=self.records[r].content_key,
+                )
+                for r in keep
+            ]
+            new_mvs = [np.asarray(self._mv_row(r)) for r in keep]
+            new_fde = (
+                np.stack([np.asarray(self._fde_rows(r, r + 1)[0]) for r in keep])
+                if keep else np.zeros((0, self._fde_dim), np.float32)
+            )
 
             if self.path and self.path.exists():
                 tmp = self.path.with_name(self.path.name + ".compact")
                 if tmp.exists():
                     shutil.rmtree(tmp)
-                old_path = self.path
-                try:
-                    self.path = tmp
-                    self._reset_state(new_records, new_fde_pending, new_mv_pending,
-                                      new_id_to_row, new_doc_rows)
-                    self.save()
-                finally:
-                    self.path = old_path
-                for name in ("header.json", "records.jsonl", "fde.bin", "mv.bin"):
-                    src = tmp / name
-                    if src.exists():
-                        os.replace(src, self.path / name)
-                shutil.rmtree(tmp, ignore_errors=True)
-                # legacy snapshot files are superseded
-                (self.path / "meta.json").unlink(missing_ok=True)
-                legacy = self.path / "multivectors"
-                if legacy.exists():
-                    shutil.rmtree(legacy, ignore_errors=True)
-                self._open_mmaps()
+                # 1) build the compacted index on the side; any failure
+                #    here leaves the live index untouched
+                side = MultiVectorIndex(
+                    self.fde_config, path=tmp, store_dtype=self.store_dtype,
+                    rerank_dtype=self.rerank_dtype,
+                )
+                side.store(new_mvs, new_records, fde_vectors=new_fde)
+                side.save()
+                # 2) commit marker, then swap files (resumable on crash)
+                (tmp / "COMMIT").touch()
+                self._swap_compact_files(self.path, tmp)
+                # 3) reload this object's state from the new on-disk form
+                self._reload_from_disk()
             else:
-                self._reset_state(new_records, new_fde_pending, new_mv_pending,
+                new_id_to_row: Dict[str, int] = {}
+                new_doc_rows: Dict[str, List[int]] = {}
+                for new_row, rec in enumerate(new_records):
+                    new_id_to_row[f"{rec.document_id}-{rec.chunk_number}"] = new_row
+                    new_doc_rows.setdefault(rec.document_id, []).append(new_row)
+                self._reset_state(new_records, [f for f in new_fde], new_mvs,
                                   new_id_to_row, new_doc_rows)
             logger.info("compacted index: %d rows kept", len(new_records))
+
+    @classmethod
+    def _swap_compact_files(cls, path: Path, tmp: Path) -> None:
+        """Phase 2 of compaction: move the side-built files over the live
+        ones. Idempotent — re-runnable after a crash at any point."""
+        for name in cls._COMPACT_FILES:
+            src = tmp / name
+            if src.exists():
+                os.replace(src, path / name)
+        # legacy snapshot files are superseded
+        (path / "meta.json").unlink(missing_ok=True)
+        legacy = path / "multivectors"
+        if legacy.exists():
+            shutil.rmtree(legacy, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    @classmethod
+    def recover_compact(cls, path: Path) -> bool:
+        """Finish (COMMIT marker present) or discard (no marker) an
+        interrupted compaction. Returns True if a swap was completed."""
+        tmp = Path(path).with_name(Path(path).name + ".compact")
+        if not tmp.exists():
+            return False
+        if (tmp / "COMMIT").exists():
+            logger.warning("completing interrupted compaction at %s", path)
+            cls._swap_compact_files(Path(path), tmp)
+            return True
+        logger.warning("discarding incomplete compaction build at %s", tmp)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return False
+
+    def _reload_from_disk(self) -> None:
+        """Re-derive ALL in-memory + device state from the on-disk files
+        (used after a compaction swap)."""
+        self.records = []
+        self._id_to_row = {}
+        self._doc_rows = {}
+        self._alive = np.zeros(0, dtype=bool)
+        self._count = 0
+        self._dead = 0
+        self._persisted = 0
+        self._mv_off = []
+        self._fde_mm = None
+        self._mv_mm = None
+        self._fde_pending = []
+        self._mv_pending = []
+        self._wal_buffer = []
+        self._mv_file_tokens = 0
+        self._dev_blocks = []
+        self._dev_rows = 0
+        self._mask_blocks = []
+        self._mask_rows = 0
+        self._mesh_dev = None
+        self._mesh_rows = -1
+        if self._pool_cache is not None:  # row ids were renumbered
+            self._pool_cache.invalidate_all()
+        self._load()
 
     def _reset_state(self, records, fde_pending, mv_pending, id_to_row, doc_rows) -> None:
         self.records = records

@@ -266,16 +266,14 @@ def quantize_pool_int8(mvs: Sequence[np.ndarray], token_bucket: Optional[int] = 
     max_n = max(int(m.shape[0]) for m in mvs)
     n_pad = token_bucket if token_bucket is not None else _round_up(max_n, 128)
     c = len(mvs)
+    from morphik_core_tpu.parallel.search import quantize_rows_int8
+
     q8 = np.zeros((c, n_pad, d), dtype=np.int8)
     scales = np.zeros((c, n_pad), dtype=np.float32)
     mask = np.zeros((c, n_pad), dtype=np.float32)
     for i, m in enumerate(mvs):
-        m = np.asarray(m, dtype=np.float32)
         n = int(m.shape[0])
-        s = np.max(np.abs(m), axis=-1) / 127.0
-        s = np.where(s == 0, 1.0, s).astype(np.float32)
-        q8[i, :n] = np.clip(np.rint(m / s[:, None]), -127, 127).astype(np.int8)
-        scales[i, :n] = s
+        q8[i, :n], scales[i, :n] = quantize_rows_int8(m)
         mask[i, :n] = 1.0
     return q8, scales, mask
 
@@ -294,12 +292,12 @@ def maxsim_scores_q8(
     """MaxSim over per-token int8-quantized candidates. `query` stays
     float; it is row-quantized here so both dot operands hit the int8
     MXU path."""
+    from morphik_core_tpu.parallel.search import quantize_rows_int8
+
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q = np.asarray(query, dtype=np.float32)
-    qs_host = np.max(np.abs(q), axis=-1) / 127.0
-    qs_host = np.where(qs_host == 0, 1.0, qs_host).astype(np.float32)
-    q8_host = np.clip(np.rint(q / qs_host[:, None]), -127, 127).astype(np.int8)
+    q8_host, qs_host = quantize_rows_int8(q)
 
     if not (use_pallas or interpret):
         # dequantize BOTH sides so CPU scores match the TPU kernel's

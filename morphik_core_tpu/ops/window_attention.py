@@ -1,26 +1,26 @@
 """Fused windowed self-attention for the Qwen2.5-VL vision tower.
 
+STATUS: measured and NOT wired into the tower. On a real v5e this
+kernel runs the standalone window-attention shape in 1.67 ms vs 1.32 ms
+for XLA's fused attention, and in-tower it was slower still (252 vs
+215 ms for the whole tower) — XLA already compiles the batched-window
+einsum to within ~15% of the matmul floor at these shapes, so the
+block-diagonal fusion buys nothing (see docs/ARCHITECTURE.md "measured
+and rejected" and CLAUDE.md round-2 notes). Kept, with parity tests, as
+the starting point if future shapes (bigger windows, more heads) change
+the trade-off.
+
 The torch reference runs window attention via flash-attn varlen with
-cu_seqlens (transformers Qwen2_5_VisionTransformerPretrainedModel,
-used by reference core/embedding/colpali_embedding_model.py:47-56).
-The pure-XLA equivalent — batched attention over (n_windows, 64)
-tiles — is the vision tower's dominant cost on TPU: 64x64 score
-matmuls underfill the 128x128 MXU, and XLA materializes the fp32
-score tensors in HBM (measured ~3 ms/layer x 28 window layers on
-v5e, ~40% of the whole tower).
+cu_seqlens (transformers Qwen2_5_VisionTransformerPretrainedModel, used
+by reference core/embedding/colpali_embedding_model.py:47-56); the
+engine's serving path is the batched-window XLA attention in
+models/colqwen/vision.py.
 
-This kernel fuses QK^T -> block-diagonal window mask -> softmax -> PV
-for a strip of consecutive windows per grid step, entirely in VMEM:
-
-  - q/k/v arrive as (T, heads, head_dim) with windows contiguous along
-    T (the tower already orders patches window-major).
-  - Each grid step loads a (R = window * block_windows)-row strip for
-    ALL heads and loops the heads on-chip; scores for the strip are an
-    (R, R) fp32 tile with a window-id block-diagonal mask — MXU-dense,
-    never touching HBM.
-  - FLOP overfetch is block_windows x (off-diagonal blocks are masked
-    waste) but R=512 keeps the kernel at the HBM-bandwidth floor, which
-    is ~6x faster than the XLA path end to end.
+Kernel shape: QK^T -> block-diagonal window mask -> softmax -> PV for a
+strip of consecutive windows per (strip, head) grid step, entirely in
+VMEM; q/k/v arrive as (T, heads, head_dim) with windows contiguous
+along T, heads folded into lanes at 128-aligned strides (Mosaic
+rejects (N, 80) -> (N, 1, 80) shape casts).
 
 A pure-XLA reference (`window_attention_ref`) serves CPU execution and
 parity tests (interpret=True runs the kernel on CPU for CI).

@@ -154,8 +154,14 @@ class MorphikParser:
             raise ParseAPIError("parser_mode=api but no parse_api_endpoints configured")
         import asyncio as _asyncio
         import json as _json
+        import re as _re
         import urllib.error
         import urllib.request
+
+        # the filename is user-supplied: strip CR/LF/quotes so it cannot
+        # terminate the Content-Disposition line or inject headers/fields
+        # into the multipart body
+        filename = _re.sub(r'[\r\n"\\]', "_", filename or "file")[:255]
 
         def post(endpoint: str) -> str:
             boundary = "----morphikparse"
