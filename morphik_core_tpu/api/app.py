@@ -1031,7 +1031,14 @@ def build_app(services: Services) -> Router:
         auth = await auth_of(req)
         _require_write(auth)
         body = req.json() if req.body else {}
-        seconds = min(float(body.get("seconds", 2.0)), 30.0)
+        if not isinstance(body, dict):
+            raise HTTPError(422, "body must be a JSON object")
+        try:
+            seconds = float(body.get("seconds", 2.0))
+        except (TypeError, ValueError):
+            raise HTTPError(422, "seconds must be a number")
+        if not (0.0 < seconds <= 30.0):  # NaN fails this comparison too
+            raise HTTPError(422, "seconds must be in (0, 30]")
         import time as _time
 
         import jax as _jax

@@ -36,6 +36,16 @@ def _round_pow2(n: int, minimum: int = 8) -> int:
     return p
 
 
+def _token_tile(bucket: int) -> int:
+    """Largest kernel token tile (<=256) that DIVIDES the slot bucket —
+    the q8 kernel core takes pre-padded arrays and requires
+    N %% tile == 0 (no implicit padding)."""
+    for t in (256, 128, 64, 32, 16, 8):
+        if bucket % t == 0:
+            return t
+    return bucket  # bucket < 8 or odd: single-tile launch
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1))
 def _insert(buf, mbuf, new_rows, new_masks, slots):
     """Scatter `new_rows` into the pool at `slots` (donated buffers —
@@ -90,6 +100,10 @@ class DevicePoolCache:
         reference's 1-bit postgres rerank."""
         self.slots = int(slots)
         self.token_bucket = int(token_bucket)
+        if quantized and self.token_bucket % 8:
+            raise ValueError(
+                f"quantized cache needs token_bucket % 8 == 0, got {token_bucket}"
+            )
         self.dim = int(dim)
         self.quantized = bool(quantized)
         slot_dtype = jnp.int8 if quantized else dtype
@@ -195,23 +209,24 @@ class DevicePoolCache:
             self._row_to_slot.move_to_end(r)
             gather.append(self._row_to_slot[r])
         if use_pallas is None:
-            use_pallas = jax.default_backend() == "tpu"
+            from morphik_core_tpu.ops.maxsim import default_use_pallas
+
+            use_pallas = default_use_pallas()
         # pow-2 bucket the gather too (pool size varies with k); padded
         # entries repeat the last slot and are sliced off after
         g_pad = _round_pow2(len(gather))
         g_arr = np.asarray(gather + [gather[-1]] * (g_pad - len(gather)), np.int32)
         if self.quantized:
-            q8_h, qs_h = quantize_rows_int8(np.asarray(q, np.float32))
-            nq_pad = _round_pow2(max(q8_h.shape[0], 8), minimum=8)
-            q8 = np.zeros((nq_pad, self.dim), np.int8)
-            q8[: q8_h.shape[0]] = q8_h
-            qs = np.zeros((1, nq_pad), np.float32)
-            qs[0, : q8_h.shape[0]] = qs_h
+            from morphik_core_tpu.ops.maxsim import quantize_query_q8
+
+            # same quantize+pad recipe as the cold path -> identical
+            # kernel shapes for cached and uncached reranks
+            q8, qs = quantize_query_q8(q)
             if use_pallas:
                 scores = _gather_and_score_q8(
                     self._buf, self._sbuf, self._mbuf, jnp.asarray(g_arr),
                     jnp.asarray(q8), jnp.asarray(qs),
-                    token_tile=min(256, self.token_bucket), interpret=False,
+                    token_tile=_token_tile(self.token_bucket), interpret=False,
                 )
             else:
                 scores = _gather_and_score_q8_ref(

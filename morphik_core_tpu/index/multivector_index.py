@@ -62,6 +62,18 @@ logger = logging.getLogger(__name__)
 FORMAT_VERSION = 2
 
 
+def _fsync_dir(path: Path) -> None:
+    """Make directory entries (file creations/renames) durable."""
+    try:
+        fd = os.open(str(path), os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except OSError:  # platforms without dir fsync
+        pass
+
+
 def _round_capacity(n: int, minimum: int = 1024) -> int:
     """Power-of-2 capacity rounding (compiled-program reuse across grows)."""
     c = minimum
@@ -614,6 +626,13 @@ class MultiVectorIndex:
             if not hdr.exists():
                 with open(hdr, "w") as fh:
                     json.dump(self._header(), fh)
+            # records.jsonl must exist even for an EMPTY index: a
+            # zero-survivor compaction swap relies on replacing the old
+            # WAL with this (empty) one — otherwise the old rows would
+            # silently resurrect on reload
+            wal = self.path / "records.jsonl"
+            if not wal.exists():
+                wal.touch()
             if not self._wal_buffer and self._persisted == self._count:
                 return
             # 1) data appends BEFORE the WAL lines that reference them —
@@ -827,6 +846,7 @@ class MultiVectorIndex:
                     chunk_number=self.records[r].chunk_number,
                     metadata=self.records[r].metadata,
                     content_key=self.records[r].content_key,
+                    n_tokens=self.records[r].n_tokens,
                 )
                 for r in keep
             ]
@@ -848,8 +868,15 @@ class MultiVectorIndex:
                 )
                 side.store(new_mvs, new_records, fde_vectors=new_fde)
                 side.save()
-                # 2) commit marker, then swap files (resumable on crash)
-                (tmp / "COMMIT").touch()
+                # 2) commit marker, made DURABLE before any rename — a
+                #    crash must never see replaced files without the
+                #    marker (recover_compact would discard tmp and leave
+                #    a mixed old/new live dir)
+                marker = tmp / "COMMIT"
+                with open(marker, "w") as fh:
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                _fsync_dir(tmp)
                 self._swap_compact_files(self.path, tmp)
                 # 3) reload this object's state from the new on-disk form
                 self._reload_from_disk()
@@ -871,6 +898,7 @@ class MultiVectorIndex:
             src = tmp / name
             if src.exists():
                 os.replace(src, path / name)
+        _fsync_dir(path)
         # legacy snapshot files are superseded
         (path / "meta.json").unlink(missing_ok=True)
         legacy = path / "multivectors"

@@ -30,6 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1.0e30
 
 
+def default_use_pallas() -> bool:
+    """Single source of truth for 'is a TPU Pallas backend available' —
+    the axon relay registers as its own platform name."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -180,7 +186,7 @@ def maxsim_scores(
     XLA elsewhere.
     """
     if use_pallas is None:
-        use_pallas = jax.default_backend() in ("tpu", "axon")
+        use_pallas = default_use_pallas()
     if doc_mask is None:
         doc_mask = jnp.ones(docs.shape[:2], dtype=jnp.float32)
     if not use_pallas and not interpret:
@@ -258,24 +264,33 @@ def _maxsim_kernel_q8(q_ref, qs_ref, d_ref, ds_ref, m_ref, out_ref, acc_ref):
 
 
 def quantize_pool_int8(mvs: Sequence[np.ndarray], token_bucket: Optional[int] = None):
-    """Per-TOKEN symmetric int8 quantization of a ragged candidate pool.
+    """Per-TOKEN symmetric int8 quantization of a ragged candidate pool:
+    pad_multivectors packing + quantize_rows_int8 scales (all-zero padded
+    rows quantize to scale 1; the mask marks validity).
     Returns (q8 (C, N_pad, D) int8, scales (C, N_pad) f32, mask)."""
-    if not len(mvs):
-        raise ValueError("empty multivector list")
-    d = mvs[0].shape[-1]
-    max_n = max(int(m.shape[0]) for m in mvs)
-    n_pad = token_bucket if token_bucket is not None else _round_up(max_n, 128)
-    c = len(mvs)
     from morphik_core_tpu.parallel.search import quantize_rows_int8
 
-    q8 = np.zeros((c, n_pad, d), dtype=np.int8)
-    scales = np.zeros((c, n_pad), dtype=np.float32)
-    mask = np.zeros((c, n_pad), dtype=np.float32)
-    for i, m in enumerate(mvs):
-        n = int(m.shape[0])
-        q8[i, :n], scales[i, :n] = quantize_rows_int8(m)
-        mask[i, :n] = 1.0
+    dense, mask = pad_multivectors(mvs, token_bucket=token_bucket)
+    q8, scales = quantize_rows_int8(dense)
     return q8, scales, mask
+
+
+def quantize_query_q8(query, nq_pad: Optional[int] = None):
+    """Row-quantize a query multivector and zero-pad to `nq_pad` rows
+    (default: round up to 8). One shared recipe for the cold rerank path
+    and the HBM cache path — identical kernel shapes on both.
+    Returns (q8 (NQ_pad, D) int8, qs (1, NQ_pad) f32)."""
+    from morphik_core_tpu.parallel.search import quantize_rows_int8
+
+    q = np.asarray(query, dtype=np.float32)
+    q8_host, qs_host = quantize_rows_int8(q)
+    nq = q8_host.shape[0]
+    nq_pad = nq_pad or _round_up(max(nq, 8), 8)
+    q8 = np.zeros((nq_pad, q.shape[1]), np.int8)
+    q8[:nq] = q8_host
+    qs = np.zeros((1, nq_pad), np.float32)
+    qs[0, :nq] = qs_host
+    return q8, qs
 
 
 def maxsim_scores_q8(
@@ -292,18 +307,15 @@ def maxsim_scores_q8(
     """MaxSim over per-token int8-quantized candidates. `query` stays
     float; it is row-quantized here so both dot operands hit the int8
     MXU path."""
-    from morphik_core_tpu.parallel.search import quantize_rows_int8
-
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
-    q = np.asarray(query, dtype=np.float32)
-    q8_host, qs_host = quantize_rows_int8(q)
+        use_pallas = default_use_pallas()
+    q8, qs = quantize_query_q8(query)
 
     if not (use_pallas or interpret):
         # dequantize BOTH sides so CPU scores match the TPU kernel's
         # quantization exactly (backend-consistent results)
         deq_d = jnp.asarray(docs_q8, jnp.float32) * jnp.asarray(doc_scales)[:, :, None]
-        deq_q = jnp.asarray(q8_host, jnp.float32) * jnp.asarray(qs_host)[:, None]
+        deq_q = jnp.asarray(q8, jnp.float32) * jnp.asarray(qs)[0][:, None]
         return maxsim_scores_ref(deq_q, deq_d, jnp.asarray(doc_mask))
 
     c, nd, dim = docs_q8.shape
@@ -315,26 +327,15 @@ def maxsim_scores_q8(
         and c % min(candidate_tile, _round_up(c, 8)) == 0
         and nd % min(token_tile, _round_up(nd, 8)) == 0
     ):
-        nq_pad_f = _round_up(max(q8_host.shape[0], 8), 8)
-        q8f = np.zeros((nq_pad_f, dim), np.int8)
-        q8f[: q8_host.shape[0]] = q8_host
-        qsf = np.zeros((1, nq_pad_f), np.float32)
-        qsf[0, : q8_host.shape[0]] = qs_host
         return _maxsim_pallas_q8(
-            jnp.asarray(q8f), jnp.asarray(qsf), docs_q8, doc_scales, doc_mask,
+            jnp.asarray(q8), jnp.asarray(qs), docs_q8, doc_scales, doc_mask,
             candidate_tile=min(candidate_tile, c), token_tile=min(token_tile, nd),
             interpret=interpret,
         )[:c]
-    nq = q8_host.shape[0]
-    nq_pad = _round_up(max(nq, 8), 8)
     tc = min(candidate_tile, _round_up(c, 8))
     tn = min(token_tile, _round_up(nd, 8))
     c_pad = _round_up(c, tc)
     nd_pad = _round_up(nd, tn)
-    q8 = np.zeros((nq_pad, dim), np.int8)
-    q8[:nq] = q8_host
-    qs = np.zeros((1, nq_pad), np.float32)
-    qs[0, :nq] = qs_host
     d8 = np.zeros((c_pad, nd_pad, dim), np.int8)
     d8[:c, :nd] = np.asarray(docs_q8)
     ds = np.ones((c_pad, nd_pad), np.float32)

@@ -148,7 +148,9 @@ def window_attention(
     if t % window:
         raise ValueError(f"T={t} not a multiple of window={window}")
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        from morphik_core_tpu.ops.maxsim import default_use_pallas
+
+        use_pallas = default_use_pallas()
     n_windows = t // window
     if not (use_pallas or interpret):
         return window_attention_ref(q, k, v, window=window)

@@ -141,3 +141,35 @@ def test_folder_rename_move_prefix_safety(tmp_path):
     assert run(db.move_folder(a["id"], "/parent", auth))
     got = run(db.get_document("x1", auth))
     assert got.folder_path == "/parent/z/ab", got.folder_path
+
+
+def test_compaction_with_zero_survivors(tmp_path):
+    """Regression: a compaction where NO row survives must not resurrect
+    the deleted document from the stale on-disk WAL (an empty side index
+    used to write only header.json, leaving the old records.jsonl)."""
+    path = tmp_path / "ix"
+    idx = MultiVectorIndex(CFG, path=path, compact_min_rows=4, compact_dead_fraction=0.2)
+    rng = np.random.default_rng(0)
+    mvs = [rng.standard_normal((6, 16)).astype(np.float32) for _ in range(4)]
+    idx.store(mvs, [IndexRecord(document_id="bigdoc", chunk_number=i) for i in range(4)])
+    idx.save()
+    assert idx.delete_document("bigdoc") == 4  # 4/4 dead -> compacts to zero
+    assert len(idx) == 0 and idx.dead_fraction == 0.0
+    assert idx.query(np.ones((2, 16), np.float32), k=3) == []
+    re = MultiVectorIndex(CFG, path=path)
+    assert len(re) == 0  # nothing resurrects on reload
+    assert re.query(np.ones((2, 16), np.float32), k=3) == []
+
+
+def test_compaction_preserves_n_tokens():
+    """Regression: compaction must carry n_tokens through (a zero value
+    breaks the cache's oversized guard and, when later persisted,
+    truncates mv.bin)."""
+    idx = MultiVectorIndex(CFG, compact_min_rows=4, compact_dead_fraction=0.2)
+    _fill(idx, 8)
+    idx.delete_document("d0")
+    idx.delete_document("d1")  # triggers compaction
+    assert idx.dead_fraction == 0.0
+    assert all(r.n_tokens == 6 for r in idx.records), [r.n_tokens for r in idx.records]
+    mv = idx.get_multivector("d5", 0)
+    assert mv is not None and mv.shape == (6, 16)
