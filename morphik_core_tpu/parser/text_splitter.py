@@ -28,6 +28,14 @@ class RecursiveCharacterTextSplitter:
             return []
         if len(text) <= self.chunk_size:
             return [text]
+        if self.separators == ["\n\n", "\n", ". ", " ", ""]:
+            # default separators: the native C++ kernel handles ASCII
+            # input (utils/fast_ops.py::native_split_text; parity-tested)
+            from morphik_core_tpu.utils.fast_ops import native_split_text
+
+            native = native_split_text(text, self.chunk_size, self.chunk_overlap)
+            if native is not None:
+                return native
         pieces = self._split(text, 0)
         return self._merge(pieces)
 

@@ -37,6 +37,8 @@ def _load_lib() -> Optional[ctypes.CDLL]:
         lib.clean_control_chars.restype = ctypes.c_size_t
         lib.count_tokens_whitespace.restype = ctypes.c_size_t
         lib.normalize_whitespace.restype = ctypes.c_size_t
+        if hasattr(lib, "split_text"):  # absent in pre-round-2 builds
+            lib.split_text.restype = ctypes.c_size_t
         _LIB = lib
         return lib
     except OSError as e:  # pragma: no cover
@@ -163,3 +165,51 @@ def hamming_distance_batch(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
     )
     return out
+
+
+# ---------------------------------------------------------------- chunking
+
+
+def native_split_text(
+    text: str, chunk_size: int = 6000, chunk_overlap: int = 300
+) -> Optional[List[str]]:
+    """Recursive character splitting via the native kernel (reference
+    morphik_rust chunking.rs, fast_ops.py:102-113; 2-5x the Python
+    path). Returns None when the native path doesn't apply — library
+    absent, non-ASCII input (the Python splitter's "character" means
+    code point, not byte), or the output bound overflowed — and the
+    caller (RecursiveCharacterTextSplitter) runs its Python
+    implementation. Identical outputs on the shared domain
+    (tests/test_parser.py parity)."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "split_text") or not text.isascii():
+        return None
+    if len(text) <= chunk_size:
+        return [text] if text else []
+    raw = text.encode("ascii")
+    n = len(raw)
+    # generous bounds (pathological piece patterns can emit many small
+    # chunks); the kernel checks BOTH caps and returns -1 on overflow,
+    # in which case the Python path runs instead
+    step = max(1, chunk_size - chunk_overlap)
+    max_chunks = 4 * (n // step) + 64
+    out_cap = 2 * n + max_chunks * (chunk_overlap + 4) + chunk_size
+    out = ctypes.create_string_buffer(out_cap)
+    lens = (ctypes.c_longlong * max_chunks)()
+    count = lib.split_text(raw, n, chunk_size, chunk_overlap, out, out_cap, lens, max_chunks)
+    if count == ctypes.c_size_t(-1).value:  # capacity exceeded
+        return None
+    buf = memoryview(out)  # .raw would copy the whole buffer PER chunk
+    chunks, off = [], 0
+    for i in range(count):
+        ln = lens[i]
+        chunks.append(bytes(buf[off : off + ln]).decode("ascii"))
+        off += ln
+    return chunks
+
+
+def split_text(text: str, chunk_size: int = 6000, chunk_overlap: int = 300) -> List[str]:
+    """Public splitter entry matching the reference fast_ops surface."""
+    from morphik_core_tpu.parser.text_splitter import RecursiveCharacterTextSplitter
+
+    return RecursiveCharacterTextSplitter(chunk_size, chunk_overlap).split_text(text)

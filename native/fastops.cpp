@@ -8,9 +8,12 @@
 //
 // Build: make -C native   (produces libfastops.so)
 
+#include <cctype>
 #include <cstddef>
 #include <cstdint>
 #include <cstring>
+#include <string>
+#include <vector>
 
 extern "C" {
 
@@ -140,6 +143,122 @@ void binary_quantize_packed(const float* in, size_t rows, size_t dim, uint8_t* o
       orow[b] = byte;
     }
   }
+}
+
+}  // extern "C"
+
+// ------------------------------------------------------------------ chunking
+//
+// Recursive character text splitting — the native port of the
+// reference's morphik_rust/src/chunking.rs (separators
+// ["\n\n", "\n", ". ", " ", ""], chunk budget, overlap tail carried
+// into the next chunk). Exact behavioral parity with
+// morphik_core_tpu/parser/text_splitter.py for ASCII input (the shim
+// routes non-ASCII through the Python path, where "character" means
+// code point, not byte).
+
+namespace {
+
+const char* kSeparators[] = {"\n\n", "\n", ". ", " "};
+constexpr int kNumSeps = 4;
+
+struct Range { size_t off, len; };
+
+// Recursively split [off, off+len) until every piece fits chunk_size.
+// Pieces are ranges of the ORIGINAL buffer (part + separator is always
+// a contiguous original substring), so splitting is zero-copy.
+void split_rec(const char* s, size_t off, size_t len, int sep_idx,
+               size_t chunk_size, std::vector<Range>& out) {
+  if (len <= chunk_size) {
+    if (len) out.push_back({off, len});
+    return;
+  }
+  if (sep_idx >= kNumSeps) {  // "" separator: fixed-size character slices
+    for (size_t i = 0; i < len; i += chunk_size)
+      out.push_back({off + i, len - i < chunk_size ? len - i : chunk_size});
+    return;
+  }
+  const char* sep = kSeparators[sep_idx];
+  size_t sep_len = sep[1] ? 2 : 1;
+  size_t start = off, end = off + len;
+  bool found_any = false;
+  size_t i = off;
+  while (i + sep_len <= end) {
+    if (s[i] == sep[0] && (sep_len == 1 || s[i + 1] == sep[1])) {
+      found_any = true;
+      size_t keep_len = i + sep_len - start;  // part + separator
+      if (keep_len) {
+        if (keep_len <= chunk_size) out.push_back({start, keep_len});
+        else split_rec(s, start, keep_len, sep_idx + 1, chunk_size, out);
+      }
+      start = i + sep_len;
+      i = start;
+    } else {
+      i++;
+    }
+  }
+  if (!found_any) {  // no separator at this level: descend directly
+    split_rec(s, off, len, sep_idx + 1, chunk_size, out);
+    return;
+  }
+  size_t tail = end - start;  // final part, no separator appended
+  if (tail) {
+    if (tail <= chunk_size) out.push_back({start, tail});
+    else split_rec(s, start, tail, sep_idx + 1, chunk_size, out);
+  }
+}
+
+bool all_space(const char* s, size_t n) {
+  for (size_t i = 0; i < n; i++)
+    if (!std::isspace(static_cast<unsigned char>(s[i]))) return false;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Split `in` into chunks. Chunk bytes are written concatenated into
+// `out` (capacity `out_cap`), per-chunk byte lengths into `lens`.
+// Returns the chunk count, or (size_t)-1 if max_chunks or out_cap
+// would be exceeded (caller falls back to Python).
+size_t split_text(const char* in, size_t n, size_t chunk_size, size_t overlap,
+                  char* out, size_t out_cap, long long* lens, size_t max_chunks) {
+  if (n == 0) return 0;
+  if (n <= chunk_size) {
+    if (out_cap < n || max_chunks < 1) return static_cast<size_t>(-1);
+    std::memcpy(out, in, n);
+    lens[0] = static_cast<long long>(n);
+    return 1;
+  }
+  std::vector<Range> pieces;
+  split_rec(in, 0, n, 0, chunk_size, pieces);
+
+  // greedy merge with overlap tail (text_splitter.py::_merge)
+  std::string cur;
+  char* w = out;
+  size_t written = 0;
+  size_t count = 0;
+  auto emit = [&](const std::string& c) -> bool {
+    if (count >= max_chunks || written + c.size() > out_cap) return false;
+    std::memcpy(w, c.data(), c.size());
+    w += c.size();
+    written += c.size();
+    lens[count++] = static_cast<long long>(c.size());
+    return true;
+  };
+  for (const Range& r : pieces) {
+    if (!cur.empty() && cur.size() + r.len > chunk_size) {
+      if (!emit(cur)) return static_cast<size_t>(-1);
+      cur = overlap && cur.size() > overlap ? cur.substr(cur.size() - overlap)
+                                            : (overlap ? cur : std::string());
+    }
+    cur.append(in + r.off, r.len);
+  }
+  if (!cur.empty() && !all_space(cur.data(), cur.size())) {
+    if (!emit(cur)) return static_cast<size_t>(-1);
+  }
+  return count;
 }
 
 }  // extern "C"

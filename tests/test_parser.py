@@ -366,3 +366,60 @@ def test_xml_chunker_first_words_id_for_units():
     xml = "<doc><section>Quarterly revenue summary for 2024.</section></doc>"
     chunks = XMLChunker(max_tokens=50).chunk(xml)
     assert chunks[0]["breadcrumbs"][-1].startswith("section[Quarterly_revenue_summary")
+
+
+def test_native_split_text_parity():
+    """The C++ splitter must produce byte-identical chunks to the Python
+    implementation on randomized ASCII corpora (reference chunking.rs is
+    a parity port of the Python splitter too)."""
+    import random
+
+    from morphik_core_tpu.utils import fast_ops
+    from morphik_core_tpu.parser.text_splitter import RecursiveCharacterTextSplitter
+
+    if not fast_ops.native_available():
+        import pytest
+
+        pytest.skip("native library not built")
+
+    rng = random.Random(0)
+    words = ["alpha", "beta", "gamma", "delta", "x", "longtoken" * 4]
+    seps = [" ", " ", " ", ". ", "\n", "\n\n"]
+    for trial in range(24):
+        n_words = rng.randint(50, 1200)
+        parts = []
+        for _ in range(n_words):
+            parts.append(rng.choice(words))
+            parts.append(rng.choice(seps))
+        text = "".join(parts)
+        if trial % 5 == 0:
+            text += "Z" * rng.randint(300, 900)  # forces character-level slicing
+        if trial % 7 == 0:
+            text = "\n\n".join([text[:200]] * 6) + "   "  # trailing whitespace chunk
+        size = rng.choice([120, 256, 400])
+        overlap = rng.choice([0, 20, 60])
+        py = RecursiveCharacterTextSplitter(size, overlap)
+        # bypass the native fast path inside split_text for the oracle
+        expect = py._merge(py._split(text, 0)) if len(text) > size else [text]
+        got = fast_ops.native_split_text(text, size, overlap)
+        assert got is not None
+        assert got == expect, (trial, size, overlap, len(text))
+
+
+def test_native_split_text_rejects_non_ascii():
+    from morphik_core_tpu.utils import fast_ops
+
+    if not fast_ops.native_available():
+        import pytest
+
+        pytest.skip("native library not built")
+    assert fast_ops.native_split_text("héllo wörld " * 100, 50, 10) is None
+
+
+def test_split_text_public_entry():
+    from morphik_core_tpu.utils.fast_ops import split_text
+
+    chunks = split_text("one two three. " * 200, chunk_size=300, chunk_overlap=30)
+    assert len(chunks) > 3
+    assert all(len(c) <= 300 for c in chunks)
+    assert "".join(c[30:] if i else c for i, c in enumerate(chunks)).startswith("one two three.")
