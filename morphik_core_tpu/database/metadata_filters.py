@@ -109,14 +109,18 @@ def _try_number(v: Any) -> Optional[Decimal]:
         return None
     if isinstance(v, (int, float, Decimal)):
         try:
-            return Decimal(str(v))
+            d = Decimal(str(v))
         except InvalidOperation:
             return None
+        # NaN/Inf parse as Decimal but ordered comparisons on them raise
+        # InvalidOperation (not TypeError) — treat as non-numeric
+        return d if d.is_finite() else None
     if isinstance(v, str):
         try:
-            return Decimal(v.strip())
+            d = Decimal(v.strip())
         except InvalidOperation:
             return None
+        return d if d.is_finite() else None
     return None
 
 
@@ -599,6 +603,14 @@ def compile_filter_sql(
             except _Bail:
                 return None
             hint_terms.append(f"json_extract({types_col}, '{path}') IS NOT NULL")
+            if "." in f:
+                # metadata_types keys dotted fields FLAT ('a.b'), which
+                # the Python oracle looks up directly — probe that form
+                # too, or typed dotted fields never trigger the recheck
+                flat = f.replace('"', '""')
+                hint_terms.append(
+                    f"json_extract({types_col}, '$.\"{flat}\"') IS NOT NULL"
+                )
         needs_py = "(" + " OR ".join(hint_terms) + ")"
     else:
         needs_py = "0"

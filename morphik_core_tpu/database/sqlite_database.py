@@ -180,6 +180,21 @@ class SQLiteDatabase:
         sm = dict(document.system_metadata)
         status = sm.get("status", "processing")
         with self._lock:
+            # INSERT OR REPLACE must not let a tenant take over another
+            # tenant's document by guessing its external_id
+            existing = self._conn.execute(
+                "SELECT owner_id, app_id, created_at FROM documents WHERE external_id=?",
+                (document.external_id,),
+            ).fetchone()
+            if existing is not None:
+                if auth is not None and not self._can_access(existing, auth):
+                    raise PermissionError(
+                        f"document {document.external_id} belongs to another tenant"
+                    )
+                now_created = existing["created_at"]  # replace keeps creation time
+            else:
+                now_created = now
+        with self._lock:
             self._conn.execute(
                 """INSERT OR REPLACE INTO documents
                    (external_id, owner_id, app_id, content_type, filename, doc_metadata,
@@ -197,7 +212,7 @@ class SQLiteDatabase:
                     json.dumps(document.additional_metadata, default=_json_default),
                     json.dumps(document.chunk_ids),
                     document.folder_name, document.folder_path, document.folder_id,
-                    document.end_user_id, status, now, now,
+                    document.end_user_id, status, now_created, now,
                 ),
             )
             self._conn.commit()
@@ -246,14 +261,25 @@ class SQLiteDatabase:
                     else:
                         sub.append("(folder_name = ? OR folder_path = ?)")
                         subp.extend([n, p])
-                else:  # -1 or n levels: include descendants
+                else:  # -1 all descendants; n>0 at most n levels deeper
                     prefix = p.rstrip("/") + "/%"
+                    desc = "folder_path LIKE ?"
+                    desc_params: list = [prefix]
+                    if isinstance(folder_depth, int) and folder_depth > 0:
+                        # depth = slash count; descendants within n levels
+                        # have at most base_slashes + n slashes
+                        base_slashes = p.rstrip("/").count("/")
+                        desc = (
+                            "(folder_path LIKE ? AND LENGTH(folder_path) - "
+                            "LENGTH(REPLACE(folder_path, '/', '')) <= ?)"
+                        )
+                        desc_params = [prefix, base_slashes + folder_depth]
                     if isinstance(n, str) and "/" in n.strip("/"):
-                        sub.append("(folder_path = ? OR folder_path LIKE ?)")
-                        subp.extend([p, prefix])
+                        sub.append(f"(folder_path = ? OR {desc})")
+                        subp.extend([p] + desc_params)
                     else:
-                        sub.append("(folder_name = ? OR folder_path = ? OR folder_path LIKE ?)")
-                        subp.extend([n, p, prefix])
+                        sub.append(f"(folder_name = ? OR folder_path = ? OR {desc})")
+                        subp.extend([n, p] + desc_params)
             sql += " AND (" + " OR ".join(sub) + ")"
             params.extend(subp)
         if system_filters.get("end_user_id") is not None:
@@ -480,13 +506,38 @@ class SQLiteDatabase:
         folder = await self.get_folder(folder_id, auth)
         if folder is None:
             return False
+        clause, params = self._access_clause(auth)
         with self._lock:
+            # scoped: another tenant may legitimately own the same path
             self._conn.execute(
-                "DELETE FROM folders WHERE path = ? OR path LIKE ?",
-                (folder["path"], folder["path"].rstrip("/") + "/%"),
+                f"DELETE FROM folders WHERE (path = ? OR path LIKE ?) AND {clause}",
+                [folder["path"], folder["path"].rstrip("/") + "/%"] + params,
             )
             self._conn.commit()
         return True
+
+    def _rewrite_subtree_paths(
+        self, old_path: str, new_path: str, clause: str, params: list
+    ) -> None:
+        """Re-root every descendant folder path and document folder_path
+        from old_path to new_path — SCOPED to the caller's tenant (path
+        collisions across tenants are legitimate) and prefix-safe
+        (substring REPLACE corrupts sibling paths like '/a/ab')."""
+        prefix = old_path.rstrip("/") + "/"
+        rows = self._conn.execute(
+            f"SELECT id, path FROM folders WHERE path LIKE ? AND {clause}",
+            [prefix + "%"] + params,
+        ).fetchall()
+        for r in rows:
+            self._conn.execute(
+                "UPDATE folders SET path = ? WHERE id = ?",
+                (new_path.rstrip("/") + "/" + r["path"][len(prefix):], r["id"]),
+            )
+        self._conn.execute(
+            f"UPDATE documents SET folder_path = ? || substr(folder_path, ?)"
+            f" WHERE (folder_path = ? OR folder_path LIKE ?) AND {clause}",
+            [new_path, len(old_path) + 1, old_path, prefix + "%"] + params,
+        )
 
     async def move_folder(self, folder_id: str, new_parent_path: Optional[str], auth: AuthContext) -> bool:
         folder = await self.get_folder(folder_id, auth)
@@ -495,6 +546,15 @@ class SQLiteDatabase:
         old_path = folder["path"]
         new_parent = _normalize_path(new_parent_path) if new_parent_path else ""
         new_path = (new_parent.rstrip("/") + "/" + folder["name"]) if new_parent else "/" + folder["name"]
+        if new_path == old_path:
+            return True
+        # a folder cannot move into its own subtree (path cycle)
+        if new_parent == old_path or new_parent.startswith(old_path.rstrip("/") + "/"):
+            return False
+        # destination path must be free (same check rename_folder does;
+        # otherwise the unique index raises out of the route as a 500)
+        if await self.get_folder_by_path(new_path, auth) is not None:
+            return False
         if new_parent:
             parent = await self.get_folder_by_path(new_parent, auth)
             if parent is None:
@@ -502,28 +562,18 @@ class SQLiteDatabase:
             parent_id = parent["id"]
         else:
             parent_id = None
-        prefix = old_path.rstrip("/") + "/"
+        clause, params = self._access_clause(auth)
         with self._lock:
-            self._conn.execute(
-                "UPDATE folders SET path = ?, parent_id = ?, updated_at = ? WHERE id = ?",
-                (new_path, parent_id, _now_iso(), folder_id),
-            )
-            rows = self._conn.execute(
-                "SELECT id, path FROM folders WHERE path LIKE ?", (prefix + "%",)
-            ).fetchall()
-            for r in rows:
+            try:
                 self._conn.execute(
-                    "UPDATE folders SET path = ? WHERE id = ?",
-                    (new_path.rstrip("/") + "/" + r["path"][len(prefix):], r["id"]),
+                    "UPDATE folders SET path = ?, parent_id = ?, updated_at = ? WHERE id = ?",
+                    (new_path, parent_id, _now_iso(), folder_id),
                 )
-            # prefix-safe rewrite (see rename_folder: substring REPLACE
-            # corrupts descendant paths containing the old path again)
-            self._conn.execute(
-                "UPDATE documents SET folder_path = ? || substr(folder_path, ?)"
-                " WHERE folder_path = ? OR folder_path LIKE ?",
-                (new_path, len(old_path) + 1, old_path, prefix + "%"),
-            )
-            self._conn.commit()
+                self._rewrite_subtree_paths(old_path, new_path, clause, params)
+                self._conn.commit()
+            except Exception:
+                self._conn.rollback()
+                raise
         return True
 
     async def rename_folder(self, folder_id: str, new_name: str, auth: AuthContext) -> bool:
@@ -540,29 +590,18 @@ class SQLiteDatabase:
             return True
         if await self.get_folder_by_path(new_path, auth) is not None:
             return False  # target name already exists under this parent
-        prefix = old_path.rstrip("/") + "/"
+        clause, params = self._access_clause(auth)
         with self._lock:
-            self._conn.execute(
-                "UPDATE folders SET name = ?, path = ?, updated_at = ? WHERE id = ?",
-                (new_name, new_path, _now_iso(), folder_id),
-            )
-            rows = self._conn.execute(
-                "SELECT id, path FROM folders WHERE path LIKE ?", (prefix + "%",)
-            ).fetchall()
-            for r in rows:
+            try:
                 self._conn.execute(
-                    "UPDATE folders SET path = ? WHERE id = ?",
-                    (new_path.rstrip("/") + "/" + r["path"][len(prefix):], r["id"]),
+                    "UPDATE folders SET name = ?, path = ?, updated_at = ? WHERE id = ?",
+                    (new_name, new_path, _now_iso(), folder_id),
                 )
-            # prefix-safe rewrite (REPLACE would substitute EVERY
-            # occurrence of the old path substring, corrupting
-            # descendant paths like '/a/ab' -> '/z/zb' on '/a'->'/z')
-            self._conn.execute(
-                "UPDATE documents SET folder_path = ? || substr(folder_path, ?)"
-                " WHERE folder_path = ? OR folder_path LIKE ?",
-                (new_path, len(old_path) + 1, old_path, prefix + "%"),
-            )
-            self._conn.commit()
+                self._rewrite_subtree_paths(old_path, new_path, clause, params)
+                self._conn.commit()
+            except Exception:
+                self._conn.rollback()
+                raise
         return True
 
     async def update_folder_metadata(
@@ -589,7 +628,9 @@ class SQLiteDatabase:
             rows = self._conn.execute(
                 f"""SELECT f.id, f.name, f.path, f.updated_at,
                           (SELECT COUNT(*) FROM documents d
-                            WHERE d.folder_path = f.path OR d.folder_id = f.id) AS doc_count
+                            WHERE (d.folder_path = f.path OR d.folder_id = f.id)
+                              AND d.owner_id IS f.owner_id
+                              AND d.app_id IS f.app_id) AS doc_count
                     FROM folders f WHERE {clause} ORDER BY f.path""",
                 params,
             ).fetchall()
@@ -621,12 +662,21 @@ class SQLiteDatabase:
 
     # --------------------------------------------------------------- chats
 
+    @staticmethod
+    def _chat_owned(row, user_id: Optional[str], app_id: Optional[str]) -> bool:
+        """Chat scoping mirrors document scoping: cloud callers match on
+        app_id, self-hosted on user_id. An anonymous caller (both None)
+        only sees anonymous chats."""
+        if app_id:
+            return row["app_id"] == app_id
+        if user_id:
+            return row["user_id"] == user_id and row["app_id"] is None
+        return row["user_id"] is None and row["app_id"] is None
+
     async def get_chat_history(self, chat_id: str, user_id: Optional[str], app_id: Optional[str]) -> Optional[List[Dict[str, Any]]]:
         with self._lock:
             row = self._conn.execute("SELECT * FROM chats WHERE chat_id = ?", (chat_id,)).fetchone()
-        if row is None:
-            return None
-        if app_id and row["app_id"] != app_id:
+        if row is None or not self._chat_owned(row, user_id, app_id):
             return None
         return json.loads(row["history"] or "[]")
 
@@ -635,6 +685,11 @@ class SQLiteDatabase:
     ) -> bool:
         now = _now_iso()
         with self._lock:
+            row = self._conn.execute(
+                "SELECT user_id, app_id FROM chats WHERE chat_id = ?", (chat_id,)
+            ).fetchone()
+            if row is not None and not self._chat_owned(row, user_id, app_id):
+                return False  # chat id belongs to another user/app
             self._conn.execute(
                 """INSERT INTO chats (chat_id, user_id, app_id, history, created_at, updated_at)
                    VALUES (?,?,?,?,?,?)
@@ -659,6 +714,11 @@ class SQLiteDatabase:
 
     async def update_chat_title(self, chat_id: str, title: str, user_id: Optional[str], app_id: Optional[str]) -> bool:
         with self._lock:
+            row = self._conn.execute(
+                "SELECT user_id, app_id FROM chats WHERE chat_id = ?", (chat_id,)
+            ).fetchone()
+            if row is None or not self._chat_owned(row, user_id, app_id):
+                return False
             cur = self._conn.execute(
                 "UPDATE chats SET title = ?, updated_at = ? WHERE chat_id = ?", (title, _now_iso(), chat_id)
             )

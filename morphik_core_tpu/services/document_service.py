@@ -45,6 +45,18 @@ from morphik_core_tpu.vector_store.base_vector_store import BaseVectorStore
 logger = logging.getLogger(__name__)
 
 
+def _page_number(c) -> "int | None":
+    """1-based page label for image chunks. Blank-page skipping shifts
+    chunk numbering, so the zero-based page recorded at rasterization
+    wins (ingestion_service.py raster metadata); chunk_number+1 is the
+    reference's fallback (core/document_service.py:1122-1149 'page =
+    chunk_number+1 for colpali')."""
+    if not c.metadata.get("is_image"):
+        return None
+    page = c.metadata.get("page")
+    return page + 1 if isinstance(page, int) else c.chunk_number + 1
+
+
 class DocumentService:
     def __init__(
         self,
@@ -130,7 +142,9 @@ class DocumentService:
                 skip_image_content=(output_format == "url"),
             )
         else:
-            search_k = min(3 * k, 20) if should_rerank else k  # oversample (ref :388-404)
+            # oversample for the reranker (ref :388-404) — but never
+            # below k: reranking reorders, it must not shrink results
+            search_k = max(k, min(3 * k, 20)) if should_rerank else k
             chunks = await self.vector_store.query_similar(
                 q_embedding, k=search_k, doc_ids=doc_ids, app_id=auth.app_id,
                 query_text=query,
@@ -144,7 +158,9 @@ class DocumentService:
 
         if using_colpali and padding > 0 and chunks:
             perf.start_phase("padding")
-            chunks = await self._apply_padding(chunks, padding, auth)
+            chunks = await self._apply_padding(
+                chunks, padding, auth, skip_image_content=(output_format == "url")
+            )
 
         perf.start_phase("materialize")
         results = await self._create_chunk_results(auth, chunks, output_format)
@@ -152,11 +168,15 @@ class DocumentService:
         return results
 
     async def _apply_padding(
-        self, chunks: List[DocumentChunk], padding: int, auth: AuthContext
+        self, chunks: List[DocumentChunk], padding: int, auth: AuthContext,
+        skip_image_content: bool = False,
     ) -> List[DocumentChunk]:
         """Expand image-chunk matches with neighbor pages (ref :554-691):
-        non-image chunks are dropped when padding>0; padding chunks carry
-        score 0 and is_padding metadata."""
+        non-image chunks are dropped when padding>0 — REFERENCE-MANDATED
+        semantics (core/document_service.py:590-596), so a padding>0
+        query whose hits are all text chunks returns []; clients wanting
+        text hits must use padding=0. Padding chunks carry score 0 and
+        is_padding metadata."""
         matched = [c for c in chunks if c.metadata.get("is_image")]
         have = {(c.document_id, c.chunk_number) for c in matched}
         wanted: List[Tuple[str, int]] = []
@@ -166,7 +186,9 @@ class DocumentService:
                     if num >= 0 and (c.document_id, num) not in have:
                         wanted.append((c.document_id, num))
                         have.add((c.document_id, num))
-        extra = await self.colpali_vector_store.get_chunks_by_id(wanted, app_id=auth.app_id) if wanted else []
+        extra = await self.colpali_vector_store.get_chunks_by_id(
+            wanted, app_id=auth.app_id, skip_image_content=skip_image_content
+        ) if wanted else []
         for e in extra:
             e.score = 0.0
             e.metadata = dict(e.metadata)
@@ -278,7 +300,7 @@ class DocumentService:
             doc = next((d for d in doc_results if d.document_id == c.document_id), None)
             content = c.augmented_content(doc) if doc else c.content
             if inline_citations and not content.startswith("data:image/"):
-                page = c.chunk_number + 1 if c.metadata.get("is_image") else None
+                page = _page_number(c)
                 fn = documents.get(c.document_id)
                 label = (fn.filename if fn else c.document_id) + (f" p.{page}" if page else "")
                 content = f"[source: {label}]\n{content}"
@@ -286,7 +308,7 @@ class DocumentService:
             sources.append(
                 {"document_id": c.document_id, "chunk_number": c.chunk_number, "score": c.score,
                  "filename": documents[c.document_id].filename if c.document_id in documents else None,
-                 "page_number": c.chunk_number + 1 if c.metadata.get("is_image") else None}
+                 "page_number": _page_number(c)}
             )
 
         template = (prompt_overrides or {}).get("query", {}).get("prompt_template")

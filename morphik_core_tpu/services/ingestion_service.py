@@ -110,8 +110,16 @@ class IngestionService:
         )
         await self._resolve_folder(doc, folder_name, auth)
         await self.db.store_document(doc, auth)
-        chunks = await self.parser.split_text(content)
-        await self._embed_and_store(doc, chunks, [], auth, use_colpali)
+        try:
+            chunks = await self.parser.split_text(content)
+            await self._embed_and_store(doc, chunks, [], auth, use_colpali)
+        except Exception as e:  # noqa: BLE001 — doc must never stay 'processing'
+            await self.db.update_document(
+                doc.external_id,
+                {"system_metadata": {"status": "failed", "error": str(e)[:500]}},
+                auth,
+            )
+            raise
         await self.db.update_document(
             doc.external_id,
             {"system_metadata": {"status": "completed", "content_length": len(content)},
@@ -454,12 +462,19 @@ class IngestionService:
                 await self.colpali_vector_store.delete_chunks_by_document_id(document_id, auth.app_id)
             await self.vector_store.delete_chunks_by_document_id(document_id, auth.app_id)
             if file_bytes is not None:
-                key = f"ingest/{doc.external_id}/{filename or doc.filename or 'file'}"
-                bucket, key = await self.storage.upload_file(file_bytes, key)
+                from morphik_core_tpu.storage.content_types import detect_content_type
+
+                new_name = filename or doc.filename
+                # the replacement bytes may be a different format: re-detect
+                # so re-ingestion parses with the NEW type, not the old
+                ctype = detect_content_type(file_bytes, new_name)
+                key = f"ingest/{doc.external_id}/{new_name or 'file'}"
+                bucket, key = await self.storage.upload_file(file_bytes, key, ctype)
                 await self.db.update_document(
                     document_id,
                     {"storage_info": {"bucket": bucket, "key": key},
-                     "filename": filename or doc.filename,
+                     "filename": new_name,
+                     "content_type": ctype,
                      "system_metadata": {"status": "processing"}},
                     auth,
                 )

@@ -89,7 +89,10 @@ class LogUploader(threading.Thread):
         files = sorted(self.telemetry_dir.glob("spans_*.jsonl"))
         if not files:
             return False
-        payload = b"\n".join(p.read_bytes() for p in files)
+        # snapshot each file's READ extent: spans appended between read
+        # and cleanup must survive to the next cycle, not be deleted
+        snaps = [(p, p.read_bytes()) for p in files]
+        payload = b"\n".join(data for _, data in snaps)
         sig = hmac.new(self.signing_key.encode(), payload, hashlib.sha256).hexdigest()
         req = urllib.request.Request(
             self.upload_url,
@@ -106,8 +109,32 @@ class LogUploader(threading.Thread):
             logger.warning("telemetry upload failed: %s", e)
             return False
         if ok:
-            for p in files:
-                p.unlink(missing_ok=True)
+            # hold the telemetry writer's lock so no span is appended
+            # between the size check and the unlink/replace (the writer
+            # opens the file per flush under this same lock)
+            import contextlib
+
+            from morphik_core_tpu.services.telemetry import TelemetryService
+
+            svc = TelemetryService._instance
+            lock = svc._file_lock if svc is not None else contextlib.nullcontext()
+            with lock:
+                for p, data in snaps:
+                    try:
+                        size_now = p.stat().st_size
+                    except OSError:
+                        continue
+                    if size_now <= len(data):
+                        p.unlink(missing_ok=True)
+                    else:
+                        # the live day-file grew after the read: keep only
+                        # the un-uploaded tail
+                        with open(p, "rb") as fh:
+                            fh.seek(len(data))
+                            tail = fh.read()
+                        tmp = p.with_suffix(".tmp")
+                        tmp.write_bytes(tail)
+                        tmp.replace(p)
         return ok
 
     def run(self) -> None:

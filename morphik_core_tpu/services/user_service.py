@@ -135,9 +135,23 @@ class UserService:
         if verify_only:
             return
         with self._lock:
-            self._conn.execute(
-                f"UPDATE user_limits SET {col} = {col} + ? WHERE user_id = ?", (amount, user_id)
-            )
+            # atomic conditional increment: the read above is advisory
+            # (fast-path error message); the guarded UPDATE is what
+            # enforces the cap under concurrency
+            if cap is not None:
+                cur = self._conn.execute(
+                    f"UPDATE user_limits SET {col} = {col} + ? "
+                    f"WHERE user_id = ? AND {col} + ? <= ?",
+                    (amount, user_id, amount, cap),
+                )
+                if cur.rowcount == 0:
+                    self._conn.commit()
+                    raise LimitExceededError(limit_type, f"quota exceeded ({tier.value})")
+            else:
+                self._conn.execute(
+                    f"UPDATE user_limits SET {col} = {col} + ? WHERE user_id = ?",
+                    (amount, user_id),
+                )
             self._conn.commit()
 
     # --------------------------------------------------------- app registry
@@ -152,7 +166,10 @@ class UserService:
         uri: str,
         org_id: Optional[str] = None,
     ) -> Dict[str, Any]:
-        await self.check_and_increment_limits(user_id, "apps", 1)
+        # idempotent provisioning: re-registering an existing app must not
+        # inflate the apps quota counter (delete_app only decrements once)
+        if await self.get_app(app_id) is None:
+            await self.check_and_increment_limits(user_id, "apps", 1)
         with self._lock:
             self._conn.execute(
                 "INSERT OR REPLACE INTO apps (app_id, name, user_id, org_id, uri, token_version, created_at)"

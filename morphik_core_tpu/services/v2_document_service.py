@@ -78,7 +78,26 @@ class V2DocumentService:
         )
         doc.storage_info = {"bucket": bucket, "key": key, "pipeline": "v2"}
         await self.db.store_document(doc, auth)
+        try:
+            return await self._process(doc, file_bytes, filename, ctype, metadata, folder_path, auth)
+        except Exception as e:  # noqa: BLE001 — doc must never stay 'processing'
+            await self.db.update_document(
+                doc.external_id,
+                {"system_metadata": {"status": "failed", "error": str(e)[:500]}},
+                auth,
+            )
+            raise
 
+    async def _process(
+        self,
+        doc: Document,
+        file_bytes: bytes,
+        filename: Optional[str],
+        ctype: str,
+        metadata: Dict[str, Any],
+        folder_path: Optional[str],
+        auth: AuthContext,
+    ) -> Document:
         if ctype == "application/pdf":
             from morphik_core_tpu.parser.pdf import extract_pages_blocks
 

@@ -412,3 +412,62 @@ def test_auto_mesh_serving(tmp_path):
         assert res and res[0].document_id == doc.external_id
     finally:
         run(services.shutdown())
+
+
+def test_ingest_text_failure_marks_document_failed(services, monkeypatch):
+    """Regression: an embed/store error inside ingest_text must not
+    strand the document in status=processing."""
+    async def boom(*a, **k):
+        raise RuntimeError("embed exploded")
+
+    monkeypatch.setattr(services.ingestion_service, "_embed_and_store", boom)
+    with pytest.raises(RuntimeError):
+        run(services.ingestion_service.ingest_text(
+            "doomed content", "doom.txt", {}, AUTH, use_colpali=False))
+    docs = run(services.database.get_documents(
+        AUTH, filters={}, system_filters={"status": None}))
+    doomed = [d for d in docs if d.filename == "doom.txt"]
+    assert doomed and doomed[0].system_metadata["status"] == "failed"
+    assert "embed exploded" in doomed[0].system_metadata.get("error", "")
+
+
+def test_update_file_redetects_content_type(services):
+    """Regression: replacing a document's file with different-format
+    bytes must re-detect content_type before re-ingestion."""
+    doc = run(services.ingestion_service.ingest_text(
+        "original plain text", "swap.txt", {}, AUTH, use_colpali=False))
+    png = _page_image_bytes("now an image", (90, 20, 20))
+    updated = run(services.ingestion_service.update_document(
+        doc.external_id, AUTH, file_bytes=png, filename="swap.png", use_colpali=False))
+    assert updated.content_type == "image/png", updated.content_type
+    assert updated.system_metadata["status"] == "completed"
+
+
+def test_register_app_idempotent_quota(services):
+    """Regression: re-registering the same app_id must not inflate the
+    apps quota counter."""
+    us = services.user_service
+    old_enforce = us.enforce
+    us.enforce = True  # free tier caps apps at 1: a non-idempotent
+    try:  # register would raise on the second call
+        run(us.register_app("appX", "X", "quota_user", "morphik://x@h"))
+        run(us.register_app("appX", "X-renamed", "quota_user", "morphik://x@h"))
+        usage = run(us.get_user_limits("quota_user"))
+        assert usage["usage"]["apps_used"] == 1, usage
+        app = run(us.get_app("appX"))
+        assert app["name"] == "X-renamed"  # re-register still updates
+    finally:
+        us.enforce = old_enforce
+
+
+def test_rerank_oversample_never_below_k(services):
+    """Regression: use_reranking with k > the 20-candidate oversample
+    cap must still return up to k results."""
+    for i in range(25):
+        run(services.ingestion_service.ingest_text(
+            f"reranked corpus item number {i} about turbines",
+            f"rr{i}.txt", {"rrsuite": True}, AUTH, use_colpali=False))
+    res = run(services.document_service.retrieve_chunks(
+        "turbines corpus item", AUTH, k=24, use_colpali=False, use_reranking=True,
+        filters={"rrsuite": True}))
+    assert len(res) == 24, len(res)
