@@ -61,7 +61,13 @@ class Request:
         fields: Dict[str, str] = {}
         files: Dict[str, List[UploadFile]] = {}
         for part in self.body.split(b"--" + boundary):
-            part = part.strip(b"\r\n")
+            # exactly ONE leading and ONE trailing CRLF belong to the
+            # multipart framing — .strip(b"\r\n") would also eat newline
+            # bytes that are part of the uploaded content
+            if part.startswith(b"\r\n"):
+                part = part[2:]
+            if part.endswith(b"\r\n"):
+                part = part[:-2]
             if not part or part == b"--":
                 continue
             if b"\r\n\r\n" not in part:
@@ -254,7 +260,10 @@ class HTTPServer:
         body = await reader.readexactly(length) if length else b""
         parsed = urllib.parse.urlsplit(target)
         query = {k: (v[0] if len(v) == 1 else v) for k, v in urllib.parse.parse_qs(parsed.query).items()}
-        return Request(method.upper(), parsed.path, query, headers, body)
+        # percent-decode the path so routes match resources whose names
+        # contain spaces/unicode (clients always %-encode those)
+        path = urllib.parse.unquote(parsed.path)
+        return Request(method.upper(), path, query, headers, body)
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter) -> None:
         try:
@@ -263,9 +272,14 @@ class HTTPServer:
                 if req is None:
                     break
                 if req.path == "/__too_large__":
+                    # the oversized body was never read off the socket:
+                    # answer 413 and CLOSE, or the keep-alive loop would
+                    # parse the pending body bytes as the next request
                     resp = Response.json({"detail": "payload too large"}, status=413)
-                else:
-                    resp = await self.router.dispatch(req)
+                    resp.headers["Connection"] = "close"
+                    await self._write_response(writer, resp)
+                    break
+                resp = await self.router.dispatch(req)
                 await self._write_response(writer, resp)
                 if req.headers.get("connection", "").lower() == "close" or resp.stream is not None:
                     break

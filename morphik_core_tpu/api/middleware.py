@@ -16,15 +16,26 @@ logger = logging.getLogger(__name__)
 
 def make_profiling_wrapper(profile_dir: str | Path = "./logs"):
     out_dir = Path(profile_dir)
+    state = {"active": False}  # CPython allows ONE active profiler per
+    # interpreter: a second enable() raises ValueError (3.12), which would
+    # drop every request that overlaps a profiled one. Overlapping
+    # requests skip profiling instead.
 
     async def profile_request(req, call_next):
+        if state["active"]:
+            return await call_next(req)
         prof = cProfile.Profile()
-        prof.enable()
         t0 = time.perf_counter()
+        try:
+            prof.enable()
+        except ValueError:  # raced another profiler
+            return await call_next(req)
+        state["active"] = True
         try:
             return await call_next(req)
         finally:
             prof.disable()
+            state["active"] = False
             out_dir.mkdir(parents=True, exist_ok=True)
             slug = re.sub(r"[^a-zA-Z0-9]+", "_", req.path).strip("_") or "root"
             fname = out_dir / f"profile_{req.method}_{slug}_{int(time.time() * 1e3)}.prof"

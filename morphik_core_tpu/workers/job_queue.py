@@ -123,20 +123,33 @@ class JobQueue:
     # -------------------------------------------------------------- workers
 
     async def start(self) -> None:
-        """Spawn worker tasks; also requeues jobs left 'running' by a crash."""
+        """Spawn worker tasks; also requeues jobs left 'running' by a
+        crash and prunes finished rows (the table is append-only
+        otherwise — a year of ingests would mean a year of rows)."""
         with self._lock:
             self._conn.execute("UPDATE jobs SET status='queued' WHERE status='running'")
+            self._conn.execute(
+                "DELETE FROM jobs WHERE status IN ('complete','failed') AND finished_at < ?",
+                (time.time() - 7 * 86400,),
+            )
             self._conn.commit()
         self._stopping = False
         for i in range(self.max_jobs):
             self._workers.append(asyncio.create_task(self._worker_loop(i)))
 
-    async def stop(self) -> None:
+    async def stop(self, grace_s: float = 30.0) -> None:
+        """Graceful stop: let in-flight jobs finish (they persist partial
+        chunk/index writes — cancelling mid-job leaves status='running'
+        rows to crash-requeue on next boot). Workers exit their loop at
+        the next iteration; only after `grace_s` are they cancelled."""
         self._stopping = True
         self._wake.set()
-        for w in self._workers:
-            w.cancel()
-        await asyncio.gather(*self._workers, return_exceptions=True)
+        if self._workers:
+            done, pending = await asyncio.wait(self._workers, timeout=grace_s)
+            for w in pending:
+                logger.warning("worker still busy after %.0fs grace; cancelling", grace_s)
+                w.cancel()
+            await asyncio.gather(*self._workers, return_exceptions=True)
         self._workers.clear()
 
     async def drain(self, timeout: float = 60.0) -> bool:

@@ -656,3 +656,61 @@ def test_console_served(server):
                    'data-tab="chat"', 'data-tab="folders"', "/retrieve/chunks",
                    "/ingest/file", "stream_response"):
         assert marker in body, marker
+
+
+def test_upload_preserves_trailing_newlines(server):
+    """Regression: the multipart parser stripped trailing \\r/\\n bytes
+    from uploaded content (framing CRLF vs payload bytes)."""
+    base, services = server
+
+    async def go():
+        payload = b"line1\nline2\n\n"
+        async with _client(base) as c:
+            r = await c.post("/ingest/file", files={"file": ("nl.txt", payload)},
+                             data={"metadata": "{}", "use_colpali": "false"})
+            assert r.status_code == 200, r.text
+            doc_id = r.json()["external_id"]
+            for _ in range(200):
+                s = await c.get(f"/documents/{doc_id}/status")
+                if s.json()["status"] == "completed":
+                    break
+                await asyncio.sleep(0.1)
+            f = await c.get(f"/documents/{doc_id}/file")
+            assert f.content == payload  # byte-identical round trip
+
+    run(go())
+
+
+def test_percent_encoded_filename_route(server):
+    """Regression: %-encoded path segments (spaces) must match routes."""
+    base, services = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/ingest/text", json={
+                "content": "space file content", "filename": "my file.txt",
+                "use_colpali": False})
+            assert r.status_code == 200
+            g = await c.get("/documents/filename/my%20file.txt")
+            assert g.status_code == 200
+            assert g.json()["filename"] == "my file.txt"
+
+    run(go())
+
+
+def test_documents_pages_range_validation(server):
+    base, services = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/ingest/text", json={"content": "x", "filename": "pg.txt",
+                                                   "use_colpali": False})
+            doc_id = r.json()["external_id"]
+            bad = await c.post("/documents/pages", json={
+                "document_id": doc_id, "start_page": 0, "end_page": 2_000_000_000})
+            assert bad.status_code == 422
+            bad2 = await c.post("/documents/pages", json={
+                "document_id": doc_id, "start_page": 5, "end_page": 1})
+            assert bad2.status_code == 422
+
+    run(go())

@@ -244,3 +244,32 @@ def test_missing_projection_head_raises(tmp_path):
     # test escape hatch still works
     out = convert_state_dict(state, cfg, dtype=np.float32, allow_missing_projection=True)
     assert "proj_w" in out
+
+
+def test_cloud_tokens_are_not_admin(hardened_server):
+    """Regression: create_token defaulted to admin, making the
+    cross-user guards on /apps and /logs vacuous for every provisioned
+    token. Cloud-minted tokens must be read/write only."""
+    base, settings = hardened_server
+
+    async def go():
+        alice = create_token(settings, entity_id="alice")
+        async with httpx.AsyncClient(base_url=base, timeout=60.0,
+                                     headers={"Authorization": f"Bearer {alice}"}) as c:
+            r = await c.post("/cloud/generate_uri", json={"name": "aliceapp"})
+            assert r.status_code == 200, r.text
+            uri = r.json()["uri"]
+            app_token = uri.split("//")[1].split(":", 1)[1].split("@")[0]
+            import base64 as _b64
+            import json as _json
+
+            body = app_token.split(".")[1]
+            claims = _json.loads(_b64.urlsafe_b64decode(body + "=" * (-len(body) % 4)))
+            assert "admin" not in claims["permissions"], claims
+        # the minted app token cannot list another user's apps
+        async with httpx.AsyncClient(base_url=base, timeout=60.0,
+                                     headers={"Authorization": f"Bearer {app_token}"}) as c:
+            r = await c.get("/apps", params={"user_id": "bob"})
+            assert r.status_code == 403, r.text
+
+    run(go())
