@@ -164,7 +164,12 @@ class MorphikParser:
         filename = _re.sub(r'[\r\n"\\]', "_", filename or "file")[:255]
 
         def post(endpoint: str) -> str:
-            boundary = "----morphikparse"
+            import uuid as _uuid
+
+            # random per-request boundary: document bytes containing a
+            # fixed guessable boundary would truncate the part / inject
+            # extra form fields into the request
+            boundary = f"----morphikparse{_uuid.uuid4().hex}"
             body = (
                 f"--{boundary}\r\n"
                 f'Content-Disposition: form-data; name="file"; filename="{filename}"\r\n'

@@ -77,6 +77,18 @@ def xlsx_to_markdown(data: bytes, max_rows: int = 5000) -> str:
             for row in root.iter(f"{_S}row"):
                 cells = []
                 for c in row.iter(f"{_S}c"):
+                    # honor the cell reference (r="C3"): sheet XML OMITS
+                    # empty cells, so positional append would shift every
+                    # later value under the wrong column header
+                    ref = c.attrib.get("r", "")
+                    col_letters = "".join(ch for ch in ref if ch.isalpha())
+                    if col_letters:
+                        col = 0
+                        for ch in col_letters.upper():
+                            col = col * 26 + (ord(ch) - 64)
+                        col -= 1
+                        while len(cells) < col:
+                            cells.append("")
                     v = c.find(f"{_S}v")
                     if v is None or v.text is None:
                         is_node = c.find(f"{_S}is")

@@ -87,8 +87,11 @@ def _decode_pdf_string(raw: bytes) -> str:
                 i += 2
                 continue
             if nxt.isdigit():  # octal
-                oct_digits = raw[i + 1 : i + 4]
-                oct_digits = re.match(rb"[0-7]{1,3}", oct_digits).group(0)
+                m = re.match(rb"[0-7]{1,3}", raw[i + 1 : i + 4])
+                if m is None:  # malformed '\8'/'\9': drop the backslash
+                    i += 1
+                    continue
+                oct_digits = m.group(0)
                 out.append(chr(int(oct_digits, 8)))
                 i += 1 + len(oct_digits)
                 continue

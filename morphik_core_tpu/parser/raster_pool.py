@@ -116,9 +116,11 @@ class RasterPool:
 
     async def rasterize_pdf_jpegs(
         self, data: bytes, dpi: int = 150, max_width: int = _MAX_WIDTH
-    ) -> Optional[List[bytes]]:
-        """-> ordered JPEG bytes per page, or None when PyMuPDF is absent
-        or the pool path doesn't apply (caller falls back to the ladder)."""
+    ) -> "Optional[List[Tuple[int, bytes]]]":
+        """-> ordered (page_index, JPEG bytes) pairs, or None when the
+        pool path doesn't apply (caller falls back to the ladder). Page
+        indices are the TRUE physical pages: a failed/skipped page must
+        not shift every later page's metadata."""
         n = _page_count(data)
         if n is None:
             return None
@@ -127,7 +129,7 @@ class RasterPool:
             pages = await loop.run_in_executor(
                 None, _raster_range, data, dpi, 0, n, max_width
             )
-            return [b for _, b in sorted(pages)]
+            return sorted(pages)
         pool = self._ensure()
         per = max(1, -(-n // self.processes))  # ceil
         loop = asyncio.get_running_loop()
@@ -144,4 +146,4 @@ class RasterPool:
             pages.extend(p)
         if not pages:
             return None
-        return [b for _, b in sorted(pages)]
+        return sorted(pages)

@@ -62,13 +62,16 @@ class RecursiveCharacterTextSplitter:
 
     def _merge(self, pieces: List[str]) -> List[str]:
         """Greedy-pack pieces into chunks; start each new chunk with the
-        overlap tail of the previous one."""
+        overlap tail of the previous one. The tail is trimmed so
+        tail+piece never exceeds chunk_size (pieces are <= chunk_size by
+        construction, so every emitted chunk honors the budget)."""
         chunks: List[str] = []
         cur = ""
         for p in pieces:
             if cur and len(cur) + len(p) > self.chunk_size:
                 chunks.append(cur)
-                cur = cur[-self.chunk_overlap :] if self.chunk_overlap else ""
+                keep = min(self.chunk_overlap, max(0, self.chunk_size - len(p)))
+                cur = cur[len(cur) - keep :] if keep else ""
             cur += p
         if cur.strip():
             chunks.append(cur)

@@ -146,6 +146,11 @@ class XMLChunker:
         child_crumbs = crumbs + [self._crumb(el, is_unit)]
         for child in el:
             self._walk(child, child_crumbs, out, units)
+            # mixed content: text BETWEEN/AFTER child elements belongs to
+            # this element, and child subtree walks never see it
+            tail = (child.tail or "").strip()
+            if tail:
+                out.append(self._emit(el, crumbs, tail, is_unit))
 
     def _emit(self, el: ET.Element, crumbs: List[str], text: str, is_unit: bool = False) -> Dict[str, Any]:
         breadcrumbs = crumbs + [self._crumb(el, is_unit)]

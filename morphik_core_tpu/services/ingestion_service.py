@@ -343,7 +343,7 @@ class IngestionService:
         if jpegs is None:
             return None
         chunks = []
-        for page, jpeg in enumerate(jpegs):
+        for page, jpeg in jpegs:  # TRUE page indices (skips don't shift)
             img = Image.open(io.BytesIO(jpeg))
             if _is_blank_page(img):
                 logger.info("skipping blank page %d", page)

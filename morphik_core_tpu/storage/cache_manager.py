@@ -38,8 +38,11 @@ class FileCacheManager:
         self._total = 0
         self.hits = 0
         self.misses = 0
-        for p in self.root.rglob("*"):
-            if p.is_file():
+        for p in self.root.resolve().rglob("*"):
+            # resolve() so seeded keys match _path()'s resolved lookups
+            # (a relative cache_path would otherwise make every warm
+            # file a permanent miss and double-count on re-put)
+            if p.is_file() and not p.name.endswith(".tmp"):
                 st = p.stat()
                 self._sizes[p] = st.st_size
                 self._atime[p] = st.st_mtime
@@ -48,7 +51,11 @@ class FileCacheManager:
     def _path(self, bucket: str, key: str) -> Path:
         p = (self.root / bucket / key) if bucket else (self.root / key)
         resolved = p.resolve()
-        if not str(resolved).startswith(str(self.root.resolve())):
+        root = self.root.resolve()
+        # separator-aware containment: a bare startswith would accept
+        # escapes into sibling dirs sharing the root's name as a prefix
+        # ('./storage' vs './storage-secrets')
+        if resolved != root and root not in resolved.parents:
             raise ValueError(f"cache key escapes root: {key}")
         return resolved
 
@@ -73,7 +80,12 @@ class FileCacheManager:
             return
         p = self._path(bucket, key)
         p.parent.mkdir(parents=True, exist_ok=True)
-        p.write_bytes(data)
+        # atomic publish: a concurrent get() must never read a
+        # truncated in-progress write, and a crash mid-write must not
+        # re-seed a corrupt file as valid on restart
+        tmp = p.with_name(p.name + ".tmp")
+        tmp.write_bytes(data)
+        tmp.replace(p)
         with self._lock:
             old = self._sizes.get(p, 0)
             self._sizes[p] = len(data)

@@ -20,7 +20,11 @@ class LocalStorage(BaseStorage):
     def _path(self, bucket: str, key: str) -> Path:
         p = (self.root / bucket / key) if bucket else (self.root / key)
         resolved = p.resolve()
-        if not str(resolved).startswith(str(self.root.resolve())):
+        root = self.root.resolve()
+        # separator-aware containment: a bare startswith would accept
+        # escapes into sibling dirs sharing the root's name as a prefix
+        # ('./storage' vs './storage-secrets')
+        if resolved != root and root not in resolved.parents:
             raise ValueError(f"storage key escapes root: {key}")
         return resolved
 

@@ -250,8 +250,13 @@ size_t split_text(const char* in, size_t n, size_t chunk_size, size_t overlap,
   for (const Range& r : pieces) {
     if (!cur.empty() && cur.size() + r.len > chunk_size) {
       if (!emit(cur)) return static_cast<size_t>(-1);
-      cur = overlap && cur.size() > overlap ? cur.substr(cur.size() - overlap)
-                                            : (overlap ? cur : std::string());
+      // trim the overlap tail so tail+piece honors the chunk budget
+      // (parity with text_splitter.py::_merge)
+      size_t room = chunk_size > r.len ? chunk_size - r.len : 0;
+      size_t keep = overlap < room ? overlap : room;
+      if (keep && keep < cur.size()) cur = cur.substr(cur.size() - keep);
+      else if (keep >= cur.size()) { /* keep whole cur */ }
+      else cur.clear();
     }
     cur.append(in + r.off, r.len);
   }

@@ -50,7 +50,18 @@ def test_splitter_overlap():
     text = ("a" * 90 + " ") * 10
     s = RecursiveCharacterTextSplitter(chunk_size=100, chunk_overlap=20)
     chunks = s.split_text(text)
+    # every chunk honors the budget; the carried overlap is the largest
+    # tail that still fits next to the incoming piece (20 requested, but
+    # 91-char pieces leave room for only 9)
+    assert all(len(c) <= 100 for c in chunks)
     for prev, nxt in zip(chunks, chunks[1:]):
+        assert nxt.startswith(prev[-9:])
+
+    # with small pieces the full requested overlap is carried
+    s2 = RecursiveCharacterTextSplitter(chunk_size=100, chunk_overlap=20)
+    chunks2 = s2.split_text(("word " * 6) * 30)  # 30-char-ish pieces
+    assert all(len(c) <= 100 for c in chunks2)
+    for prev, nxt in zip(chunks2, chunks2[1:]):
         assert nxt.startswith(prev[-20:])
 
 
@@ -423,3 +434,50 @@ def test_split_text_public_entry():
     assert len(chunks) > 3
     assert all(len(c) <= 300 for c in chunks)
     assert "".join(c[30:] if i else c for i, c in enumerate(chunks)).startswith("one two three.")
+
+
+def test_pdf_malformed_octal_escape():
+    """Regression: '\\8' in a PDF literal string crashed the decoder."""
+    from morphik_core_tpu.parser.pdf import _decode_pdf_string
+
+    # malformed '\8': drop the backslash, keep the char (reader behavior)
+    assert _decode_pdf_string(rb"foo\8bar") == "foo8bar"
+    assert _decode_pdf_string(rb"ok\101") == "okA"  # real octal still works
+
+
+def test_xml_chunker_mixed_content_tails():
+    """Regression: tail text between child elements was dropped."""
+    from morphik_core_tpu.parser.xml_chunker import XMLChunker
+
+    xml = ("<doc><chapter>" + "<p>" + "alpha " * 40 + "</p>"
+           " important tail text here "
+           "<p>" + "beta " * 40 + "</p>"
+           " closing remark text"
+           "</chapter></doc>")
+    chunks = XMLChunker(max_tokens=30).chunk(xml)
+    joined = " ".join(c["content"] for c in chunks)
+    assert "important tail text here" in joined
+    assert "closing remark text" in joined
+
+
+def test_xlsx_sparse_cells_align_columns():
+    """Regression: omitted empty cells shifted later values left."""
+    from morphik_core_tpu.parser.office import xlsx_to_markdown
+
+    sheet = (
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Name</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>Qty</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>Price</t></is></c></row>'
+        '<row r="2"><c r="A2" t="inlineStr"><is><t>widget</t></is></c>'
+        '<c r="C2"><v>9.5</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    wb = ('<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+          '<sheets><sheet name="S1" sheetId="1"/></sheets></workbook>')
+    data = _zipbytes({"xl/workbook.xml": wb, "xl/worksheets/sheet1.xml": sheet})
+    md = xlsx_to_markdown(data)
+    row = next(line for line in md.splitlines() if "widget" in line)
+    cols = [c.strip() for c in row.strip("|").split("|")]
+    assert cols == ["widget", "", "9.5"], cols  # price under Price, not Qty

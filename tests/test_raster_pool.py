@@ -28,8 +28,10 @@ def test_pool_renders_all_pages_in_order():
     data = _pdf(6)
     pool = RasterPool(processes=2)
     try:
-        jpegs = run(pool.rasterize_pdf_jpegs(data, dpi=72))
-        assert jpegs is not None and len(jpegs) == 6
+        pages = run(pool.rasterize_pdf_jpegs(data, dpi=72))
+        assert pages is not None and len(pages) == 6
+        assert [i for i, _ in pages] == list(range(6))  # TRUE page indices
+        jpegs = [b for _, b in pages]
         assert all(b[:2] == b"\xff\xd8" for b in jpegs)  # JPEG magic
         assert pool._pool is not None  # pool actually engaged
         # page order: decode and check content differs per page

@@ -177,3 +177,46 @@ def test_cached_s3_composition(monkeypatch, tmp_path):
     )
     st = build_storage(settings)
     assert isinstance(st, CachedStorage)
+
+
+def test_storage_path_traversal_blocked(tmp_path):
+    """Regression: startswith-based containment accepted escapes into
+    sibling dirs sharing the root's name as a prefix."""
+    import asyncio
+
+    from morphik_core_tpu.storage.local_storage import LocalStorage
+
+    run = asyncio.new_event_loop().run_until_complete
+    (tmp_path / "store-secrets").mkdir()
+    st = LocalStorage(tmp_path / "store")
+    with pytest.raises(ValueError):
+        run(st.upload_file(b"x", "../store-secrets/leak"))
+    with pytest.raises(ValueError):
+        run(st.upload_file(b"x", "../../etc/passwd"))
+    # normal nested keys still work
+    run(st.upload_file(b"ok", "a/b/c.bin"))
+    assert run(st.download_file("", "a/b/c.bin")) == b"ok"
+    assert not (tmp_path / "store-secrets" / "leak").exists()
+
+
+def test_cache_path_traversal_blocked(tmp_path):
+    from morphik_core_tpu.storage.cache_manager import FileCacheManager
+
+    (tmp_path / "cache2").mkdir()
+    cm = FileCacheManager(tmp_path / "cache")
+    with pytest.raises(ValueError):
+        cm.put("", "../cache2/esc", b"x")
+    cm.put("", "fine", b"ok")
+    assert cm.get("", "fine") == b"ok"
+
+
+def test_cache_put_is_atomic_and_seed_skips_tmp(tmp_path):
+    from morphik_core_tpu.storage.cache_manager import FileCacheManager
+
+    cm = FileCacheManager(tmp_path / "c")
+    cm.put("b", "k1", b"data1")
+    # a leftover .tmp (crash artifact) must not be seeded as an entry
+    (tmp_path / "c" / "b" / "junk.tmp").write_bytes(b"partial")
+    cm2 = FileCacheManager(tmp_path / "c")
+    assert cm2.get("b", "k1") == b"data1"
+    assert cm2.get("b", "junk.tmp") is None
