@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import urllib.error
 import logging
 import time
 import uuid
@@ -1192,6 +1193,16 @@ def build_app(services: Services) -> Router:
     # ------------------------------------------------------- ee: connectors
     # (reference ee/routers/connectors_router.py:168-603)
 
+    def _connector_http_error(e) -> HTTPError:
+        """Map a remote connector's urllib HTTPError onto ours: the
+        Optional[...] contract can't cover every remote 4xx, so the raw
+        error must not surface as a 500."""
+        if e.code == 404:
+            return HTTPError(404, "file not found or not downloadable")
+        if e.code in (401, 403):
+            return HTTPError(403, f"connector access denied ({e.code})")
+        return HTTPError(502, f"connector upstream error ({e.code})")
+
     def _connector(req: Request, auth: AuthContext):
         from morphik_core_tpu.ee.connectors import get_connector
 
@@ -1254,6 +1265,8 @@ def build_app(services: Services) -> Router:
             )
         except PermissionError as e:
             raise HTTPError(401, str(e))
+        except urllib.error.HTTPError as e:
+            raise _connector_http_error(e)
         return Response.json(
             {"files": [f.model_dump(mode="json") for f in out["files"]],
              "next_page_token": out.get("next_page_token")}
@@ -1274,6 +1287,8 @@ def build_app(services: Services) -> Router:
             buf = await conn.download_file_by_id(file_id)
         except PermissionError as e:
             raise HTTPError(401, str(e))
+        except urllib.error.HTTPError as e:
+            raise _connector_http_error(e)
         if buf is None:
             raise HTTPError(404, "file not found or not downloadable")
         data = buf.getvalue()

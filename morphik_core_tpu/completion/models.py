@@ -48,7 +48,12 @@ class BaseCompletionModel(ABC):
         texts = [c for c in request.context_chunks if not _is_image_content(c)]
         images = [c for c in request.context_chunks if _is_image_content(c)]
         template = request.prompt_template or DEFAULT_PROMPT
-        prompt = template.format(context="\n---\n".join(texts), question=request.query)
+        # plain placeholder substitution, NOT str.format: user templates
+        # legitimately contain literal braces (JSON examples) that
+        # .format would blow up on
+        prompt = template.replace("{context}", "\n---\n".join(texts)).replace(
+            "{question}", request.query
+        )
         messages: List[Dict[str, Any]] = []
         if request.chat_history:
             messages.extend({"role": m.role, "content": m.content} for m in request.chat_history)
@@ -202,9 +207,17 @@ class OpenAICompatCompletionModel(BaseCompletionModel):
                         yield delta
 
 
-def build_completion_model(registered: Dict[str, Dict[str, Any]], model_key: str) -> BaseCompletionModel:
+def build_completion_model(
+    registered: Dict[str, Dict[str, Any]],
+    model_key: str,
+    environment: str = "development",
+) -> BaseCompletionModel:
     """Resolve a registered_models entry (reference morphik.toml:17-63) to
-    a provider. api_base present -> OpenAI-compatible; else stub."""
+    a provider. api_base present -> OpenAI-compatible; else stub.
+
+    Outside development, a misconfigured model key refuses to boot
+    instead of silently serving extractive stub answers with HTTP 200
+    (same policy as ColpaliEmbeddingModel's missing-checkpoint guard)."""
     cfg = registered.get(model_key, {})
     api_base = cfg.get("api_base")
     if api_base:
@@ -212,6 +225,15 @@ def build_completion_model(registered: Dict[str, Dict[str, Any]], model_key: str
             base_url=api_base,
             model=cfg.get("model_name", model_key),
             api_key=cfg.get("api_key"),
+        )
+    if environment != "development" and model_key != "stub":
+        known = sorted(registered)
+        raise RuntimeError(
+            f"completion model {model_key!r} is "
+            + ("not in registered_models" if model_key not in registered
+               else "missing api_base")
+            + f" (known keys: {known}); refusing to serve stub completions in "
+            f"environment={environment!r} — set completion.model='stub' to opt in"
         )
     logger.warning("model %s has no api_base — using offline stub completion", model_key)
     return StubCompletionModel(model_name=model_key)

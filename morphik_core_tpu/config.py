@@ -223,6 +223,16 @@ class TelemetryConfig(BaseModel):
     local_budget_bytes: int = 1024**3
 
 
+class EEConfig(BaseModel):
+    """Enterprise connector settings (reference ee/ OAuth apps)."""
+
+    google_client_id: Optional[str] = None
+    google_client_secret: Optional[str] = None  # env MORPHIK_GOOGLE_CLIENT_SECRET
+    google_redirect_uri: str = (
+        "http://localhost:8000/ee/connectors/google_drive/oauth2callback"
+    )
+
+
 class Settings(BaseModel):
     api: ApiConfig = Field(default_factory=ApiConfig)
     auth: AuthConfig = Field(default_factory=AuthConfig)
@@ -239,6 +249,7 @@ class Settings(BaseModel):
     worker: WorkerConfig = Field(default_factory=WorkerConfig)
     morphik: MorphikFlags = Field(default_factory=MorphikFlags)
     telemetry: TelemetryConfig = Field(default_factory=TelemetryConfig)
+    ee: EEConfig = Field(default_factory=EEConfig)
     registered_models: Dict[str, Dict[str, Any]] = Field(default_factory=dict)
 
 
@@ -263,6 +274,8 @@ def _apply_env_overrides(s: Settings) -> Settings:
         s.parser.ocr_api_key = os.environ["MORPHIK_OCR_API_KEY"]
     if os.environ.get("MORPHIK_TRANSCRIPTION_API_KEY"):
         s.parser.transcription_api_key = os.environ["MORPHIK_TRANSCRIPTION_API_KEY"]
+    if os.environ.get("MORPHIK_GOOGLE_CLIENT_SECRET"):
+        s.ee.google_client_secret = os.environ["MORPHIK_GOOGLE_CLIENT_SECRET"]
     return s
 
 

@@ -83,11 +83,15 @@ class GitHubConnector(BaseConnector):
     async def list_files(
         self, path: Optional[str] = None, page_token: Optional[str] = None, **kwargs
     ) -> Dict[str, Any]:
-        url = f"{API}/repos/{self._repo()}/contents/{path or ''}"
+        # paginate: the contents API caps at 1000 entries; without
+        # ?page= a big directory silently truncates with no signal
+        page = int(page_token) if page_token else 1
+        url = f"{API}/repos/{self._repo()}/contents/{path or ''}?per_page=100&page={page}"
         entries = await asyncio.to_thread(self._request_json, url)
         if isinstance(entries, dict):  # single file
             entries = [entries]
-        return {"files": [self._to_file(e) for e in entries], "next_page_token": None}
+        next_token = str(page + 1) if len(entries) == 100 else None
+        return {"files": [self._to_file(e) for e in entries], "next_page_token": next_token}
 
     async def download_file_by_id(self, file_id: str) -> Optional[BytesIO]:
         url = f"{API}/repos/{self._repo()}/contents/{file_id}"

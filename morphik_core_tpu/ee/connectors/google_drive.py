@@ -75,6 +75,7 @@ class GoogleDriveConnector(BaseConnector):
             return {"credentials_required": ["client_id", "client_secret"],
                     "message": "google oauth client not configured"}
         state = secrets.token_urlsafe(16)
+        self._save_oauth_state(state)
         params = {
             "client_id": self.client_id,
             "redirect_uri": self.redirect_uri,
@@ -85,8 +86,29 @@ class GoogleDriveConnector(BaseConnector):
         }
         return {"auth_url": f"{AUTH_URL}?{urllib.parse.urlencode(params)}", "state": state}
 
+    def _state_path(self):
+        return self.credentials_dir / f"{self.user_id}.google_drive.oauth_state"
+
+    def _save_oauth_state(self, state: str) -> None:
+        self.credentials_dir.mkdir(parents=True, exist_ok=True)
+        self._state_path().write_text(state)
+
+    def _consume_oauth_state(self) -> "str | None":
+        p = self._state_path()
+        if not p.exists():
+            return None
+        state = p.read_text().strip()
+        p.unlink(missing_ok=True)  # single use
+        return state
+
     async def finalize_auth(self, auth_response_data: Dict[str, Any]) -> bool:
         code = auth_response_data.get("code")
+        if code and self.client_id:
+            # CSRF/code-injection guard: the callback's state must match
+            # the one this user's initiate_auth issued (single use)
+            issued = self._consume_oauth_state()
+            if issued is None or auth_response_data.get("state") != issued:
+                return False
         if not code or not self.client_id:
             # allow direct token injection (service accounts / tests)
             if auth_response_data.get("access_token"):

@@ -26,4 +26,16 @@ def get_connector(
     cls = CONNECTORS.get(connector_type)
     if cls is None:
         raise KeyError(f"unknown connector type: {connector_type}")
+    if connector_type == "google_drive":
+        # the OAuth client lives in config (reference ee app settings):
+        # without this the Drive flow could never produce an auth_url
+        from morphik_core_tpu.config import get_settings
+
+        ee = get_settings().ee
+        return cls(
+            user_id, credentials_dir,
+            client_id=ee.google_client_id,
+            client_secret=ee.google_client_secret,
+            redirect_uri=ee.google_redirect_uri,
+        )
     return cls(user_id, credentials_dir)

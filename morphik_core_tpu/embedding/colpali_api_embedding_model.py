@@ -156,6 +156,12 @@ class ColpaliApiEmbeddingModel(BaseEmbeddingModel):
                     embs = await self._post(ep, input_type, [inputs[pending[j]] for j in idxs])
                     self._health[ep].healthy = True
                     return ep, idxs, embs
+                except PayloadTooLarge:
+                    # a single input that 413s even at batch size 1 is a
+                    # CLIENT-DATA problem — do not poison the endpoint's
+                    # health (and thereby cascade every endpoint to
+                    # 'down' as the shard retries across the fleet)
+                    raise
                 except Exception as e:  # noqa: BLE001
                     logger.warning("embedding endpoint %s failed: %s", ep, e)
                     self._health[ep].mark_down()
@@ -179,12 +185,6 @@ class ColpaliApiEmbeddingModel(BaseEmbeddingModel):
         return results  # type: ignore[return-value]
 
     # -------------------------------------------------------------- interface
-
-    @staticmethod
-    def _chunk_input(chunk: Chunk) -> Tuple[str, str]:
-        if chunk.metadata.get("is_image"):
-            return "image", chunk.content
-        return "text", chunk.content
 
     async def embed_for_ingestion(self, chunks: Union[Chunk, List[Chunk]]) -> List[np.ndarray]:
         if isinstance(chunks, Chunk):

@@ -74,7 +74,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
             self.model = ColQwenModel.init_random(
                 jax.random.PRNGKey(0), ColQwenConfig.tiny(), mesh=mesh
             )
-        self.batch_size = self.settings.tpu.embed_batch_size
+        self.batch_size = max(1, int(self.settings.tpu.embed_batch_size))
         self.min_pixels = self.settings.model.min_pixels
         self.max_pixels = self.settings.model.max_pixels
         self.last_metrics: Dict[str, float] = {}

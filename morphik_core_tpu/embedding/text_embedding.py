@@ -151,7 +151,14 @@ class RoutedEmbeddingModel(BaseEmbeddingModel):
             self.api_base = (base or "http://localhost:11434").rstrip("/")
         elif name.startswith("azure/"):
             self.provider, self.model_name = "azure", name.split("/", 1)[1]
+            if not base:
+                raise ValueError(
+                    f"registered model {model_key!r}: azure/* requires api_base"
+                )
             self.api_base = base.rstrip("/")
+            self.azure_api_version = str(
+                self.model_config.get("api_version", "2024-02-01")
+            )
         else:
             self.provider, self.model_name = "openai", name.removeprefix("openai/")
             self.api_base = (base or "https://api.openai.com/v1").rstrip("/")
@@ -182,11 +189,18 @@ class RoutedEmbeddingModel(BaseEmbeddingModel):
                     headers["api-key"] = self.api_key
                 else:
                     headers["Authorization"] = f"Bearer {self.api_key}"
-            data = await self._request(
-                f"{self.api_base}/embeddings",
-                {"model": self.model_name, "input": texts},
-                headers,
-            )
+            if self.provider == "azure":
+                # Azure's deployment-scoped URL shape (what litellm built
+                # for the reference from the same config)
+                url = (
+                    f"{self.api_base}/openai/deployments/{self.model_name}"
+                    f"/embeddings?api-version={self.azure_api_version}"
+                )
+                payload = {"input": texts}
+            else:
+                url = f"{self.api_base}/embeddings"
+                payload = {"model": self.model_name, "input": texts}
+            data = await self._request(url, payload, headers)
             vecs = [d["embedding"] for d in data["data"]]
         return [np.asarray(v, dtype=np.float32)[: self.dimensions] for v in vecs]
 

@@ -165,7 +165,10 @@ def build_services(
     storage_root = Path(settings.storage.storage_path)
     database = SQLiteDatabase(settings.database.path)
     storage = build_storage(settings)
-    completion_model = build_completion_model(settings.registered_models, settings.completion.model)
+    completion_model = build_completion_model(
+        settings.registered_models, settings.completion.model,
+        environment=settings.service.environment,
+    )
 
     # Video frame description (reference VisionModelClient,
     # parse_video.py:27-280) + contextual chunking both reuse the

@@ -173,7 +173,8 @@ def test_routed_azure_header():
     vec = run(m.embed_for_query("q"))
     assert vec.shape == (8,)
     url, _, headers = calls[0]
-    assert url == "https://corp.azure.example/v1/embeddings"
+    assert url == ("https://corp.azure.example/v1/openai/deployments/"
+                   "embed-deploy/embeddings?api-version=2024-02-01")
     assert headers["api-key"] == "az-1" and "Authorization" not in headers
 
 

@@ -84,7 +84,7 @@ def test_github_connector_faked_transport(tmp_path):
 
     def fake_json(url):
         assert "acme/docs" in url
-        if url.endswith("/contents/"):
+        if url.split("?")[0].endswith("/contents/"):
             return [_gh_entry("README.md"), _gh_entry("src", "dir")]
         if url.endswith("/contents/README.md"):
             return _gh_entry("README.md", content=b"# hello")
@@ -219,3 +219,63 @@ def test_google_drive_token_injection(tmp_path):
     conn._request_bytes = lambda url, token: b"%PDF-bytes"
     buf = run(conn.download_file_by_id("f1"))
     assert buf.read() == b"%PDF-bytes"
+
+
+def test_google_drive_oauth_state_validated(tmp_path):
+    """Regression: finalize_auth ignored the OAuth state param (CSRF /
+    code-injection)."""
+    from morphik_core_tpu.ee.connectors.google_drive import GoogleDriveConnector
+
+    conn = GoogleDriveConnector("u1", tmp_path, client_id="cid", client_secret="cs")
+    out = run(conn.initiate_auth())
+    assert "auth_url" in out and out["state"]
+
+    async def fake_post(url, data):
+        return {"access_token": "at", "refresh_token": "rt", "expires_in": 3600}
+
+    import asyncio as _aio
+    conn._post_form = lambda url, data: {"access_token": "at", "refresh_token": "rt",
+                                         "expires_in": 3600}
+    # wrong state -> rejected (and the issued state is consumed)
+    assert not run(conn.finalize_auth({"code": "C", "state": "forged"}))
+    # a fresh initiate + matching state -> accepted
+    out2 = run(conn.initiate_auth())
+    assert run(conn.finalize_auth({"code": "C", "state": out2["state"]}))
+    assert run(conn.get_auth_status()).is_authenticated
+
+
+def test_google_drive_config_wired(tmp_path, monkeypatch):
+    """Regression: the registry never passed the OAuth client, so the
+    Drive flow could not produce an auth_url from the server path."""
+    from morphik_core_tpu.config import Settings
+    import morphik_core_tpu.config as cfg_mod
+    from morphik_core_tpu.ee.connectors import get_connector
+
+    s = Settings.model_validate({"ee": {"google_client_id": "cid-x",
+                                        "google_client_secret": "cs-x"}})
+    monkeypatch.setattr(cfg_mod, "_settings", s)
+    conn = get_connector("google_drive", "u2", tmp_path)
+    assert conn.client_id == "cid-x"
+    out = run(conn.initiate_auth())
+    assert "auth_url" in out and "cid-x" in out["auth_url"]
+
+
+def test_github_list_files_paginates(tmp_path):
+    from morphik_core_tpu.ee.connectors.github import GitHubConnector
+
+    conn = GitHubConnector("u3", tmp_path)
+    run(conn.finalize_auth({"token": "t", "repo": "acme/big"}))
+    calls = []
+
+    def fake_json(url):
+        calls.append(url)
+        page = int(url.split("page=")[-1])
+        n = 100 if page == 1 else 7
+        return [{"path": f"f{page}_{i}", "name": f"f{page}_{i}", "type": "file", "size": 1}
+                for i in range(n)]
+
+    conn._request_json = fake_json
+    p1 = run(conn.list_files())
+    assert len(p1["files"]) == 100 and p1["next_page_token"] == "2"
+    p2 = run(conn.list_files(page_token=p1["next_page_token"]))
+    assert len(p2["files"]) == 7 and p2["next_page_token"] is None
