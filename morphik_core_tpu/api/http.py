@@ -205,6 +205,10 @@ class Router:
                     return await handler(req)
                 except HTTPError as e:
                     return Response.json({"detail": e.detail}, status=e.status)
+                except PermissionError as e:
+                    # service/DB layers raise this for tenant violations
+                    # (e.g. store_document id takeover) — a 403, not a 500
+                    return Response.json({"detail": str(e)}, status=403)
                 except json.JSONDecodeError as e:
                     return Response.json({"detail": f"invalid JSON: {e}"}, status=400)
                 except Exception as e:  # noqa: BLE001
