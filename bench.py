@@ -304,6 +304,10 @@ def main() -> None:
         alive = np.zeros(rows, dtype=bool)
         alive[:] = True
         idx._alive = alive
+        # doc-code state (device-gated filtering): 8 chunks per document
+        idx._row_code = [i >> 3 for i in range(rows)]
+        idx._doc_index = {f"d{d}": d for d in range(rows >> 3)}
+        idx._doc_alive = {f"d{d}": 8 for d in range(rows >> 3)}
         idx._persisted = rows
         idx._mv_off = [(i % mv_real) * tok for i in range(rows)]
         mv_path = os.path.join(tmp, "mv.bin")

@@ -225,6 +225,7 @@ class HTTPServer:
         self.host = host
         self.port = port
         self._server: Optional[asyncio.AbstractServer] = None
+        self._conn_tasks: "set[asyncio.Task]" = set()
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(self._handle, self.host, self.port)
@@ -233,8 +234,22 @@ class HTTPServer:
         logger.info("listening on %s:%d", self.host, self.port)
 
     async def stop(self) -> None:
+        """Drain: stop accepting, then cancel and AWAIT every in-flight
+        connection handler (keep-alive connections park in _read_request
+        indefinitely — without this, their tasks outlive the server and
+        surface as 'Task was destroyed but it is pending' at loop GC).
+        This is the same path a SIGTERM drain takes (api/server.py)."""
         if self._server:
             self._server.close()
+        # cancel BEFORE wait_closed(): since 3.12 wait_closed also waits
+        # for connection handlers, and an idle keep-alive handler parked
+        # in _read_request would never finish on its own
+        for t in list(self._conn_tasks):
+            t.cancel()
+        if self._conn_tasks:
+            await asyncio.gather(*self._conn_tasks, return_exceptions=True)
+        self._conn_tasks.clear()
+        if self._server:
             await self._server.wait_closed()
 
     async def serve_forever(self) -> None:
@@ -270,6 +285,10 @@ class HTTPServer:
         return Request(method.upper(), path, query, headers, body)
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter) -> None:
+        task = asyncio.current_task()
+        if task is not None:
+            self._conn_tasks.add(task)
+            task.add_done_callback(self._conn_tasks.discard)
         try:
             while True:
                 req = await self._read_request(reader)

@@ -131,6 +131,13 @@ class MultiVectorIndex:
         self._alive = np.zeros(0, dtype=bool)
         self._count = 0
         self._dead = 0
+        # --- document codes: per-row int32 id of the owning document.
+        # Filtered queries gate on `allowed[code]` ON DEVICE, so a
+        # filtered query uploads O(n_docs) floats, not an O(n_rows) mask
+        # (the device copy of codes is block-cached like the alive mask).
+        self._doc_index: Dict[str, int] = {}  # doc_id -> code
+        self._doc_alive: Dict[str, int] = {}  # doc_id -> alive row count
+        self._row_code: List[int] = []
 
         self._fde_dim = self.fde_config.fde_dim
         self._dim = self.fde_config.dimension
@@ -155,9 +162,20 @@ class MultiVectorIndex:
         self._dev_rows = 0  # rows reflected in _dev_blocks
         self._mask_blocks: List[jax.Array] = []
         self._mask_rows = 0  # rows reflected in _mask_blocks (0 = rebuild all)
-        # --- device state (mesh path: one sharded buffer, refreshed when dirty)
-        self._mesh_dev = None
-        self._mesh_rows = -1
+        self._code_blocks: List[jax.Array] = []  # int32 doc codes per block
+        self._code_rows = 0
+        self._allowed_ones: Dict[int, jax.Array] = {}  # device ones per pad size
+        # --- device state (mesh path: row-sharded immutable blocks,
+        # tail-refreshed exactly like _dev_blocks — an ingest uploads
+        # only the tail block per shard, never the corpus)
+        self._mesh_blocks: List[Any] = []
+        self._mesh_dev_rows = 0
+        self._mesh_mask_blocks: List[jax.Array] = []
+        self._mesh_mask_rows = 0
+        self._mesh_code_blocks: List[jax.Array] = []
+        self._mesh_code_rows = 0
+        self.last_mesh_upload_rows = 0  # observability for tests/telemetry
+        self.last_filter_upload_floats = 0
         self._fde_q8_fn = None  # lazy fused device encode+quantize (int8 path)
         # HBM LRU of rerank candidates (the disk FileCacheManager's hot
         # tier, moved on-device — see index/device_cache.py). Lazy: the
@@ -218,10 +236,12 @@ class MultiVectorIndex:
                 if old is not None and self._alive[old]:
                     self._alive[old] = False
                     self._dead += 1
+                    self._doc_alive[rec.document_id] = self._doc_alive.get(rec.document_id, 1) - 1
                     # dirty the cached device mask block covering the old
                     # row, exactly like delete_document — otherwise an
                     # unfiltered ANN query keeps serving the dead row
                     self._mask_rows = min(self._mask_rows, old)
+                    self._mesh_mask_rows = min(self._mesh_mask_rows, old)
                     if self._pool_cache is not None:
                         self._pool_cache.invalidate(old)
                 row = self._count
@@ -234,6 +254,9 @@ class MultiVectorIndex:
                 self._alive[row] = True
                 self._id_to_row[sid] = row
                 self._doc_rows.setdefault(rec.document_id, []).append(row)
+                code = self._doc_index.setdefault(rec.document_id, len(self._doc_index))
+                self._row_code.append(code)
+                self._doc_alive[rec.document_id] = self._doc_alive.get(rec.document_id, 0) + 1
                 self._wal_buffer.append(
                     {
                         "op": "add",
@@ -246,7 +269,6 @@ class MultiVectorIndex:
                 )
                 self._count += 1
                 ids.append(sid)
-            self._mesh_rows = -1
             self._maybe_compact()
         return ids
 
@@ -268,13 +290,14 @@ class MultiVectorIndex:
                     self._dead += 1
                     n += 1
                     self._mask_rows = min(self._mask_rows, r)
+                    self._mesh_mask_rows = min(self._mesh_mask_rows, r)
                     if self._pool_cache is not None:
                         self._pool_cache.invalidate(r)
                 sid = f"{self.records[r].document_id}-{self.records[r].chunk_number}"
                 self._id_to_row.pop(sid, None)
             if n:
+                self._doc_alive.pop(document_id, None)
                 self._wal_buffer.append({"op": "del_doc", "document_id": document_id})
-                self._mesh_rows = -1
                 self._maybe_compact()
             return n
 
@@ -305,16 +328,6 @@ class MultiVectorIndex:
 
     # ----------------------------------------------------------------- query
 
-    def _valid_mask(self, doc_ids: Optional[Sequence[str]]) -> np.ndarray:
-        mask = self._alive[: self._count].copy()
-        if doc_ids is not None:
-            allowed = np.zeros(self._count, dtype=bool)
-            for d in doc_ids:
-                for r in self._doc_rows.get(d, []):
-                    allowed[r] = True
-            mask &= allowed
-        return mask
-
     # --- device upload -----------------------------------------------------
 
     def _target_block_rows(self) -> int:
@@ -328,9 +341,18 @@ class MultiVectorIndex:
             self._dev_rows = 0
             self._mask_blocks = []
             self._mask_rows = 0
+            self._code_blocks = []
+            self._code_rows = 0
+            self._mesh_blocks = []
+            self._mesh_dev_rows = 0
+            self._mesh_mask_blocks = []
+            self._mesh_mask_rows = 0
+            self._mesh_code_blocks = []
+            self._mesh_code_rows = 0
 
-    def _block_arrays(self, b: int):
-        """Build the device payload for block b from host rows."""
+    def _block_host_arrays(self, b: int):
+        """Host-side payload for block b (padded to B rows). int8 path
+        returns (int8 rows, scales); float paths return one array."""
         B = self._active_block
         lo, hi = b * B, min((b + 1) * B, self._count)
         rows = self._fde_rows(lo, hi)
@@ -340,13 +362,34 @@ class MultiVectorIndex:
                 pad = B - rows.shape[0]
                 q = np.concatenate([q, np.zeros((pad, self._fde_dim), np.int8)])
                 s = np.concatenate([s, np.ones(pad, np.float32)])
-            return jnp.asarray(q), jnp.asarray(s)
+            return q, s
         if rows.shape[0] < B:
             rows = np.concatenate(
                 [rows, np.zeros((B - rows.shape[0], self._fde_dim), np.float32)]
             )
-        dt = jnp.bfloat16 if self.ann_dtype == "bfloat16" else jnp.float32
-        return jnp.asarray(rows, dt)
+        dt = jnp.bfloat16 if self.ann_dtype == "bfloat16" else np.float32
+        return rows.astype(dt)
+
+    def _block_arrays(self, b: int):
+        """Device payload for block b (single-chip path)."""
+        host = self._block_host_arrays(b)
+        if self.ann_dtype == "int8":
+            return jnp.asarray(host[0]), jnp.asarray(host[1])
+        return jnp.asarray(host)
+
+    def _mask_block_host(self, b: int) -> np.ndarray:
+        B = self._active_block
+        lo, hi = b * B, min((b + 1) * B, self._count)
+        m = np.zeros(B, np.float32)
+        m[: hi - lo] = self._alive[lo:hi]
+        return m
+
+    def _code_block_host(self, b: int) -> np.ndarray:
+        B = self._active_block
+        lo, hi = b * B, min((b + 1) * B, self._count)
+        c = np.zeros(B, np.int32)
+        c[: hi - lo] = np.asarray(self._row_code[lo:hi], np.int32)
+        return c
 
     def _ensure_device_blocks(self) -> None:
         """Refresh blocks covering rows >= _dev_rows (the tail); full
@@ -370,36 +413,103 @@ class MultiVectorIndex:
         first_dirty = min(self._mask_rows // B, len(self._mask_blocks))
         n_blocks = -(-self._count // B)
         del self._mask_blocks[first_dirty:]
-        alive = self._alive
         for b in range(first_dirty, n_blocks):
-            lo, hi = b * B, min((b + 1) * B, self._count)
-            m = np.zeros(B, np.float32)
-            m[: hi - lo] = alive[lo:hi]
-            self._mask_blocks.append(jnp.asarray(m))
+            self._mask_blocks.append(jnp.asarray(self._mask_block_host(b)))
         self._mask_rows = self._count
 
-    def _mesh_buffer(self):
-        if self._mesh_rows != self._count or self._mesh_dev is None:
-            from morphik_core_tpu.parallel.search import shard_rows, shard_vec
+    def _ensure_code_blocks(self) -> None:
+        """Device copy of per-row document codes (tail-incremental; codes
+        of existing rows never change outside compaction)."""
+        self._sync_block_size()
+        if self._code_rows == self._count and len(self._code_blocks):
+            return
+        B = self._active_block
+        first_dirty = min(self._code_rows // B, len(self._code_blocks))
+        n_blocks = -(-self._count // B)
+        del self._code_blocks[first_dirty:]
+        for b in range(first_dirty, n_blocks):
+            self._code_blocks.append(jnp.asarray(self._code_block_host(b)))
+        self._code_rows = self._count
 
-            n_dev = self.mesh.shape["data"]
-            padded = max(-(-self._count // n_dev) * n_dev, n_dev)
-            rows = self._fde_rows(0, self._count)
-            if padded > rows.shape[0]:
-                rows = np.concatenate(
-                    [rows, np.zeros((padded - rows.shape[0], self._fde_dim), np.float32)]
+    # --- filtered-query gate ----------------------------------------------
+
+    def _codes_pad(self) -> int:
+        return _round_capacity(max(len(self._doc_index), 1), minimum=256)
+
+    def _allowed_vec(self, doc_ids: Optional[Sequence[str]]):
+        """Device gate over document codes. Unfiltered queries reuse a
+        cached device ones-vector (zero upload); filtered queries upload
+        one O(n_docs) float vector."""
+        pad = self._codes_pad()
+        if doc_ids is None:
+            ones = self._allowed_ones.get(pad)
+            if ones is None:
+                ones = jnp.ones((pad,), jnp.float32)
+                self._allowed_ones = {pad: ones}  # keep only current size
+            self.last_filter_upload_floats = 0
+            return ones
+        a = np.zeros(pad, np.float32)
+        for d in doc_ids:
+            c = self._doc_index.get(d)
+            if c is not None:
+                a[c] = 1.0
+        self.last_filter_upload_floats = pad
+        return jnp.asarray(a)
+
+    # --- mesh device state --------------------------------------------------
+
+    def _mesh_ndev(self) -> int:
+        return self.mesh.shape["data"]
+
+    def _ensure_mesh_blocks(self) -> None:
+        """Tail-incremental sharded twin of _ensure_device_blocks /
+        _ensure_mask_blocks / _ensure_code_blocks: each block is one
+        row-sharded device_put over the mesh's data axis. Only blocks
+        covering rows >= the respective high-water mark re-upload."""
+        from morphik_core_tpu.parallel.search import shard_rows, shard_vec
+
+        self._sync_block_size()
+        B = self._active_block
+        if B % self._mesh_ndev():
+            raise ValueError(
+                f"device_block_rows-derived block {B} not divisible by "
+                f"mesh data axis {self._mesh_ndev()}"
+            )
+        n_blocks = -(-self._count // B)
+        uploaded = 0
+        if self._mesh_dev_rows != self._count or not self._mesh_blocks:
+            first_dirty = self._mesh_dev_rows // B
+            del self._mesh_blocks[first_dirty:]
+            for b in range(first_dirty, n_blocks):
+                host = self._block_host_arrays(b)
+                if self.ann_dtype == "int8":
+                    self._mesh_blocks.append(
+                        (
+                            jax.device_put(host[0], shard_rows(self.mesh)),
+                            jax.device_put(host[1], shard_vec(self.mesh)),
+                        )
+                    )
+                else:
+                    self._mesh_blocks.append(jax.device_put(host, shard_rows(self.mesh)))
+                uploaded += min(B, self._count - b * B)
+            self._mesh_dev_rows = self._count
+        if self._mesh_mask_rows != self._count or not self._mesh_mask_blocks:
+            first_dirty = min(self._mesh_mask_rows // B, len(self._mesh_mask_blocks))
+            del self._mesh_mask_blocks[first_dirty:]
+            for b in range(first_dirty, n_blocks):
+                self._mesh_mask_blocks.append(
+                    jax.device_put(self._mask_block_host(b), shard_vec(self.mesh))
                 )
-            if self.ann_dtype == "int8":
-                q, s = quantize_rows_int8(rows)
-                self._mesh_dev = (
-                    jax.device_put(q, shard_rows(self.mesh)),
-                    jax.device_put(s, shard_vec(self.mesh)),
+            self._mesh_mask_rows = self._count
+        if self._mesh_code_rows != self._count or not self._mesh_code_blocks:
+            first_dirty = min(self._mesh_code_rows // B, len(self._mesh_code_blocks))
+            del self._mesh_code_blocks[first_dirty:]
+            for b in range(first_dirty, n_blocks):
+                self._mesh_code_blocks.append(
+                    jax.device_put(self._code_block_host(b), shard_vec(self.mesh))
                 )
-            else:
-                dt = np.float32 if self.ann_dtype == "float32" else jnp.bfloat16
-                self._mesh_dev = jax.device_put(rows.astype(dt), shard_rows(self.mesh))
-            self._mesh_rows = self._count
-        return self._mesh_dev
+            self._mesh_code_rows = self._count
+        self.last_mesh_upload_rows = uploaded
 
     def _encode_query(self, q: np.ndarray):
         """FDE-encode one query multivector. For the int8 ANN path the
@@ -418,39 +528,49 @@ class MultiVectorIndex:
     # --- search ------------------------------------------------------------
 
     def _ann_pool(
-        self, qe: np.ndarray, mask: np.ndarray, pool_size: int, unfiltered: bool = False
+        self, qe: np.ndarray, doc_ids: Optional[Sequence[str]], pool_size: int
     ) -> List[int]:
-        """Top-`pool_size` candidate rows by FDE dot product."""
+        """Top-`pool_size` candidate rows by FDE dot product. Filtering
+        (auth doc sets) is gated on device via per-row document codes —
+        a filtered query uploads one O(n_docs) `allowed` vector (the
+        reference's `document_id In [...]` ANN filter,
+        fast_multivector_store.py:526-532)."""
         from morphik_core_tpu.parallel.search import (
-            make_sharded_search,
-            make_sharded_search_q,
+            make_mesh_block_search,
             scan_blocks_topk,
             scan_blocks_topk_q,
-            shard_vec,
         )
 
+        allowed = self._allowed_vec(doc_ids)
+
         if self.mesh is not None:
-            dev = self._mesh_buffer()
-            n_dev = self.mesh.shape["data"]
-            padded = max(-(-self._count // n_dev) * n_dev, n_dev)
-            m = np.zeros(padded, np.float32)
-            m[: self._count] = mask
-            mask_dev = jax.device_put(m, shard_vec(self.mesh))
+            self._ensure_mesh_blocks()
+            B = self._active_block
+            n_blocks = len(self._mesh_blocks)
             # pow-2 bucket the compiled top-k size so corpus growth doesn't
             # recompile the kernel per query; extra candidates are trimmed
-            # by the host-side merge below
-            k = min(_round_capacity(pool_size, minimum=16), padded // n_dev)
+            # by the merge below. k is the PER-DEVICE local top-k.
+            k = min(_round_capacity(pool_size, minimum=16), B // self._mesh_ndev())
+            search = make_mesh_block_search(
+                self.mesh, n_blocks, k, self.ann_dtype == "int8"
+            )
             if self.ann_dtype == "int8":
                 qq, qs = qe  # device (int8 vec, scale) from _encode_query
-                search = make_sharded_search_q(self.mesh, k)
-                scores, idx = search(dev[0], dev[1], mask_dev, qq, qs)
+                scores, idx = search(
+                    qq, qs, allowed,
+                    tuple(b[0] for b in self._mesh_blocks),
+                    tuple(b[1] for b in self._mesh_blocks),
+                    tuple(self._mesh_mask_blocks),
+                    tuple(self._mesh_code_blocks),
+                )
             else:
-                search = make_sharded_search(self.mesh, k)
-                scores, idx = search(dev, jnp.asarray(qe), mask_dev)
+                scores, idx = search(
+                    jnp.asarray(qe), allowed,
+                    tuple(self._mesh_blocks),
+                    tuple(self._mesh_mask_blocks),
+                    tuple(self._mesh_code_blocks),
+                )
             idx, scores = np.asarray(idx), np.asarray(scores)
-            # k is pow-2-bucketed above; trim back to the requested pool
-            # (extra candidates would inflate the rerank gather/transfer
-            # and can push the pool past the HBM cache's slot count)
             out = [int(i) for i, s in zip(idx, scores) if np.isfinite(s) and i < self._count]
             return out[:pool_size]
 
@@ -458,30 +578,23 @@ class MultiVectorIndex:
         # compiled program (one dispatch, one fetch — per-block dispatch
         # pays the host<->device RTT n_blocks times on remote TPUs)
         self._ensure_device_blocks()
-        use_cached_mask = unfiltered
-        if use_cached_mask:
-            self._ensure_mask_blocks()
+        self._ensure_mask_blocks()
+        self._ensure_code_blocks()
         B = self._active_block
         kb = min(_round_capacity(pool_size, minimum=16), B)
-        if use_cached_mask:
-            masks = tuple(self._mask_blocks)
-        else:
-            # one stacked upload for all blocks (a transfer per block
-            # would pay the host link latency n_blocks times)
-            n_blocks = len(self._dev_blocks)
-            m = np.zeros((n_blocks, B), np.float32)
-            flat = mask[: self._count]
-            m.reshape(-1)[: flat.shape[0]] = flat
-            masks = jnp.asarray(m)
+        masks = tuple(self._mask_blocks)
+        codes = tuple(self._code_blocks)
         if self.ann_dtype == "int8":
             q_dev, qs_dev = qe  # device (int8 vec, scale) from _encode_query
             vm, gi = scan_blocks_topk_q(
                 tuple(b[0] for b in self._dev_blocks),
                 tuple(b[1] for b in self._dev_blocks),
-                masks, q_dev, qs_dev, kb, pool_size,
+                masks, codes, allowed, q_dev, qs_dev, kb, pool_size,
             )
         else:
-            vm, gi = scan_blocks_topk(tuple(self._dev_blocks), masks, jnp.asarray(qe), kb, pool_size)
+            vm, gi = scan_blocks_topk(
+                tuple(self._dev_blocks), masks, codes, allowed, jnp.asarray(qe), kb, pool_size
+            )
         vm, gi = np.asarray(vm), np.asarray(gi)
         return [int(g) for g, s in zip(gi, vm) if np.isfinite(s) and g < self._count]
 
@@ -504,12 +617,13 @@ class MultiVectorIndex:
 
             pool_size = min(self.prefilter_multiplier * k, self.prefilter_cap)
             pool_size = min(max(pool_size, k), self._count)
-            mask = self._valid_mask(doc_ids)
-            if not mask.any():
+            if doc_ids is not None:
+                # O(len(doc_ids)) dict lookups — no per-row host work
+                if not any(self._doc_alive.get(d, 0) > 0 for d in doc_ids):
+                    return []
+            elif len(self) == 0:
                 return []
-            pool = self._ann_pool(
-                qe, mask.astype(np.float32), pool_size, unfiltered=doc_ids is None
-            )
+            pool = self._ann_pool(qe, doc_ids, pool_size)
             t2 = time.perf_counter()
             if not pool:
                 return []
@@ -739,11 +853,17 @@ class MultiVectorIndex:
                     if old is not None and self._alive[old]:
                         self._alive[old] = False
                         self._dead += 1
+                        self._doc_alive[rec.document_id] = (
+                            self._doc_alive.get(rec.document_id, 1) - 1
+                        )
                     self.records.append(rec)
                     self._mv_off.append(op["mv_off"])
                     self._alive[row] = True
                     self._id_to_row[sid] = row
                     self._doc_rows.setdefault(rec.document_id, []).append(row)
+                    code = self._doc_index.setdefault(rec.document_id, len(self._doc_index))
+                    self._row_code.append(code)
+                    self._doc_alive[rec.document_id] = self._doc_alive.get(rec.document_id, 0) + 1
                     self._count += 1
                 elif op["op"] == "del_doc":
                     for r in self._doc_rows.pop(op["document_id"], []):
@@ -752,6 +872,7 @@ class MultiVectorIndex:
                             self._dead += 1
                         sid = f"{self.records[r].document_id}-{self.records[r].chunk_number}"
                         self._id_to_row.pop(sid, None)
+                    self._doc_alive.pop(op["document_id"], None)
         self._persisted = self._count
         # truncate orphan bytes (data appended but WAL write crashed) so
         # future appends stay row-aligned
@@ -769,52 +890,69 @@ class MultiVectorIndex:
         self._open_mmaps()
 
     def _load_legacy(self) -> None:
-        """Read the round-1 snapshot layout (meta.json + fde.npy +
-        multivectors/{row}.npy). Dead rows are dropped on the way in
-        (compact-on-migrate); alive rows become a pending tail that the
-        next save() writes in the append-only format."""
+        """Migrate the round-1 snapshot layout (meta.json + fde.npy +
+        multivectors/{row}.npy) to the append-only format by STREAMING
+        rows into a side directory (bounded RAM — one .npy at a time,
+        never the whole corpus), then committing with the same two-phase
+        COMMIT swap compaction uses: a crash mid-migration discards the
+        partial side build and retries from the intact legacy files; the
+        swap itself deletes meta.json/multivectors. Dead rows are dropped
+        on the way in (compact-on-migrate)."""
         with open(self.path / "meta.json") as fh:
             meta = json.load(fh)
-        fde = np.load(self.path / "fde.npy")
+        fde = np.load(self.path / "fde.npy", mmap_mode="r")
         mv_dir = self.path / "multivectors"
-        for i, rm in enumerate(meta["records"]):
-            if not rm.get("alive", True):
-                continue
-            f = mv_dir / f"{i}.npy"
-            mv = np.load(f).astype(self.store_dtype) if f.exists() else np.zeros(
-                (0, self._dim), self.store_dtype
-            )
-            rec = IndexRecord(
-                document_id=rm["document_id"],
-                chunk_number=rm["chunk_number"],
-                metadata=rm["metadata"],
-                content_key=rm.get("content_key"),
-                n_tokens=rm.get("n_tokens", mv.shape[0]),
-            )
-            row = self._count
-            if row >= len(self._alive):
-                a = np.zeros(max(1024, 2 * (row + 1)), dtype=bool)
-                a[: self._count] = self._alive[: self._count]
-                self._alive = a
-            self.records.append(rec)
-            self._mv_off.append(-1)
-            self._mv_pending.append(mv)
-            self._fde_pending.append(np.asarray(fde[i], np.float32))
-            self._alive[row] = True
-            self._id_to_row[f"{rec.document_id}-{rec.chunk_number}"] = row
-            self._doc_rows.setdefault(rec.document_id, []).append(row)
-            self._wal_buffer.append(
-                {
-                    "op": "add",
-                    "document_id": rec.document_id,
-                    "chunk_number": rec.chunk_number,
-                    "metadata": rec.metadata,
-                    "content_key": rec.content_key,
-                    "n_tokens": rec.n_tokens,
-                }
-            )
-            self._count += 1
-        logger.info("migrated legacy snapshot at %s (%d alive rows)", self.path, self._count)
+        tmp = self.path.with_name(self.path.name + ".compact")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        n_alive = 0
+        with open(tmp / "header.json", "w") as fh:
+            json.dump(self._header(), fh)
+        with open(tmp / "fde.bin", "wb") as fde_f, open(tmp / "mv.bin", "wb") as mv_f, open(
+            tmp / "records.jsonl", "w"
+        ) as wal_f:
+            off_tokens = 0
+            for i, rm in enumerate(meta["records"]):
+                if not rm.get("alive", True):
+                    continue
+                f = mv_dir / f"{i}.npy"
+                mv = np.load(f).astype(self.store_dtype) if f.exists() else np.zeros(
+                    (0, self._dim), self.store_dtype
+                )
+                fde_f.write(np.ascontiguousarray(fde[i], dtype=np.float32).tobytes())
+                mv_f.write(np.ascontiguousarray(mv).tobytes())
+                wal_f.write(
+                    json.dumps(
+                        {
+                            "op": "add",
+                            "document_id": rm["document_id"],
+                            "chunk_number": rm["chunk_number"],
+                            "metadata": rm["metadata"],
+                            "content_key": rm.get("content_key"),
+                            # actual stored token count, NOT the metadata
+                            # claim — mv_off accounting depends on it
+                            "n_tokens": int(mv.shape[0]),
+                            "mv_off": off_tokens,
+                        },
+                        default=str,
+                    )
+                    + "\n"
+                )
+                off_tokens += int(mv.shape[0])
+                n_alive += 1
+            for f in (fde_f, mv_f, wal_f):
+                f.flush()
+                os.fsync(f.fileno())
+        with open(tmp / "COMMIT", "w") as fh:
+            fh.flush()
+            os.fsync(fh.fileno())
+        _fsync_dir(tmp)
+        # the swap also removes meta.json + multivectors/ (superseded)
+        self._swap_compact_files(self.path, tmp)
+        (self.path / "fde.npy").unlink(missing_ok=True)
+        logger.info("migrated legacy snapshot at %s (%d alive rows)", self.path, n_alive)
+        self._load()
 
     # ------------------------------------------------------------- compaction
 
@@ -827,60 +965,46 @@ class MultiVectorIndex:
 
     _COMPACT_FILES = ("header.json", "records.jsonl", "fde.bin", "mv.bin")
 
+    COMPACT_BATCH_ROWS = 4096  # streaming-copy granularity (bounds RSS)
+
     def compact(self) -> None:
         """Drop tombstoned rows: rewrite files (if persistent) and rebuild
         in-memory + device state. O(alive rows); amortized by the
         dead-fraction trigger.
 
-        Crash safety (persistent case): the compacted index is built in
-        a SIDE directory by a fresh index object (this object's state is
-        untouched until the build fully succeeds), then committed
-        two-phase — a COMMIT marker makes the per-file os.replace swap
-        resumable by `_recover_compact` on the next load. A failure
-        during the build leaves the live index exactly as it was."""
-        with self._lock:
-            keep = [r for r in range(self._count) if self._alive[r]]
-            new_records = [
-                IndexRecord(
-                    document_id=self.records[r].document_id,
-                    chunk_number=self.records[r].chunk_number,
-                    metadata=self.records[r].metadata,
-                    content_key=self.records[r].content_key,
-                    n_tokens=self.records[r].n_tokens,
-                )
-                for r in keep
-            ]
-            new_mvs = [np.asarray(self._mv_row(r)) for r in keep]
-            new_fde = (
-                np.stack([np.asarray(self._fde_rows(r, r + 1)[0]) for r in keep])
-                if keep else np.zeros((0, self._fde_dim), np.float32)
-            )
+        The persistent path STREAMS alive rows mmap -> side files in
+        COMPACT_BATCH_ROWS chunks, so peak host RSS is bounded by one
+        batch regardless of corpus size (a 1M-page index would otherwise
+        materialize ~60 GB of multivectors + FDE rows in RAM exactly when
+        the dead-fraction trigger fires).
 
+        Crash safety (persistent case): the side directory is fully
+        built first (this object's state untouched until it succeeds),
+        then committed two-phase — a COMMIT marker makes the per-file
+        os.replace swap resumable by `recover_compact` on the next load.
+        A failure during the build leaves the live index exactly as it
+        was."""
+        with self._lock:
             if self.path and self.path.exists():
-                tmp = self.path.with_name(self.path.name + ".compact")
-                if tmp.exists():
-                    shutil.rmtree(tmp)
-                # 1) build the compacted index on the side; any failure
-                #    here leaves the live index untouched
-                side = MultiVectorIndex(
-                    self.fde_config, path=tmp, store_dtype=self.store_dtype,
-                    rerank_dtype=self.rerank_dtype,
-                )
-                side.store(new_mvs, new_records, fde_vectors=new_fde)
-                side.save()
-                # 2) commit marker, made DURABLE before any rename — a
-                #    crash must never see replaced files without the
-                #    marker (recover_compact would discard tmp and leave
-                #    a mixed old/new live dir)
-                marker = tmp / "COMMIT"
-                with open(marker, "w") as fh:
-                    fh.flush()
-                    os.fsync(fh.fileno())
-                _fsync_dir(tmp)
-                self._swap_compact_files(self.path, tmp)
-                # 3) reload this object's state from the new on-disk form
+                kept = self._compact_streaming()
                 self._reload_from_disk()
             else:
+                keep = [r for r in range(self._count) if self._alive[r]]
+                new_records = [
+                    IndexRecord(
+                        document_id=self.records[r].document_id,
+                        chunk_number=self.records[r].chunk_number,
+                        metadata=self.records[r].metadata,
+                        content_key=self.records[r].content_key,
+                        n_tokens=self.records[r].n_tokens,
+                    )
+                    for r in keep
+                ]
+                new_mvs = [np.asarray(self._mv_row(r)) for r in keep]
+                new_fde = (
+                    np.stack([np.asarray(self._fde_rows(r, r + 1)[0]) for r in keep])
+                    if keep else np.zeros((0, self._fde_dim), np.float32)
+                )
                 new_id_to_row: Dict[str, int] = {}
                 new_doc_rows: Dict[str, List[int]] = {}
                 for new_row, rec in enumerate(new_records):
@@ -888,7 +1012,78 @@ class MultiVectorIndex:
                     new_doc_rows.setdefault(rec.document_id, []).append(new_row)
                 self._reset_state(new_records, [f for f in new_fde], new_mvs,
                                   new_id_to_row, new_doc_rows)
-            logger.info("compacted index: %d rows kept", len(new_records))
+                kept = len(new_records)
+            logger.info("compacted index: %d rows kept", kept)
+
+    def _compact_streaming(self) -> int:
+        """Phase 1+2 of a persistent compaction: stream alive rows into a
+        side directory in bounded chunks, then COMMIT + swap. Returns the
+        number of surviving rows. Caller reloads in-memory state."""
+        tmp = self.path.with_name(self.path.name + ".compact")
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        tmp.mkdir(parents=True)
+        kept = 0
+        with open(tmp / "header.json", "w") as fh:
+            json.dump(self._header(), fh)
+        with open(tmp / "fde.bin", "wb") as fde_f, open(tmp / "mv.bin", "wb") as mv_f, open(
+            tmp / "records.jsonl", "w"
+        ) as wal_f:
+            off_tokens = 0
+            batch_fde: List[np.ndarray] = []
+            batch_mv: List[bytes] = []
+            batch_lines: List[str] = []
+
+            def flush_batch() -> None:
+                if batch_fde:
+                    fde_f.write(np.stack(batch_fde).tobytes())
+                if batch_mv:
+                    mv_f.write(b"".join(batch_mv))
+                wal_f.write("".join(line + "\n" for line in batch_lines))
+                batch_fde.clear()
+                batch_mv.clear()
+                batch_lines.clear()
+
+            for r in range(self._count):
+                if not self._alive[r]:
+                    continue
+                rec = self.records[r]
+                mv = np.ascontiguousarray(self._mv_row(r), dtype=self.store_dtype)
+                batch_fde.append(np.asarray(self._fde_rows(r, r + 1)[0], np.float32))
+                batch_mv.append(mv.tobytes())
+                batch_lines.append(
+                    json.dumps(
+                        {
+                            "op": "add",
+                            "document_id": rec.document_id,
+                            "chunk_number": rec.chunk_number,
+                            "metadata": rec.metadata,
+                            "content_key": rec.content_key,
+                            "n_tokens": rec.n_tokens,
+                            "mv_off": off_tokens,
+                        },
+                        default=str,
+                    )
+                )
+                off_tokens += rec.n_tokens
+                kept += 1
+                if len(batch_lines) >= self.COMPACT_BATCH_ROWS:
+                    flush_batch()
+            flush_batch()
+            # side files durable BEFORE the COMMIT marker: recovery
+            # replays the swap assuming their contents are complete
+            for f in (fde_f, mv_f, wal_f):
+                f.flush()
+                os.fsync(f.fileno())
+        # COMMIT marker, made DURABLE before any rename — a crash must
+        # never see replaced files without the marker (recover_compact
+        # would discard tmp and leave a mixed old/new live dir)
+        with open(tmp / "COMMIT", "w") as fh:
+            fh.flush()
+            os.fsync(fh.fileno())
+        _fsync_dir(tmp)
+        self._swap_compact_files(self.path, tmp)
+        return kept
 
     @classmethod
     def _swap_compact_files(cls, path: Path, tmp: Path) -> None:
@@ -930,6 +1125,9 @@ class MultiVectorIndex:
         self._alive = np.zeros(0, dtype=bool)
         self._count = 0
         self._dead = 0
+        self._doc_index = {}
+        self._doc_alive = {}
+        self._row_code = []
         self._persisted = 0
         self._mv_off = []
         self._fde_mm = None
@@ -938,15 +1136,25 @@ class MultiVectorIndex:
         self._mv_pending = []
         self._wal_buffer = []
         self._mv_file_tokens = 0
+        self._reset_device_state()
+        if self._pool_cache is not None:  # row ids were renumbered
+            self._pool_cache.invalidate_all()
+        self._load()
+
+    def _reset_device_state(self) -> None:
         self._dev_blocks = []
         self._dev_rows = 0
         self._mask_blocks = []
         self._mask_rows = 0
-        self._mesh_dev = None
-        self._mesh_rows = -1
-        if self._pool_cache is not None:  # row ids were renumbered
-            self._pool_cache.invalidate_all()
-        self._load()
+        self._code_blocks = []
+        self._code_rows = 0
+        self._allowed_ones = {}
+        self._mesh_blocks = []
+        self._mesh_dev_rows = 0
+        self._mesh_mask_blocks = []
+        self._mesh_mask_rows = 0
+        self._mesh_code_blocks = []
+        self._mesh_code_rows = 0
 
     def _reset_state(self, records, fde_pending, mv_pending, id_to_row, doc_rows) -> None:
         self.records = records
@@ -964,6 +1172,13 @@ class MultiVectorIndex:
         alive = np.zeros(max(1024, 2 * max(self._count, 1)), dtype=bool)
         alive[: self._count] = True
         self._alive = alive
+        self._doc_index = {}
+        self._doc_alive = {}
+        self._row_code = []
+        for rec in records:
+            code = self._doc_index.setdefault(rec.document_id, len(self._doc_index))
+            self._row_code.append(code)
+            self._doc_alive[rec.document_id] = self._doc_alive.get(rec.document_id, 0) + 1
         self._wal_buffer = [
             {
                 "op": "add",
@@ -975,11 +1190,6 @@ class MultiVectorIndex:
             }
             for r in records
         ]
-        self._dev_blocks = []
-        self._dev_rows = 0
-        self._mask_blocks = []
-        self._mask_rows = 0
-        self._mesh_dev = None
-        self._mesh_rows = -1
+        self._reset_device_state()
         if self._pool_cache is not None:  # compaction renumbers rows
             self._pool_cache.invalidate_all()

@@ -7,6 +7,13 @@ with an on-chip design: the FDE matrix lives sharded over the mesh's
 LOCAL top-k, and the per-device candidate lists are merged with one
 small all-gather — O(devices * k) bytes over ICI instead of an
 all-gather of all N scores.
+
+Filtering rides DOCUMENT CODES, not row masks: each row carries an
+int32 code for its document (device-cached, immutable per block), and
+a filtered query uploads one O(n_docs) float gate vector `allowed`
+(the reference pre-filters its ANN with `document_id In [...]`,
+fast_multivector_store.py:526-532). An O(n_rows) mask upload per
+filtered query would cost ~4 MB per 1M rows through a 50 MB/s relay.
 """
 
 from __future__ import annotations
@@ -96,19 +103,25 @@ def make_sharded_search_q(mesh: Mesh, k: int, axis: str = "data"):
     return jax.jit(fn)
 
 
+# ------------------------------------------------- single-chip blocked scans
+
 @functools.partial(jax.jit, static_argnames=("k", "pool"))
-def scan_blocks_topk(blocks, masks, q, k: int, pool: int):
+def scan_blocks_topk(blocks, masks, codes, allowed, q, k: int, pool: int):
     """Fused single-device blocked ANN scan: every block's matvec +
     local top-k AND the global merge run in ONE compiled program (one
-    dispatch + one fetch — per-block dispatches pay the host<->device
+    dispatch, one fetch — per-block dispatches pay the host<->device
     RTT n_blocks times on remote-attached TPUs).
+
     blocks: tuple of (B, D) float/bf16 arrays; masks: tuple of (B,)
-    device-cached masks OR one stacked (n_blocks, B) array (filtered
-    queries upload the whole mask in one transfer)."""
+    device-cached alive masks; codes: tuple of (B,) int32 per-row doc
+    codes (device-cached); allowed: (n_codes_pad,) float32 gate over
+    document codes — filtered queries upload only this O(n_docs)
+    vector, never an O(n_rows) mask."""
     vs, gis = [], []
-    for b, (f, m) in enumerate(zip(blocks, masks)):
+    for b, (f, m, c) in enumerate(zip(blocks, masks, codes)):
         scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
-        scores = jnp.where(m > 0, scores, -jnp.inf)
+        gate = m * allowed[c]
+        scores = jnp.where(gate > 0, scores, -jnp.inf)
         v, i = jax.lax.top_k(scores, k)
         vs.append(v)
         gis.append(i + b * f.shape[0])
@@ -119,15 +132,16 @@ def scan_blocks_topk(blocks, masks, q, k: int, pool: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pool"))
-def scan_blocks_topk_q(blocks, scales, masks, qq, q_scale, k: int, pool: int):
+def scan_blocks_topk_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: int, pool: int):
     """int8 variant of `scan_blocks_topk` (per-row scales; int8 MXU dot)."""
     vs, gis = [], []
-    for b, (fq, s, m) in enumerate(zip(blocks, scales, masks)):
+    for b, (fq, s, m, c) in enumerate(zip(blocks, scales, masks, codes)):
         s32 = jax.lax.dot_general(
             fq, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
         scores = s32.astype(jnp.float32) * s * q_scale
-        scores = jnp.where(m > 0, scores, -jnp.inf)
+        gate = m * allowed[c]
+        scores = jnp.where(gate > 0, scores, -jnp.inf)
         v, i = jax.lax.top_k(scores, k)
         vs.append(v)
         gis.append(i + b * fq.shape[0])
@@ -137,6 +151,95 @@ def scan_blocks_topk_q(blocks, scales, masks, qq, q_scale, k: int, pool: int):
     return vm, gi[sel]
 
 
+# --------------------------------------------------------- mesh blocked path
+
+@functools.lru_cache(maxsize=64)
+def make_mesh_block_search(
+    mesh: Mesh, n_blocks: int, k: int, quantized: bool, axis: str = "data"
+):
+    """Blocked + sharded ANN search over `mesh`: the corpus lives as
+    `n_blocks` immutable row-sharded blocks (the mesh twin of the
+    single-chip `_dev_blocks` layout — an ingest re-uploads only the
+    tail block per shard, not the corpus). Each device scans its local
+    slice of every block, takes a local top-k, and the per-device lists
+    merge with one tiny all-gather over ICI.
+
+    Global row mapping: block b is a (B, D) array row-sharded over
+    `axis`, so device d holds rows [b*B + d*n_local, b*B + (d+1)*n_local)
+    where n_local = B / n_devices.
+
+    Returns a jitted fn:
+      quantized: (qq, qs, allowed, blocks_q8, scales, masks, codes)
+      float:     (q,      allowed, blocks,            masks, codes)
+    -> replicated (top-k scores, global row indices)."""
+    block_spec = tuple(P(axis, None) for _ in range(n_blocks))
+    vec_spec = tuple(P(axis) for _ in range(n_blocks))
+
+    def merge(vs, gis):
+        v = jnp.concatenate(vs)
+        gi = jnp.concatenate(gis)
+        v, sel = jax.lax.top_k(v, k)
+        gi = gi[sel]
+        v_all = jax.lax.all_gather(v, axis).reshape(-1)
+        i_all = jax.lax.all_gather(gi, axis).reshape(-1)
+        vm, im = jax.lax.top_k(v_all, k)
+        return vm, i_all[im]
+
+    if quantized:
+
+        def kernel(qq, qs, allowed, blocks, scales, masks, codes):
+            vs, gis = [], []
+            di = jax.lax.axis_index(axis)
+            ndev = jax.lax.axis_size(axis)
+            for b in range(n_blocks):
+                fq = blocks[b]
+                s32 = jax.lax.dot_general(
+                    fq, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+                )
+                scores = s32.astype(jnp.float32) * scales[b] * qs
+                gate = masks[b] * allowed[codes[b]]
+                scores = jnp.where(gate > 0, scores, -jnp.inf)
+                v, i = jax.lax.top_k(scores, k)
+                n_local = fq.shape[0]
+                vs.append(v)
+                gis.append(i + b * n_local * ndev + di * n_local)
+            return merge(vs, gis)
+
+        fn = jax.shard_map(
+            kernel,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), block_spec, vec_spec, vec_spec, vec_spec),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def kernel_f(q, allowed, blocks, masks, codes):
+        vs, gis = [], []
+        di = jax.lax.axis_index(axis)
+        ndev = jax.lax.axis_size(axis)
+        for b in range(n_blocks):
+            f = blocks[b]
+            scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
+            gate = masks[b] * allowed[codes[b]]
+            scores = jnp.where(gate > 0, scores, -jnp.inf)
+            v, i = jax.lax.top_k(scores, k)
+            n_local = f.shape[0]
+            vs.append(v)
+            gis.append(i + b * n_local * ndev + di * n_local)
+        return merge(vs, gis)
+
+    fn = jax.shard_map(
+        kernel_f,
+        mesh=mesh,
+        in_specs=(P(), P(), block_spec, vec_spec, vec_spec),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+# ------------------------------------------------------------- quantization
 
 @jax.jit
 def quantize_vec_int8(qe):

@@ -161,6 +161,51 @@ def test_compaction_with_zero_survivors(tmp_path):
     assert re.query(np.ones((2, 16), np.float32), k=3) == []
 
 
+def test_streaming_compaction_bounded_rss(tmp_path):
+    """A persistent compaction must STREAM rows mmap -> side files, never
+    materializing the corpus in host RAM (round-2 verdict: the old
+    implementation held every alive multivector + FDE row at once, which
+    at the 1M-page north star is hundreds of GB). 50k rows here carry
+    ~200 MB of payload; the streaming copy must stay under a small
+    multiple of the batch size."""
+    import tracemalloc
+
+    cfg = FDEConfig(dimension=32, num_repetitions=4, num_simhash_projections=3,
+                    projection_dimension=16)  # fde_dim = 4*8*16 = 512
+    path = tmp_path / "big"
+    idx = MultiVectorIndex(cfg, path=path, compact_min_rows=10**9)
+    rng = np.random.default_rng(0)
+    n, tok = 50_000, 32
+    chunk = 5_000  # build in slabs so the TEST itself stays bounded
+    for lo in range(0, n, chunk):
+        mvs = [rng.standard_normal((tok, 32)).astype(np.float32) for _ in range(chunk)]
+        recs = [IndexRecord(document_id=f"d{(lo + i) // 10}", chunk_number=(lo + i) % 10)
+                for i in range(chunk)]
+        fde = rng.standard_normal((chunk, 512)).astype(np.float32)
+        idx.store(mvs, recs, fde_vectors=fde)
+        idx.save()
+    for d in range(0, n // 10, 3):  # kill ~1/3 of documents
+        idx.delete_document(f"d{d}")
+    assert idx.dead_fraction > 0.25
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    idx.compact()
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    alive_payload = len(idx) * tok * 32 * 2 + len(idx) * 512 * 4  # ~170 MB pre-compact
+    budget = 90 * 1024 * 1024  # far below the alive payload; ~2x one 4096-row batch
+    assert peak < budget, f"compaction peak RSS {peak/1e6:.0f} MB exceeds budget (alive payload {alive_payload/1e6:.0f} MB)"
+    assert idx.dead_fraction == 0.0
+
+    # correctness after the streaming rewrite: reload and spot-check
+    re = MultiVectorIndex(cfg, path=path)
+    assert len(re) == len(idx)
+    assert re.get_multivector("d1", 0) is not None
+    assert re.get_multivector("d0", 0) is None  # deleted doc stays gone
+
+
 def test_compaction_preserves_n_tokens():
     """Regression: compaction must carry n_tokens through (a zero value
     breaks the cache's oversized guard and, when later persisted,

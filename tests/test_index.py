@@ -104,6 +104,59 @@ def test_mesh_sharded_query_matches_single(mesh8):
     assert r1 == r2
 
 
+def test_mesh_refresh_is_tail_incremental(mesh8):
+    """Round-2 verdict item: the mesh path used to re-materialize +
+    re-upload the WHOLE corpus on any change. Now it must upload only
+    the dirty tail blocks, like the single-chip path."""
+    rng = np.random.default_rng(7)
+    _, mvs, _ = _corpus(rng, 48)
+    idx = MultiVectorIndex(CFG, mesh=mesh8, device_block_rows=16)
+    _fill(idx, mvs[:32])
+    idx.query(mvs[0][:4], k=4)
+    assert idx.last_mesh_upload_rows == 32  # cold: everything uploads
+    idx.query(mvs[1][:4], k=4)
+    assert idx.last_mesh_upload_rows == 0  # warm: nothing re-uploads
+    # ingest a tail -> only blocks covering the tail re-upload
+    recs = [IndexRecord(document_id=f"tail{i}", chunk_number=0) for i in range(16)]
+    idx.store(mvs[32:48], recs)
+    idx.query(mvs[2][:4], k=4)
+    assert 0 < idx.last_mesh_upload_rows <= 16 + 16  # tail + one partial block
+    assert len(idx) == 48
+
+
+def test_mesh_filtered_query_matches_single(mesh8):
+    rng = np.random.default_rng(8)
+    concepts, mvs, topics = _corpus(rng, 40)
+    idx_single = MultiVectorIndex(CFG)
+    idx_mesh = MultiVectorIndex(CFG, mesh=mesh8)
+    _fill(idx_single, mvs)
+    _fill(idx_mesh, mvs)
+    q = concepts[topics[9]]
+    allowed = [f"doc{i}" for i in range(0, 40, 2)]
+    r1 = [(r.document_id, round(s, 3)) for r, s in idx_single.query(q, k=6, doc_ids=allowed)]
+    r2 = [(r.document_id, round(s, 3)) for r, s in idx_mesh.query(q, k=6, doc_ids=allowed)]
+    assert r1 == r2
+    assert all(d in allowed for d, _ in r1)
+
+
+def test_filtered_query_upload_is_o_docs():
+    """A filtered query must upload an O(n_docs) code-gate vector, not
+    an O(n_rows) mask (round-2 verdict: 1M rows = ~4 MB per filtered
+    query through the relay)."""
+    rng = np.random.default_rng(9)
+    _, mvs, _ = _corpus(rng, 200)
+    idx = MultiVectorIndex(CFG)
+    # 200 rows but only 10 documents (20 chunks each)
+    recs = [IndexRecord(document_id=f"doc{i // 20}", chunk_number=i % 20) for i in range(200)]
+    idx.store(mvs, recs)
+    idx.query(mvs[0][:4], k=3)
+    assert idx.last_filter_upload_floats == 0  # unfiltered: cached device ones
+    res = idx.query(mvs[0][:4], k=3, doc_ids=["doc1", "doc3"])
+    assert res and all(r.document_id in ("doc1", "doc3") for r, _ in res)
+    # pad bucket is pow2(max(n_docs,256)) -- far below the 200-row corpus scale
+    assert idx.last_filter_upload_floats == 256
+
+
 def test_get_chunks_by_id():
     rng = np.random.default_rng(5)
     _, mvs, _ = _corpus(rng, 5)

@@ -55,7 +55,15 @@ def server_url(tmp_path_factory):
             break
         time.sleep(0.1)
     yield f"http://127.0.0.1:{srv_holder['srv'].port}"
+
+    async def _teardown():
+        await srv_holder["srv"].stop()
+        await services.shutdown()
+
+    asyncio.run_coroutine_threadsafe(_teardown(), loop).result(timeout=30)
     loop.call_soon_threadsafe(loop.stop)
+    t.join(timeout=10)
+    loop.close()
 
 
 def test_sdk_end_to_end(server_url):
