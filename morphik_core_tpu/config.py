@@ -190,6 +190,12 @@ class VectorStoreConfig(BaseModel):
     # half the pool transfer + 2x the cache capacity + int8 MXU rate;
     # still 8x the precision of the reference's 1-bit postgres rerank).
     rerank_dtype: Literal["bf16", "int8"] = "bf16"
+    # Cold-pool transfer diet: pools that miss the HBM cache first go
+    # through an int8 token-POOLED prefilter (upload bytes / factor);
+    # only the top max(2k, 16) rows then get the exact full-token
+    # rerank. 0/1 = off. Factor 4 cuts the cold 75-candidate pool
+    # upload ~4x with the winner still decided by exact MaxSim.
+    rerank_prefilter_pooling: int = 4
 
 
 class WorkerConfig(BaseModel):

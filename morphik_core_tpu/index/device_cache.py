@@ -120,6 +120,12 @@ class DevicePoolCache:
 
     # ------------------------------------------------------------- state
 
+    def resident(self, rows: Sequence[int]) -> bool:
+        """True when every row is already cached (a fully-warm pool can
+        skip the pooled prefilter and score on device with zero
+        transfer)."""
+        return all(r in self._row_to_slot for r in rows)
+
     def invalidate(self, row: int) -> None:
         slot = self._row_to_slot.pop(row, None)
         if slot is not None:

@@ -111,6 +111,7 @@ class MultiVectorIndex:
         device_cache_slots: int = 0,
         device_cache_token_bucket: int = 1024,
         rerank_dtype: str = "bf16",  # "bf16" | "int8" (per-token scales)
+        rerank_prefilter_pooling: int = 0,  # 0/1 = off; p>1 = pooled first pass
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
@@ -183,9 +184,17 @@ class MultiVectorIndex:
         self._cache_slots = int(device_cache_slots)
         self._cache_bucket = int(device_cache_token_bucket)
         self._pool_cache = None
+        self._pooled_cache = None  # pooled-prefilter HBM tier (lazy)
         if rerank_dtype not in ("bf16", "int8"):
             raise ValueError(f"unknown rerank_dtype {rerank_dtype!r}")
         self.rerank_dtype = rerank_dtype
+        # Cold-pool transfer diet: when the pool is not HBM-cache-resident,
+        # an int8 token-POOLED first pass (bytes / pooling factor) ranks
+        # the pool and only the top ~2k rows get the full-token exact
+        # rerank. The reference's analogue is rerank-pool truncation
+        # (min(10k, 75), fast_multivector_store.py:529-532); pooling
+        # semantics per PAPERS.md training-free token pooling.
+        self.rerank_prefilter_pooling = int(rerank_prefilter_pooling)
 
         if self.path:
             # finish or discard an interrupted compaction before loading
@@ -194,6 +203,20 @@ class MultiVectorIndex:
             (self.path / "records.jsonl").exists() or (self.path / "meta.json").exists()
         ):
             self._load()
+
+    # ----------------------------------------------------------- cache helpers
+
+    def _invalidate_row_caches(self, row: int) -> None:
+        if self._pool_cache is not None:
+            self._pool_cache.invalidate(row)
+        if self._pooled_cache is not None:
+            self._pooled_cache.invalidate(row)
+
+    def _invalidate_all_caches(self) -> None:
+        if self._pool_cache is not None:
+            self._pool_cache.invalidate_all()
+        if self._pooled_cache is not None:
+            self._pooled_cache.invalidate_all()
 
     # ------------------------------------------------------------------ size
 
@@ -242,8 +265,7 @@ class MultiVectorIndex:
                     # unfiltered ANN query keeps serving the dead row
                     self._mask_rows = min(self._mask_rows, old)
                     self._mesh_mask_rows = min(self._mesh_mask_rows, old)
-                    if self._pool_cache is not None:
-                        self._pool_cache.invalidate(old)
+                    self._invalidate_row_caches(old)
                 row = self._count
                 mv = np.ascontiguousarray(mv, dtype=self.store_dtype)
                 rec.n_tokens = int(mv.shape[0])
@@ -291,8 +313,7 @@ class MultiVectorIndex:
                     n += 1
                     self._mask_rows = min(self._mask_rows, r)
                     self._mesh_mask_rows = min(self._mesh_mask_rows, r)
-                    if self._pool_cache is not None:
-                        self._pool_cache.invalidate(r)
+                    self._invalidate_row_caches(r)
                 sid = f"{self.records[r].document_id}-{self.records[r].chunk_number}"
                 self._id_to_row.pop(sid, None)
             if n:
@@ -630,12 +651,23 @@ class MultiVectorIndex:
 
             # exact rerank of the pool. Hot candidates come from the HBM
             # LRU (insert-on-miss, device gather — zero bulk transfer on
-            # warm queries); the fallback path gathers from mmap/pending
-            # and uploads 16-bit (halves the transfer vs f32; the
-            # f16->bf16 rounding adds at most 2^-8 relative on top of the
-            # f16 store quantization — orders of magnitude below MaxSim
-            # ranking margins).
+            # warm queries). A COLD pool first goes through an int8
+            # token-POOLED prefilter (transfer / pooling factor) that
+            # narrows it to max(2k, 16) rows before the full-token exact
+            # rerank — only those rows pay the full upload / cache slots.
+            # The fallback exact path uploads 16-bit (halves the transfer
+            # vs f32; f16->bf16 rounding is orders of magnitude below
+            # MaxSim ranking margins).
             rescores = None
+            resident = (
+                self._cache_slots > 0
+                and self._pool_cache is not None
+                and self._pool_cache.resident(pool)
+            )
+            p = self.rerank_prefilter_pooling
+            rescore_n = max(2 * k, 16)
+            if not resident and p > 1 and len(pool) > rescore_n:
+                pool = self._pooled_prefilter(pool, q, rescore_n, p)
             if self._cache_slots > 0:
                 rescores = self._pool_scores_cached(pool, q)
             if rescores is None:
@@ -673,6 +705,45 @@ class MultiVectorIndex:
                     (t1 - t0) * 1e3, (t2 - t1) * 1e3, (t3 - t2) * 1e3, len(pool),
                 )
             return [(self.records[pool[i]], float(rescores[i])) for i in order]
+
+    def _pooled_prefilter(self, pool: List[int], q: np.ndarray, m: int, factor: int) -> List[int]:
+        """Rank `pool` by MaxSim over token-POOLED int8 candidates and
+        return the top `m` rows (order preserved by score). A cold pool
+        uploads 1/factor of the full-token bytes; with the HBM cache
+        enabled, pooled rows get their own small cache tier
+        (token_bucket/factor int8 slots), so REPEATED queries run the
+        pooled pass with zero bulk transfer. The survivors then get the
+        exact full-token rerank."""
+        from morphik_core_tpu.ops.pooling import pool_multivector, pooled_token_count
+
+        def fetch_pooled(r: int) -> np.ndarray:
+            return pool_multivector(np.asarray(self._mv_row(r), np.float32), factor)
+
+        scores = None
+        if self._cache_slots > 0 and len(pool) <= self._cache_slots:
+            if self._pooled_cache is None:
+                from morphik_core_tpu.index.device_cache import DevicePoolCache
+
+                pooled_max = -(-self._cache_bucket // factor)  # ceil
+                bucket = max(8, -(-pooled_max // 8) * 8)  # round up to 8
+                self._pooled_cache = DevicePoolCache(
+                    self._cache_slots, bucket, self._dim, quantized=True
+                )
+            scores = self._pooled_cache.score(
+                pool, q,
+                fetch_row=fetch_pooled,
+                n_tokens=lambda r: pooled_token_count(self.records[r].n_tokens, factor),
+                use_pallas=self.use_pallas,
+            )
+        if scores is None:
+            from morphik_core_tpu.ops.maxsim import maxsim_scores_q8, quantize_pool_int8
+
+            d8, ds, dmask = quantize_pool_int8([fetch_pooled(r) for r in pool])
+            scores = np.asarray(
+                maxsim_scores_q8(q, d8, ds, dmask, use_pallas=self.use_pallas)
+            )
+        order = np.argsort(-scores)[: min(m, len(pool))]
+        return [pool[i] for i in order]
 
     def _pool_scores_cached(self, pool: List[int], q: np.ndarray) -> Optional[np.ndarray]:
         """MaxSim scores via the HBM candidate cache; None -> fall back
@@ -1137,8 +1208,7 @@ class MultiVectorIndex:
         self._wal_buffer = []
         self._mv_file_tokens = 0
         self._reset_device_state()
-        if self._pool_cache is not None:  # row ids were renumbered
-            self._pool_cache.invalidate_all()
+        self._invalidate_all_caches()  # row ids were renumbered
         self._load()
 
     def _reset_device_state(self) -> None:
@@ -1191,5 +1261,4 @@ class MultiVectorIndex:
             for r in records
         ]
         self._reset_device_state()
-        if self._pool_cache is not None:  # compaction renumbers rows
-            self._pool_cache.invalidate_all()
+        self._invalidate_all_caches()  # compaction renumbers rows

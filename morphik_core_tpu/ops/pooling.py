@@ -17,6 +17,13 @@ from __future__ import annotations
 import numpy as np
 
 
+def pooled_token_count(n_tokens: int, factor: int) -> int:
+    """Token count `pool_multivector` produces for an (n_tokens, d) input."""
+    if factor <= 1 or n_tokens <= factor:
+        return n_tokens
+    return -(-n_tokens // factor)
+
+
 def pool_multivector(mv: np.ndarray, factor: int) -> np.ndarray:
     """(n_tokens, d) -> (ceil(n/factor), d): mean over consecutive groups
     of `factor` tokens, then L2-renormalized (MaxSim expects unit rows)."""

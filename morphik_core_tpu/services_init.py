@@ -243,6 +243,7 @@ def build_services(
             device_cache_slots=settings.vector_store.device_cache_slots,
             device_cache_token_bucket=settings.vector_store.device_cache_token_bucket,
             rerank_dtype=settings.vector_store.rerank_dtype,
+            rerank_prefilter_pooling=settings.vector_store.rerank_prefilter_pooling,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

@@ -59,6 +59,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         device_cache_slots: int = 0,
         device_cache_token_bucket: int = 1024,
         rerank_dtype: str = "bf16",
+        rerank_prefilter_pooling: int = 0,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -77,6 +78,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.device_cache_slots = device_cache_slots
         self.device_cache_token_bucket = device_cache_token_bucket
         self.rerank_dtype = rerank_dtype
+        self.rerank_prefilter_pooling = rerank_prefilter_pooling
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -106,6 +108,7 @@ class TPUMultiVectorStore(BaseVectorStore):
                     device_cache_slots=self.device_cache_slots,
                     device_cache_token_bucket=self.device_cache_token_bucket,
                     rerank_dtype=self.rerank_dtype,
+                    rerank_prefilter_pooling=self.rerank_prefilter_pooling,
                 )
         return self._indexes[ns]
 

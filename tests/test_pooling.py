@@ -53,3 +53,51 @@ def test_pooled_store_retrieval_quality(tmp_path):
     for i, mv in enumerate(mvs):
         res = loop.run_until_complete(store.query_similar(mv, k=1))
         assert res[0].document_id == f"d{i}"
+
+
+def test_pooled_prefilter_rerank_matches_exact():
+    """Cold-pool transfer diet (round-3): with rerank_prefilter_pooling
+    the pool is first ranked over int8 token-POOLED candidates, and only
+    max(2k,16) survivors get the exact full-token rerank. Top-k must
+    match the always-exact path on a clustered corpus, and repeated
+    queries must serve the pooled pass from its HBM tier (zero misses)."""
+    from morphik_core_tpu.index.multivector_index import IndexRecord, MultiVectorIndex
+    from morphik_core_tpu.ops.fde import FDEConfig
+
+    CFG = FDEConfig(dimension=32, num_repetitions=8, num_simhash_projections=4,
+                    projection_dimension=8)
+    rng = np.random.default_rng(0)
+    concepts = rng.standard_normal((100, 32)).astype(np.float32)
+    concepts /= np.linalg.norm(concepts, axis=1, keepdims=True)
+    mvs, topics = [], []
+    for _ in range(120):
+        t = rng.choice(100, 3, replace=False)
+        x = concepts[rng.choice(t, rng.integers(16, 40))]
+        x = x + 0.1 * rng.standard_normal(x.shape).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        mvs.append(x.astype(np.float32))
+        topics.append(t)
+
+    def recs():
+        return [IndexRecord(document_id=f"doc{i}", chunk_number=0) for i in range(120)]
+
+    exact = MultiVectorIndex(CFG)
+    pooled = MultiVectorIndex(CFG, rerank_prefilter_pooling=4,
+                              device_cache_slots=128, device_cache_token_bucket=64)
+    exact.store(mvs, recs())
+    pooled.store(mvs, recs())
+    agree = 0
+    for qi in range(20):
+        q = concepts[topics[qi]]
+        r1 = [r.document_id for r, _ in exact.query(q, k=3)]
+        r2 = [r.document_id for r, _ in pooled.query(q, k=3)]
+        agree += r1 == r2
+    assert agree >= 18, f"pooled-prefilter top-3 agreed on only {agree}/20 queries"
+
+    # warm path: identical query again -> pooled tier serves every row
+    q = concepts[topics[0]]
+    pooled.query(q, k=3)
+    h0, m0 = pooled._pooled_cache.hits, pooled._pooled_cache.misses
+    pooled.query(q, k=3)
+    assert pooled._pooled_cache.misses == m0  # zero new misses
+    assert pooled._pooled_cache.hits > h0
