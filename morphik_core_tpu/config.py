@@ -115,6 +115,10 @@ class ParserConfig(BaseModel):
     ocr_mode: str = "none"
     ocr_api_endpoint: Optional[str] = None
     ocr_api_key: Optional[str] = None  # env MORPHIK_OCR_API_KEY
+    # Ask the OCR api for table structure (?tables=true); returned
+    # markdown tables merge into searchable chunks (reference deep parse
+    # runs accurate TableFormer table structure, morphik_parser.py:552-582).
+    ocr_tables: bool = True
     # Video transcription provider (reference: AssemblyAI,
     # parse_video.py:162-253). Any OpenAI-compatible
     # /audio/transcriptions endpoint (whisper servers, hosted APIs);

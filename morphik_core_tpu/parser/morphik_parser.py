@@ -219,9 +219,26 @@ class MorphikParser:
             images = [_Image.open(_io.BytesIO(file)).convert("RGB")]
         if not images:
             return {}, ""
-        texts = await self.ocr_engine.images_to_text(images)
-        text = "\n\n".join(t for t in texts if t and t.strip())
-        return ({"ocr_pages": len(images)} if text else {}), clean_control_chars(text)
+        pages = await self.ocr_engine.images_to_structured(images)
+        parts, n_tables = [], 0
+        for pg in pages:
+            seg = [pg.get("text", "").strip()]
+            tables = [t.strip() for t in pg.get("tables", []) if t and t.strip()]
+            n_tables += len(tables)
+            # markdown tables become part of the page text so the
+            # splitter produces searchable table chunks (reference deep
+            # parse merges TableFormer output the same way)
+            seg.extend(tables)
+            seg = [s for s in seg if s]
+            if seg:
+                parts.append("\n\n".join(seg))
+        text = "\n\n".join(parts)
+        meta: Dict[str, Any] = {}
+        if text:
+            meta["ocr_pages"] = len(images)
+            if n_tables:
+                meta["ocr_tables"] = n_tables
+        return meta, clean_control_chars(text)
 
     async def _parse_video(self, file: bytes) -> Tuple[Dict[str, Any], str]:
         from morphik_core_tpu.parser.video_parser import OpenAITranscriptionClient, VideoParser

@@ -35,6 +35,16 @@ class BaseOCR:
     async def images_to_text(self, images: List[Image.Image]) -> List[str]:
         return [await self.image_to_text(im) for im in images]
 
+    async def image_to_structured(self, image: Image.Image) -> dict:
+        """Text + extracted tables for one page. Engines without table
+        structure return {"text": ..., "tables": []} (the reference's
+        deep parse enables accurate TableFormer table structure,
+        core/parser/morphik_parser.py:552-582)."""
+        return {"text": await self.image_to_text(image), "tables": []}
+
+    async def images_to_structured(self, images: List[Image.Image]) -> List[dict]:
+        return [await self.image_to_structured(im) for im in images]
+
 
 class CallableOCR(BaseOCR):
     def __init__(self, fn: Callable[[Image.Image], str]):
@@ -49,26 +59,45 @@ class CallableOCR(BaseOCR):
 
 class ApiOCR(BaseOCR):
     """POST PNG bytes to `{endpoint}` (multipart-free: raw body,
-    Content-Type image/png); expects JSON {"text": "..."}."""
+    Content-Type image/png); expects JSON {"text": "..."}. With
+    `tables=True` the request carries ?tables=true and the endpoint may
+    additionally return {"tables": ["| markdown | table |", ...]} —
+    merged into searchable chunks by the deep-parse rung."""
 
-    def __init__(self, endpoint: str, api_key: Optional[str] = None, timeout_s: float = 120.0):
+    def __init__(
+        self,
+        endpoint: str,
+        api_key: Optional[str] = None,
+        timeout_s: float = 120.0,
+        tables: bool = False,
+    ):
         self.endpoint = endpoint.rstrip("/")
         self.api_key = api_key
         self.timeout_s = timeout_s
+        self.tables = bool(tables)
 
-    def _post_sync(self, png: bytes) -> str:
+    def _post_sync(self, png: bytes) -> dict:
         headers = {"Content-Type": "image/png"}
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"
-        req = urllib.request.Request(self.endpoint, data=png, headers=headers)
+        url = self.endpoint + ("?tables=true" if self.tables else "")
+        req = urllib.request.Request(url, data=png, headers=headers)
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             payload = json.loads(resp.read().decode())
-        return payload.get("text", "")
+        if not isinstance(payload, dict):
+            return {"text": "", "tables": []}
+        tables = payload.get("tables") or []
+        if not isinstance(tables, list):
+            tables = []
+        return {"text": payload.get("text", "") or "", "tables": [str(t) for t in tables]}
 
-    async def image_to_text(self, image: Image.Image) -> str:
+    async def image_to_structured(self, image: Image.Image) -> dict:
         buf = io.BytesIO()
         image.save(buf, format="PNG")
         return await asyncio.to_thread(self._post_sync, buf.getvalue())
+
+    async def image_to_text(self, image: Image.Image) -> str:
+        return (await self.image_to_structured(image))["text"]
 
 
 class TesseractOCR(BaseOCR):  # pragma: no cover - engine not in this image
@@ -93,7 +122,11 @@ def get_ocr_engine(settings) -> Optional[BaseOCR]:
         if not ep:
             logger.warning("ocr_mode=api but no ocr_api_endpoint configured — OCR disabled")
             return None
-        return ApiOCR(ep, api_key=getattr(settings.parser, "ocr_api_key", None))
+        return ApiOCR(
+            ep,
+            api_key=getattr(settings.parser, "ocr_api_key", None),
+            tables=getattr(settings.parser, "ocr_tables", True),
+        )
     if mode in ("auto", "tesseract"):
         try:
             return TesseractOCR()
