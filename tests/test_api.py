@@ -654,7 +654,10 @@ def test_console_served(server):
     body = r.text
     for marker in ("Morphik", 'data-tab="documents"', 'data-tab="search"',
                    'data-tab="chat"', 'data-tab="folders"', "/retrieve/chunks",
-                   "/ingest/file", "stream_response"):
+                   "/ingest/file", "stream_response",
+                   # round-3: PDF page viewer + connector management
+                   'data-tab="connectors"', "/documents/pages", "auth_status",
+                   "viewercard", "/ingest'", "disconnect"):
         assert marker in body, marker
 
 
