@@ -1,0 +1,331 @@
+#!/usr/bin/env python3
+"""int8 serving-mode fidelity gate (round-3 verdict item 1).
+
+Two measurements, neither needing a real checkpoint:
+
+A. bf16 <-> int8 RANKING AGREEMENT on real model geometry. The same
+   random bf16 weights serve a page corpus twice — once in bf16, once
+   in W8A8 int8 (`model.matmul_precision="int8"`) — and every query
+   runs through the FULL production retrieval stack on both sides
+   (FDE -> int8 ANN -> pooled int8 prefilter -> exact int8 MaxSim
+   rerank). Reported: top-1 match rate, top-k Jaccard overlap, and
+   Kendall tau over the common top-10. This is the evidence the int8
+   default rests on: if W8A8 perturbed rankings, it would show here
+   (random weights are a FAIR fidelity probe — quantization error is a
+   property of the numerics, not of what the weights were trained on).
+   Exact-rerank semantics being compared: reference
+   core/vector_store/fast_multivector_store.py:553-557.
+
+B. FDE + int8-index RECALL AT SCALE: recall@75 of the exact-MaxSim
+   top-10 over >=100k clustered synthetic rows (scaled-up
+   tests/test_fde.py:85, now including the int8 row quantization the
+   production index applies).
+
+Usage:
+    python evaluations/fidelity_eval.py [--small] [--out FID.json] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def render_page(seed: int, w=560, h=720):
+    from PIL import Image, ImageDraw
+
+    r = np.random.default_rng(seed)
+    vocab = (
+        "alpha bridge casing dynamo ember flux gasket helix ion joule kelvin "
+        "lumen motor nacelle orbit piston quartz rotor stator torque"
+    ).split()
+    img = Image.new("RGB", (w, h), "white")
+    d = ImageDraw.Draw(img)
+    y = 10
+    while y < h - 24:
+        d.text((int(r.integers(6, 80)), y), " ".join(r.choice(vocab, r.integers(3, 10))), fill="black")
+        y += int(r.integers(14, 24))
+    return img
+
+
+def perturbed(img, seed: int):
+    from PIL import Image
+
+    r = np.random.default_rng(seed)
+    a = np.asarray(img.convert("RGB"), np.float32) + r.normal(0, 20, np.asarray(img).shape)
+    buf = io.BytesIO()
+    Image.fromarray(np.clip(a, 0, 255).astype(np.uint8)).save(buf, "JPEG", quality=30)
+    return Image.open(buf).convert("RGB")
+
+
+def kendall_tau(rank_a, rank_b) -> float:
+    """Tau over items common to both rankings (lists of ids)."""
+    common = [x for x in rank_a if x in set(rank_b)]
+    if len(common) < 2:
+        return 1.0
+    pos_b = {x: i for i, x in enumerate(rank_b)}
+    conc = disc = 0
+    for i in range(len(common)):
+        for j in range(i + 1, len(common)):
+            if pos_b[common[i]] < pos_b[common[j]]:
+                conc += 1
+            else:
+                disc += 1
+    return (conc - disc) / max(conc + disc, 1)
+
+
+def part_a_ranking_agreement(small: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.embedding.colpali_embedding_model import ColpaliEmbeddingModel
+    from morphik_core_tpu.index.multivector_index import IndexRecord, MultiVectorIndex
+    from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+    from morphik_core_tpu.models.colqwen.model import init_colqwen_params
+    from morphik_core_tpu.ops.fde import FDEConfig
+
+    cfg = ColQwenConfig.tiny() if small else ColQwenConfig()
+    n_pages, n_queries = (24, 8) if small else (240, 30)
+    settings = Settings.model_validate({})
+
+    t0 = time.time()
+    params = jax.jit(lambda k: init_colqwen_params(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    pages = [render_page(s) for s in range(n_pages)]
+    queries = [perturbed(pages[i * (n_pages // n_queries)], 1000 + i) for i in range(n_queries)]
+    gold = [i * (n_pages // n_queries) for i in range(n_queries)]
+
+    def production_index(dim: int) -> MultiVectorIndex:
+        # the full default serving config: int8 ANN + pooled int8
+        # prefilter + exact int8 rerank + HBM cache
+        return MultiVectorIndex(
+            FDEConfig(dimension=dim),
+            ann_dtype="int8", rerank_dtype="int8", rerank_prefilter_pooling=4,
+            device_cache_slots=256, device_cache_token_bucket=2048,
+        )
+
+    results = {}
+    rankings = {}
+    score_mats = {}
+    for mode in ("bf16", "int8"):
+        model = ColQwenModel(cfg, params, matmul_precision=mode)
+        emb = ColpaliEmbeddingModel(settings, model=model)
+        t1 = time.time()
+        page_embs = emb.embed_images(pages)
+        q_embs = emb.embed_images(queries)
+        embed_s = time.time() - t1
+        index = production_index(cfg.embedding_dim)
+        index.store(
+            [np.asarray(e, np.float32) for e in page_embs],
+            [IndexRecord(document_id=f"p{i}", chunk_number=0) for i in range(n_pages)],
+        )
+        ranked = []
+        for qe in q_embs:
+            hits = index.query(np.asarray(qe, np.float32), k=10)
+            ranked.append([r.document_id for r, _ in hits])
+        rankings[mode] = ranked
+        # full exact-score matrix through the production int8 rerank
+        # kernel (tie-robust fidelity signal: Pearson over scores)
+        from morphik_core_tpu.ops.maxsim import maxsim_scores_q8, quantize_pool_int8
+
+        d8, ds, dm = quantize_pool_int8([np.asarray(e, np.float32) for e in page_embs])
+        d8, ds, dm = jnp.asarray(d8), jnp.asarray(ds), jnp.asarray(dm)
+        score_mats[mode] = np.stack(
+            [np.asarray(maxsim_scores_q8(np.asarray(qe, np.float32), d8, ds, dm))
+             for qe in q_embs]
+        )
+        results[f"{mode}_embed_s"] = round(embed_s, 1)
+        results[f"{mode}_self_recall_at_1"] = sum(
+            1 for g, r in zip(gold, ranked) if r and r[0] == f"p{g}"
+        ) / n_queries
+        del emb, index
+        if mode == "bf16":
+            del model  # free the bf16 compiled programs before quantizing
+
+    top1, j1, j4, j10, taus = [], [], [], [], []
+    for ra, rb in zip(rankings["bf16"], rankings["int8"]):
+        top1.append(1.0 if (ra and rb and ra[0] == rb[0]) else 0.0)
+
+        def jac(k):
+            A, B = set(ra[:k]), set(rb[:k])
+            return len(A & B) / max(len(A | B), 1)
+
+        j1.append(jac(1)); j4.append(jac(4)); j10.append(jac(10))
+        taus.append(kendall_tau(ra, rb))
+    # per-query Pearson over the full exact-score vectors: robust to
+    # near-tie tail-rank churn that makes jaccard/tau pessimistic on
+    # random-feature corpora
+    pearsons = []
+    for qi in range(len(rankings["bf16"])):
+        a_s, b_s = score_mats["bf16"][qi], score_mats["int8"][qi]
+        a_c, b_c = a_s - a_s.mean(), b_s - b_s.mean()
+        denom = np.linalg.norm(a_c) * np.linalg.norm(b_c)
+        pearsons.append(float(a_c @ b_c / denom) if denom > 0 else 1.0)
+    n = max(len(top1), 1)
+    results.update(
+        geometry="tiny" if small else "3b",
+        n_pages=n_pages, n_queries=n_queries,
+        top1_match=sum(top1) / n,
+        jaccard_at_1=sum(j1) / n, jaccard_at_4=sum(j4) / n, jaccard_at_10=sum(j10) / n,
+        kendall_tau_top10=sum(taus) / n,
+        score_pearson=sum(pearsons) / n,
+        total_s=round(time.time() - t0, 1),
+    )
+    return results
+
+
+def part_b_fde_recall_at_scale(small: bool) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.ops.fde import FDEConfig, fde_document_batch, fde_query
+    from morphik_core_tpu.parallel.search import quantize_rows_int8, quantize_vec_int8
+
+    cfg = FDEConfig()
+    n_docs, n_tok, n_queries = (2_000, 32, 8) if small else (100_000, 32, 16)
+    n_relevant = 10  # planted relevant docs per query
+    n_qtok = 8
+    d = cfg.dimension
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+
+    # clustered corpus, fully vectorized (tests/test_fde.py's generator
+    # scaled up): 512 unit concepts; each doc draws tokens from its own
+    # 4-topic subset. Each query PLANTS a cluster of `n_relevant` docs
+    # sharing its exact topic set — the docs with real score margins the
+    # production pool must capture (rank-10..100 of a synthetic corpus
+    # are accidental near-ties that exact-rerank semantics don't order).
+    n_concepts = 512
+    concepts = rng.standard_normal((n_concepts, d)).astype(np.float32)
+    concepts /= np.linalg.norm(concepts, axis=1, keepdims=True)
+    doc_topics = rng.random((n_docs, n_concepts)).argsort(axis=1)[:, :4].astype(np.int32)
+    q_topics = np.stack([rng.choice(n_concepts, 4, replace=False) for _ in range(n_queries)])
+    for qi in range(n_queries):
+        doc_topics[qi * n_relevant : (qi + 1) * n_relevant] = q_topics[qi]
+    ids = doc_topics[np.arange(n_docs)[:, None], rng.integers(0, 4, (n_docs, n_tok))]
+    docs = concepts[ids] + 0.15 * rng.standard_normal((n_docs, n_tok, d)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=2, keepdims=True)
+
+    queries = []
+    for qi in range(n_queries):
+        qids = q_topics[qi][rng.integers(0, 4, n_qtok)]
+        q = concepts[qids] + 0.15 * rng.standard_normal((n_qtok, d)).astype(np.float32)
+        queries.append(q / np.linalg.norm(q, axis=1, keepdims=True))
+
+    # exact chamfer ground truth on device, chunked over docs, f32 at
+    # HIGHEST precision (bf16 ground truth would scramble fine margins)
+    @jax.jit
+    def chamfer_chunk(dchunk, q):
+        sim = jnp.einsum("qd,cnd->cqn", q, dchunk, precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(jnp.max(sim, axis=-1), axis=-1)
+
+    chunk = 8_192
+    exact = np.zeros((n_queries, n_docs), np.float32)
+    for lo in range(0, n_docs, chunk):
+        dchunk = jnp.asarray(docs[lo : lo + chunk])
+        for qi, q in enumerate(queries):
+            exact[qi, lo : lo + dchunk.shape[0]] = np.asarray(
+                chamfer_chunk(dchunk, jnp.asarray(q))
+            )
+    exact_s = time.time() - t0
+
+    # FDE encode all docs (batched device transform) + int8 quantize
+    t1 = time.time()
+    fde_rows = np.zeros((n_docs, cfg.fde_dim), np.float32)
+    bsz = 1_024
+    mask = jnp.ones((bsz, n_tok), jnp.float32)
+    for lo in range(0, n_docs, bsz):
+        x = docs[lo : lo + bsz]
+        m = mask[: x.shape[0]]
+        fde_rows[lo : lo + x.shape[0]] = np.asarray(
+            fde_document_batch(jnp.asarray(x), m, cfg)
+        )
+    q8, scales = quantize_rows_int8(fde_rows)  # the production index's storage
+    q8_dev, scales_dev = jnp.asarray(q8), jnp.asarray(scales)
+    encode_s = time.time() - t1
+
+    @jax.jit
+    def ann_top75(qq, qs):
+        s32 = jax.lax.dot_general(q8_dev, qq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        scores = s32.astype(jnp.float32) * scales_dev * qs
+        return jax.lax.top_k(scores, 75)
+
+    recalls_10, recalls_1, planted = [], [], []
+    for qi, q in enumerate(queries):
+        qe = fde_query(jnp.asarray(q), cfg)
+        qq, qs = quantize_vec_int8(qe)
+        _, pool = ann_top75(qq, qs)
+        pool = set(np.asarray(pool).tolist())
+        ex_top10 = np.argsort(-exact[qi])[:10]
+        recalls_10.append(len(set(ex_top10.tolist()) & pool) / 10)
+        recalls_1.append(1.0 if int(np.argmax(exact[qi])) in pool else 0.0)
+        rel = set(range(qi * n_relevant, (qi + 1) * n_relevant))
+        planted.append(len(rel & pool) / n_relevant)
+    return {
+        "n_docs": n_docs, "n_tokens_per_doc": n_tok, "n_queries": n_queries,
+        "n_relevant_per_query": n_relevant,
+        "fde_dim": cfg.fde_dim, "index_quantization": "int8 per-row",
+        "recall_at_75_of_exact_top10": float(np.mean(recalls_10)),
+        "recall_at_75_of_exact_top1": float(np.mean(recalls_1)),
+        "recall_at_75_of_planted_relevant": float(np.mean(planted)),
+        "exact_groundtruth_s": round(exact_s, 1),
+        "fde_encode_s": round(encode_s, 1),
+    }
+
+
+# Stated acceptance gate for flipping int8 on by default (referenced from
+# morphik_tpu.toml): every criterion must hold on the 3B geometry run.
+# top1_match = the served answer is the same; score_pearson = exact-rerank
+# score fidelity (tie-robust); FDE recall = prefilter fidelity at scale.
+# jaccard/tau are reported as diagnostics (tail ranks of near-tied
+# random-feature corpora churn without fidelity implications).
+GATE = {"top1_match": 0.90, "score_pearson": 0.98,
+        "fde_recall_at_75_of_exact_top10": 0.80}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--small", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", type=Path, default=None)
+    ap.add_argument("--skip-part-b", action="store_true")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    report = {"part_a_ranking_agreement": part_a_ranking_agreement(args.small)}
+    if not args.skip_part_b:
+        report["part_b_fde_recall_at_scale"] = part_b_fde_recall_at_scale(args.small)
+    a = report["part_a_ranking_agreement"]
+    gate_ok = (
+        a["top1_match"] >= GATE["top1_match"]
+        and a["score_pearson"] >= GATE["score_pearson"]
+    )
+    if not args.skip_part_b:
+        gate_ok = gate_ok and (
+            report["part_b_fde_recall_at_scale"]["recall_at_75_of_exact_top10"]
+            >= GATE["fde_recall_at_75_of_exact_top10"]
+        )
+    report["gate"] = {"thresholds": GATE, "int8_default_approved": bool(gate_ok)}
+    print(json.dumps(report))
+    if args.out:
+        args.out.write_text(json.dumps(report, indent=1))
+    return 0 if gate_ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -36,7 +36,24 @@ BUILTIN_QUESTIONS = [
 ]
 
 
-async def run_eval(corpus_dir: Path, questions: list, use_colpali: bool) -> dict:
+def build_judge(args):
+    """LLM judge behind any configured OpenAI-compatible endpoint, with
+    deterministic substring fallback (reference uses an LLM judge for
+    its benchmark, custom_eval/README.md). Configure via flags or env
+    MORPHIK_JUDGE_API_BASE / MORPHIK_JUDGE_MODEL / MORPHIK_JUDGE_API_KEY."""
+    import os
+
+    from evaluations.judge import LLMJudge
+
+    api_base = args.judge_api_base or os.environ.get("MORPHIK_JUDGE_API_BASE")
+    if not api_base:
+        return None, "substring (deterministic; set --judge-api-base for the LLM judge)"
+    model = args.judge_model or os.environ.get("MORPHIK_JUDGE_MODEL", "gpt-4o-mini")
+    key = args.judge_api_key or os.environ.get("MORPHIK_JUDGE_API_KEY")
+    return LLMJudge(api_base, model=model, api_key=key), f"llm:{model}@{api_base}"
+
+
+async def run_eval(corpus_dir: Path, questions: list, use_colpali: bool, judge=None) -> dict:
     from evaluations.base_eval import EvalQuestion, MorphikTPUEvaluator
     from evaluations.retrieval_eval import RetrievalCase, evaluate_retrieval
     from morphik_core_tpu.config import Settings
@@ -57,15 +74,16 @@ async def run_eval(corpus_dir: Path, questions: list, use_colpali: bool) -> dict
             entity_type=EntityType.DEVELOPER, entity_id="eval",
             permissions={"read", "write", "admin"}, user_id="eval",
         )
-        evaluator = MorphikTPUEvaluator(services, auth, use_colpali=use_colpali)
+        evaluator = MorphikTPUEvaluator(services, auth, use_colpali=use_colpali, judge=judge)
         await evaluator.ingest(corpus_dir)
 
         # filename -> doc id map for retrieval metrics
         docs = await services.database.get_documents(auth, 0, 10_000)
         by_name = {d.filename: d.external_id for d in docs}
 
+        match = "llm" if judge is not None else "substring"
         summary = await evaluator.run(
-            [EvalQuestion(q["question"], q["expected_answer"]) for q in questions]
+            [EvalQuestion(q["question"], q["expected_answer"], match=match) for q in questions]
         )
 
         async def retrieve(question):
@@ -97,7 +115,11 @@ def main() -> int:
     ap.add_argument("--questions", type=Path, default=None)
     ap.add_argument("--use-colpali", action="store_true", default=False)
     ap.add_argument("--out", type=Path, default=None, help="write the summary JSON artifact here")
+    ap.add_argument("--judge-api-base", default=None)
+    ap.add_argument("--judge-model", default=None)
+    ap.add_argument("--judge-api-key", default=None)
     args = ap.parse_args()
+    judge, judge_desc = build_judge(args)
 
     if args.corpus:
         corpus_dir = args.corpus
@@ -108,14 +130,14 @@ def main() -> int:
             (tmp / name).write_text(text)
         corpus_dir, questions = tmp, BUILTIN_QUESTIONS
 
-    out = asyncio.run(run_eval(corpus_dir, questions, args.use_colpali))
+    out = asyncio.run(run_eval(corpus_dir, questions, args.use_colpali, judge=judge))
     print(json.dumps(out))
     if args.out:
         artifact = {
             "benchmark": str(corpus_dir),
             "n_documents": len(list(Path(corpus_dir).glob("*"))),
             "use_colpali": args.use_colpali,
-            "judge": "substring (deterministic; reference uses an LLM judge, custom_eval/README.md)",
+            "judge": judge_desc,
             **out,
         }
         args.out.write_text(json.dumps(artifact, indent=1))

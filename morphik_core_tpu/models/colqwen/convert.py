@@ -34,13 +34,26 @@ def convert_state_dict(
     *,
     allow_missing_projection: bool = False,
 ) -> dict:
-    """torch-layout state dict (numpy values) -> stacked-layer JAX pytree."""
+    """torch-layout state dict (numpy values) -> stacked-layer JAX pytree.
+
+    All transposes/splits/stacks happen in HOST numpy; only the ~30
+    final stacked tensors are transferred to the device (one transfer
+    per leaf). Converting eagerly per torch tensor would make ~700
+    separate device allocations — at 3B scale that fragments HBM badly
+    enough that the first serving step can fail to find a contiguous
+    activation block (observed on v5e)."""
+    np_dtype = np.dtype(jnp.dtype(dtype).name) if jnp.dtype(dtype).name in (
+        "float32", "float16") else None
+    if np_dtype is None:
+        import ml_dtypes
+
+        np_dtype = np.dtype(getattr(ml_dtypes, jnp.dtype(dtype).name))
 
     def t(x):  # torch Linear weight (out, in) -> (in, out)
-        return jnp.asarray(np.ascontiguousarray(x.T), dtype)
+        return np.ascontiguousarray(x.T).astype(np_dtype)
 
     def a(x):
-        return jnp.asarray(x, dtype)
+        return np.asarray(x).astype(np_dtype)
 
     v = cfg.vision
     vp = "visual."
@@ -59,7 +72,7 @@ def convert_state_dict(
             "fc2_b": a(_find(state, f"{vp}merger.mlp.2.bias")),
         },
     }
-    stack = lambda xs: jnp.stack(xs)  # noqa: E731
+    stack = lambda xs: np.stack(xs)  # noqa: E731
     b = {k: [] for k in (
         "norm1", "norm2", "q_w", "q_b", "k_w", "k_b", "v_w", "v_b",
         "proj_w", "proj_b",
@@ -137,14 +150,16 @@ def convert_state_dict(
                 "checkpoint (pass allow_missing_projection=True only for tests)"
             )
         logger.warning("checkpoint has no custom_text_proj — using random projection (test mode)")
-        import jax
-
-        k = jax.random.PRNGKey(0)
+        rng = np.random.default_rng(0)
         params["proj_w"] = (
-            jax.random.normal(k, (cfg.text.hidden_size, cfg.embedding_dim), jnp.float32) * 0.02
-        ).astype(dtype)
-        params["proj_b"] = jnp.zeros((cfg.embedding_dim,), dtype)
-    return params
+            rng.standard_normal((cfg.text.hidden_size, cfg.embedding_dim)).astype(np.float32)
+            * 0.02
+        ).astype(np_dtype)
+        params["proj_b"] = np.zeros((cfg.embedding_dim,), np_dtype)
+    # single bulk transfer of the final stacked tensors
+    import jax
+
+    return jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
 
 
 def load_hf_checkpoint(path: Path, cfg: ColQwenConfig, dtype=jnp.bfloat16) -> dict:

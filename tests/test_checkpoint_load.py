@@ -120,3 +120,24 @@ def test_from_checkpoint_missing_files(tmp_path):
     (tmp_path / "config.json").write_text("{}")
     with pytest.raises(FileNotFoundError):
         ColQwenModel.from_checkpoint(tmp_path)
+
+
+def test_rehearsal_script_tiny(tmp_path):
+    """scripts/rehearse_checkpoint.py end-to-end at tiny geometry:
+    sharded HF-format write -> from_checkpoint boot -> serving step ->
+    failure modes (missing custom_text_proj rejected, f32 converts)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "scripts/rehearse_checkpoint.py", "--small", "--cpu",
+         "--dir", str(tmp_path / "ck")],
+        capture_output=True, text=True, timeout=300,
+        cwd=str(__import__("pathlib").Path(__file__).resolve().parent.parent),
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    report = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["failure_modes"] == {
+        "missing_proj_rejected": True, "f32_checkpoint_converts": True}
+    assert report["load"]["emb_shape"][0] == 2

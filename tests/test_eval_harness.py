@@ -118,3 +118,59 @@ def test_hotpot_adapter(tmp_path):
     qs = json.loads((tmp_path / "out" / "questions.json").read_text())
     assert qs[0]["gold_docs"] == ["Author_A.txt"]
     assert "Dublin" in (tmp_path / "out" / "corpus" / "Author_A.txt").read_text()
+
+
+def test_llm_judge_wired_against_endpoint():
+    """The offline eval's LLM judge drives a real /chat/completions
+    endpoint when configured (round-3: judge wired behind a configured
+    completion endpoint; substring stays the fallback)."""
+    import asyncio
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from evaluations.judge import LLMJudge
+
+    calls = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            calls.append(body)
+            verdict = {"correct": "42" in body["messages"][0]["content"]}
+            data = _json.dumps(
+                {"choices": [{"message": {"content": _json.dumps(verdict)}}]}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        judge = LLMJudge(f"http://127.0.0.1:{srv.server_address[1]}", model="judge-x")
+        loop = asyncio.new_event_loop()
+        assert loop.run_until_complete(judge("q", "42", "whatever")) is True
+        assert calls and calls[0]["model"] == "judge-x"
+        loop.close()
+    finally:
+        srv.shutdown()
+
+
+def test_build_judge_config():
+    import argparse
+
+    from evaluations.run_offline_eval import build_judge
+
+    ns = argparse.Namespace(judge_api_base=None, judge_model=None, judge_api_key=None)
+    judge, desc = build_judge(ns)
+    assert judge is None and desc.startswith("substring")
+    ns2 = argparse.Namespace(
+        judge_api_base="http://j:1/v1", judge_model="m", judge_api_key="k")
+    judge2, desc2 = build_judge(ns2)
+    assert judge2 is not None and desc2 == "llm:m@http://j:1/v1"
