@@ -190,7 +190,7 @@ def part_b_fde_recall_at_scale(small: bool) -> dict:
     import jax.numpy as jnp
 
     from morphik_core_tpu.ops.fde import FDEConfig, fde_document_batch, fde_query
-    from morphik_core_tpu.parallel.search import quantize_rows_int8, quantize_vec_int8
+    from morphik_core_tpu.parallel.search import quantize_vec_int8
 
     cfg = FDEConfig()
     n_docs, n_tok, n_queries = (2_000, 32, 8) if small else (100_000, 32, 16)
@@ -223,37 +223,38 @@ def part_b_fde_recall_at_scale(small: bool) -> dict:
         q = concepts[qids] + 0.15 * rng.standard_normal((n_qtok, d)).astype(np.float32)
         queries.append(q / np.linalg.norm(q, axis=1, keepdims=True))
 
-    # exact chamfer ground truth on device, chunked over docs, f32 at
-    # HIGHEST precision (bf16 ground truth would scramble fine margins)
+    # ONE upload per doc chunk; exact chamfer (all queries in one
+    # dispatch), FDE encode, and int8 row quantization all run on the
+    # uploaded chunk before it's dropped. The naive two-loop version
+    # moved ~7 GB through the ~50 MB/s relay (and died to a broken
+    # pipe 45 minutes in); this moves 1.7 GB once. Ground truth is f32
+    # at HIGHEST precision (bf16 would scramble fine margins).
+    q_stack = jnp.asarray(np.stack(queries))  # (Q, n_qtok, d)
+
     @jax.jit
-    def chamfer_chunk(dchunk, q):
-        sim = jnp.einsum("qd,cnd->cqn", q, dchunk, precision=jax.lax.Precision.HIGHEST)
-        return jnp.sum(jnp.max(sim, axis=-1), axis=-1)
+    def process_chunk(dchunk, qs_stack):
+        sim = jnp.einsum("Qqd,cnd->Qcqn", qs_stack, dchunk,
+                         precision=jax.lax.Precision.HIGHEST)
+        exact_c = jnp.sum(jnp.max(sim, axis=-1), axis=-1)  # (Q, c)
+        rows = fde_document_batch(dchunk, jnp.ones(dchunk.shape[:2], jnp.float32), cfg)
+        s = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1) / 127.0, 1e-12)
+        q8c = jnp.clip(jnp.rint(rows / s[:, None]), -127, 127).astype(jnp.int8)
+        return exact_c, q8c, s.astype(jnp.float32)
 
     chunk = 8_192
     exact = np.zeros((n_queries, n_docs), np.float32)
+    q8_chunks, scale_chunks = [], []
     for lo in range(0, n_docs, chunk):
         dchunk = jnp.asarray(docs[lo : lo + chunk])
-        for qi, q in enumerate(queries):
-            exact[qi, lo : lo + dchunk.shape[0]] = np.asarray(
-                chamfer_chunk(dchunk, jnp.asarray(q))
-            )
+        exact_c, q8c, sc = process_chunk(dchunk, q_stack)
+        exact[:, lo : lo + dchunk.shape[0]] = np.asarray(exact_c)
+        q8_chunks.append(q8c)
+        scale_chunks.append(sc)
+    q8_dev = jnp.concatenate(q8_chunks)
+    scales_dev = jnp.concatenate(scale_chunks)
+    del q8_chunks, scale_chunks
     exact_s = time.time() - t0
-
-    # FDE encode all docs (batched device transform) + int8 quantize
-    t1 = time.time()
-    fde_rows = np.zeros((n_docs, cfg.fde_dim), np.float32)
-    bsz = 1_024
-    mask = jnp.ones((bsz, n_tok), jnp.float32)
-    for lo in range(0, n_docs, bsz):
-        x = docs[lo : lo + bsz]
-        m = mask[: x.shape[0]]
-        fde_rows[lo : lo + x.shape[0]] = np.asarray(
-            fde_document_batch(jnp.asarray(x), m, cfg)
-        )
-    q8, scales = quantize_rows_int8(fde_rows)  # the production index's storage
-    q8_dev, scales_dev = jnp.asarray(q8), jnp.asarray(scales)
-    encode_s = time.time() - t1
+    encode_s = 0.0  # fused into the chunk pass above
 
     @jax.jit
     def ann_top75(qq, qs):
@@ -301,24 +302,36 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--skip-part-b", action="store_true")
+    ap.add_argument("--skip-part-a", action="store_true")
+    ap.add_argument("--merge", type=Path, default=None,
+                    help="start from a previous partial report (rerun one part)")
     args = ap.parse_args()
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
 
-    report = {"part_a_ranking_agreement": part_a_ranking_agreement(args.small)}
+    report = json.loads(args.merge.read_text()) if args.merge else {}
+
+    def checkpoint():  # partial results survive a relay drop
+        if args.out:
+            args.out.write_text(json.dumps(report, indent=1))
+
+    if not args.skip_part_a:
+        report["part_a_ranking_agreement"] = part_a_ranking_agreement(args.small)
+        checkpoint()
     if not args.skip_part_b:
         report["part_b_fde_recall_at_scale"] = part_b_fde_recall_at_scale(args.small)
-    a = report["part_a_ranking_agreement"]
-    gate_ok = (
+        checkpoint()
+    a = report.get("part_a_ranking_agreement")
+    b = report.get("part_b_fde_recall_at_scale")
+    gate_ok = bool(a) and (
         a["top1_match"] >= GATE["top1_match"]
         and a["score_pearson"] >= GATE["score_pearson"]
     )
-    if not args.skip_part_b:
+    if b is not None:
         gate_ok = gate_ok and (
-            report["part_b_fde_recall_at_scale"]["recall_at_75_of_exact_top10"]
-            >= GATE["fde_recall_at_75_of_exact_top10"]
+            b["recall_at_75_of_exact_top10"] >= GATE["fde_recall_at_75_of_exact_top10"]
         )
     report["gate"] = {"thresholds": GATE, "int8_default_approved": bool(gate_ok)}
     print(json.dumps(report))
