@@ -181,7 +181,24 @@ async def run_eval(args) -> Dict:
                 "vector_store": {"index_path": f"{tmp}/index"},
             }
         )
-        services = build_services(settings)
+        colqwen_model = None
+        if args.geometry == "3b":
+            # full 3B geometry with random bf16 weights at the CONFIGURED
+            # serving precision — the shipped compute path end to end
+            import jax
+            import jax.numpy as jnp
+
+            from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+            from morphik_core_tpu.models.colqwen.model import init_colqwen_params
+
+            cfg3 = ColQwenConfig()
+            params = jax.jit(lambda k: init_colqwen_params(k, cfg3, dtype=jnp.bfloat16))(
+                jax.random.PRNGKey(0)
+            )
+            colqwen_model = ColQwenModel(
+                cfg3, params, matmul_precision=settings.model.matmul_precision
+            )
+        services = build_services(settings, colqwen_model=colqwen_model)
         await services.database.initialize()
         auth = AuthContext(
             entity_type=EntityType.DEVELOPER, entity_id="eval",
@@ -266,6 +283,8 @@ async def run_eval(args) -> Dict:
         return {
             "corpus": {"docs": args.docs, "pages_per_doc": args.pages,
                        "total_pages": n_pages_total, "ingest_s": round(ingest_s, 1)},
+            "geometry": args.geometry,
+            "serving_precision": settings.model.matmul_precision,
             "weights": checkpoint or "random (no checkpoint in env — structural fidelity mode)",
             "gold_granularity": "(document, page)",
             "visual_ladder": by_rung,
@@ -283,6 +302,8 @@ def main() -> int:
     ap.add_argument("--queries", type=int, default=40)
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--geometry", choices=("dev", "3b"), default="dev",
+                    help="dev = tiny random tower; 3b = full geometry, random weights")
     args = ap.parse_args()
     if args.cpu:
         import jax

@@ -81,7 +81,12 @@ class ModelConfig(BaseModel):
     # serving (per-channel weight + per-token activation scales; the MXU
     # runs int8 at 2x its bf16 rate on v5e). Opt-in: validate retrieval
     # quality on your checkpoint with evaluations/ before enabling.
-    matmul_precision: Literal["bf16", "int8"] = "bf16"
+    # W8A8 int8 serving is DEFAULT-ON: the fidelity gate passed on real
+    # 3B geometry + 100k-row index (EVAL_r03.json: top-1 match 1.0,
+    # exact-rerank score Pearson 0.993, int8-index pool-recall delta
+    # -0.006 vs f32; evaluations/fidelity_eval.py defines the gate).
+    # Set "bf16" to serve at parity precision instead.
+    matmul_precision: Literal["bf16", "int8"] = "int8"
     # Qwen2-VL style image token budget per page.
     min_pixels: int = 4 * 28 * 28
     max_pixels: int = 768 * 28 * 28
@@ -189,11 +194,13 @@ class VectorStoreConfig(BaseModel):
     # x 128 x 2 B (256 KB at 1024 tokens); 0 disables.
     device_cache_slots: int = 1024
     device_cache_token_bucket: int = 1024
-    # Rerank precision: "bf16" (default, matches the reference's f32-npy
-    # exact rerank within 16-bit store noise) | "int8" (per-token scales:
-    # half the pool transfer + 2x the cache capacity + int8 MXU rate;
-    # still 8x the precision of the reference's 1-bit postgres rerank).
-    rerank_dtype: Literal["bf16", "int8"] = "bf16"
+    # Rerank precision: "int8" (default: per-token scales — half the
+    # pool transfer + 2x the cache capacity + int8 MXU rate; still 8x
+    # the precision of the reference's 1-bit postgres rerank, and the
+    # EVAL_r03 fidelity gate measured exact-rerank score Pearson 0.993
+    # through this path) | "bf16" (matches the reference's f32-npy
+    # exact rerank within 16-bit store noise).
+    rerank_dtype: Literal["bf16", "int8"] = "int8"
     # Cold-pool transfer diet: pools that miss the HBM cache first go
     # through an int8 token-POOLED prefilter (upload bytes / factor);
     # only the top max(2k, 16) rows then get the exact full-token

@@ -72,7 +72,10 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 "ColQwen (dev/test mode; retrieval quality is meaningless)"
             )
             self.model = ColQwenModel.init_random(
-                jax.random.PRNGKey(0), ColQwenConfig.tiny(), mesh=mesh
+                jax.random.PRNGKey(0), ColQwenConfig.tiny(), mesh=mesh,
+                # dev mode mirrors the configured serving precision so
+                # the int8 path is what tests/evals exercise by default
+                matmul_precision=self.settings.model.matmul_precision,
             )
         self.batch_size = max(1, int(self.settings.tpu.embed_batch_size))
         self.min_pixels = self.settings.model.min_pixels
