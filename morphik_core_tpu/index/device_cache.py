@@ -181,14 +181,24 @@ class DevicePoolCache:
             new = np.zeros((m_pad, self.token_bucket, self.dim), up_dtype)
             scales = np.ones((m_pad, self.token_bucket), np.float32) if self.quantized else None
             masks = np.zeros((m_pad, self.token_bucket), np.float32)
-            for j, r in enumerate(misses):
-                mv = np.asarray(fetch_row(r), dtype=np.float32)
-                n = mv.shape[0]
-                if self.quantized:
-                    new[j, :n], scales[j, :n] = quantize_rows_int8(mv)
-                else:
+            if self.quantized:
+                # ONE batched quantization pass over the dense miss
+                # buffer (a per-row loop costs ~1 ms/row of numpy temp
+                # churn — material on cold 75-row pools)
+                dense = np.zeros((len(misses), self.token_bucket, self.dim), np.float32)
+                for j, r in enumerate(misses):
+                    mv = np.asarray(fetch_row(r), dtype=np.float32)
+                    dense[j, : mv.shape[0]] = mv
+                    masks[j, : mv.shape[0]] = 1.0
+                q8, sc = quantize_rows_int8(dense)
+                new[: len(misses)] = q8
+                scales[: len(misses)] = sc
+            else:
+                for j, r in enumerate(misses):
+                    mv = np.asarray(fetch_row(r), dtype=np.float32)
+                    n = mv.shape[0]
                     new[j, :n] = mv.astype(np.float16)
-                masks[j, :n] = 1.0
+                    masks[j, :n] = 1.0
             slots = self._alloc(len(misses), frozenset(pool_rows))
             new[len(misses):] = new[len(misses) - 1]
             masks[len(misses):] = masks[len(misses) - 1]

@@ -577,7 +577,7 @@ class MultiVectorIndex:
             )
             if self.ann_dtype == "int8":
                 qq, qs = qe  # device (int8 vec, scale) from _encode_query
-                scores, idx = search(
+                packed = search(
                     qq, qs, allowed,
                     tuple(b[0] for b in self._mesh_blocks),
                     tuple(b[1] for b in self._mesh_blocks),
@@ -585,13 +585,15 @@ class MultiVectorIndex:
                     tuple(self._mesh_code_blocks),
                 )
             else:
-                scores, idx = search(
+                packed = search(
                     jnp.asarray(qe), allowed,
                     tuple(self._mesh_blocks),
                     tuple(self._mesh_mask_blocks),
                     tuple(self._mesh_code_blocks),
                 )
-            idx, scores = np.asarray(idx), np.asarray(scores)
+            packed = np.asarray(packed)  # one fetch: [scores | row ids]
+            half = packed.shape[0] // 2
+            scores, idx = packed[:half], packed[half:].astype(np.int64)
             out = [int(i) for i, s in zip(idx, scores) if np.isfinite(s) and i < self._count]
             return out[:pool_size]
 
@@ -607,16 +609,19 @@ class MultiVectorIndex:
         codes = tuple(self._code_blocks)
         if self.ann_dtype == "int8":
             q_dev, qs_dev = qe  # device (int8 vec, scale) from _encode_query
-            vm, gi = scan_blocks_topk_q(
+            packed = scan_blocks_topk_q(
                 tuple(b[0] for b in self._dev_blocks),
                 tuple(b[1] for b in self._dev_blocks),
                 masks, codes, allowed, q_dev, qs_dev, kb, pool_size,
             )
         else:
-            vm, gi = scan_blocks_topk(
+            packed = scan_blocks_topk(
                 tuple(self._dev_blocks), masks, codes, allowed, jnp.asarray(qe), kb, pool_size
             )
-        vm, gi = np.asarray(vm), np.asarray(gi)
+        # single fetch: [scores | row ids] packed in one array (one RTT)
+        packed = np.asarray(packed)
+        half = packed.shape[0] // 2
+        vm, gi = packed[:half], packed[half:].astype(np.int64)
         return [int(g) for g, s in zip(gi, vm) if np.isfinite(s) and g < self._count]
 
     def query(

@@ -128,7 +128,11 @@ def scan_blocks_topk(blocks, masks, codes, allowed, q, k: int, pool: int):
     v = jnp.concatenate(vs)
     gi = jnp.concatenate(gis)
     vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
-    return vm, gi[sel]
+    # ONE packed result array: each device->host fetch through a
+    # remote-attached relay costs a full RTT, so (scores, indices) ride
+    # together — f32 holds row ids exactly up to 2^24 (16.7M rows/chip,
+    # far above the 1M-page/chip design point)
+    return jnp.concatenate([vm, gi[sel].astype(jnp.float32)])
 
 
 @functools.partial(jax.jit, static_argnames=("k", "pool"))
@@ -148,7 +152,7 @@ def scan_blocks_topk_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: in
     v = jnp.concatenate(vs)
     gi = jnp.concatenate(gis)
     vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
-    return vm, gi[sel]
+    return jnp.concatenate([vm, gi[sel].astype(jnp.float32)])
 
 
 # --------------------------------------------------------- mesh blocked path
@@ -183,7 +187,8 @@ def make_mesh_block_search(
         v_all = jax.lax.all_gather(v, axis).reshape(-1)
         i_all = jax.lax.all_gather(gi, axis).reshape(-1)
         vm, im = jax.lax.top_k(v_all, k)
-        return vm, i_all[im]
+        # packed [scores | row ids as f32] — one device->host fetch
+        return jnp.concatenate([vm, i_all[im].astype(jnp.float32)])
 
     if quantized:
 
@@ -209,7 +214,7 @@ def make_mesh_block_search(
             kernel,
             mesh=mesh,
             in_specs=(P(), P(), P(), block_spec, vec_spec, vec_spec, vec_spec),
-            out_specs=(P(), P()),
+            out_specs=P(),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -233,7 +238,7 @@ def make_mesh_block_search(
         kernel_f,
         mesh=mesh,
         in_specs=(P(), P(), block_spec, vec_spec, vec_spec),
-        out_specs=(P(), P()),
+        out_specs=P(),
         check_vma=False,
     )
     return jax.jit(fn)
