@@ -226,6 +226,7 @@ class HTTPServer:
         self.port = port
         self._server: Optional[asyncio.AbstractServer] = None
         self._conn_tasks: "set[asyncio.Task]" = set()
+        self._busy: "set[asyncio.Task]" = set()  # handlers mid-request
 
     async def start(self) -> None:
         self._server = await asyncio.start_server(self._handle, self.host, self.port)
@@ -233,22 +234,33 @@ class HTTPServer:
             self.port = self._server.sockets[0].getsockname()[1]
         logger.info("listening on %s:%d", self.host, self.port)
 
-    async def stop(self) -> None:
-        """Drain: stop accepting, then cancel and AWAIT every in-flight
-        connection handler (keep-alive connections park in _read_request
-        indefinitely — without this, their tasks outlive the server and
-        surface as 'Task was destroyed but it is pending' at loop GC).
-        This is the same path a SIGTERM drain takes (api/server.py)."""
+    async def stop(self, grace_s: float = 10.0) -> None:
+        """Drain: stop accepting, let handlers that are MID-REQUEST
+        finish (up to `grace_s`), then cancel and AWAIT everything left.
+        Idle keep-alive handlers park in _read_request indefinitely, so
+        they are cancelled immediately — without awaiting them their
+        tasks outlive the server and surface as 'Task was destroyed but
+        it is pending' at loop GC. This is the same path a SIGTERM drain
+        takes (api/server.py)."""
         if self._server:
             self._server.close()
-        # cancel BEFORE wait_closed(): since 3.12 wait_closed also waits
-        # for connection handlers, and an idle keep-alive handler parked
-        # in _read_request would never finish on its own
-        for t in list(self._conn_tasks):
+        # idle connections (waiting for the next request) cancel now;
+        # busy ones (dispatching a request / writing a response) get the
+        # grace window — aborting a mid-flight /ingest or /query during
+        # a drain would reset clients that used to complete
+        for t in list(self._conn_tasks - self._busy):
             t.cancel()
+        if self._busy:
+            done, pending = await asyncio.wait(set(self._busy), timeout=grace_s)
+            for t in pending:
+                logger.warning("request still in flight after %.0fs drain; cancelling", grace_s)
+                t.cancel()
         if self._conn_tasks:
             await asyncio.gather(*self._conn_tasks, return_exceptions=True)
         self._conn_tasks.clear()
+        self._busy.clear()
+        # cancellations precede wait_closed(): since 3.12 it also waits
+        # for connection handlers
         if self._server:
             await self._server.wait_closed()
 
@@ -302,8 +314,14 @@ class HTTPServer:
                     resp.headers["Connection"] = "close"
                     await self._write_response(writer, resp)
                     break
-                resp = await self.router.dispatch(req)
-                await self._write_response(writer, resp)
+                if task is not None:
+                    self._busy.add(task)
+                try:
+                    resp = await self.router.dispatch(req)
+                    await self._write_response(writer, resp)
+                finally:
+                    if task is not None:
+                        self._busy.discard(task)
                 if req.headers.get("connection", "").lower() == "close" or resp.stream is not None:
                     break
         except (ConnectionResetError, BrokenPipeError):

@@ -207,7 +207,8 @@ class OpenAICompatCompletionModel(BaseCompletionModel):
                         yield delta
 
 
-_DATA_URI_RE = re.compile(r"^data:(image/\w+);base64,(.*)$", re.S)
+# media subtypes legitimately carry '+', '-', '.' (image/svg+xml, ...)
+_DATA_URI_RE = re.compile(r"^data:(image/[\w.+-]+);base64,(.*)$", re.S)
 
 
 class OllamaNativeCompletionModel(BaseCompletionModel):
@@ -247,12 +248,20 @@ class OllamaNativeCompletionModel(BaseCompletionModel):
             )
         if request.chat_history:
             messages.extend({"role": m.role, "content": m.content} for m in request.chat_history)
+        def raw_b64(u: str) -> str:
+            m = _DATA_URI_RE.match(u)
+            if m:
+                return m.group(2)
+            # unknown data: flavor — still strip the header rather than
+            # shipping the whole URI as "base64"
+            if u.startswith("data:") and "," in u:
+                return u.split(",", 1)[1]
+            return u
+
         user: Dict[str, Any] = {"role": "user", "content": prompt}
         if images:
             # ollama native wants RAW base64, no data-URI prefix
-            user["images"] = [
-                (m.group(2) if (m := _DATA_URI_RE.match(u)) else u) for u in images
-            ]
+            user["images"] = [raw_b64(u) for u in images]
         messages.append(user)
         options: Dict[str, Any] = dict(self.extra_options)
         if request.temperature is not None:
@@ -362,6 +371,9 @@ class AnthropicCompletionModel(BaseCompletionModel):
                         },
                     }
                 )
+            else:
+                # never drop evidence silently
+                logger.warning("skipping non-base64 image chunk (%.40s...)", u)
         content.append({"type": "text", "text": prompt})
         messages: List[Dict[str, Any]] = []
         if request.chat_history:
@@ -460,12 +472,16 @@ def build_completion_model(
     name = cfg.get("model_name", model_key)
     provider = cfg.get("provider")
     if provider is None:
-        if name.startswith(("ollama/", "ollama_chat/")):
+        if api_base:
+            # an explicit api_base without an explicit provider keeps the
+            # OpenAI-compatible wire format — a pre-existing proxy config
+            # like {model_name: "anthropic/claude-x", api_base: openrouter}
+            # must NOT be silently re-routed to /v1/messages by its name
+            provider = "openai"
+        elif name.startswith(("ollama/", "ollama_chat/")):
             provider = "ollama"
         elif name.startswith("anthropic/") or name.startswith("claude"):
             provider = "anthropic"
-        elif api_base:
-            provider = "openai"
     if provider == "ollama":
         return OllamaNativeCompletionModel(
             base_url=api_base or "http://localhost:11434",

@@ -166,6 +166,7 @@ class MultiVectorIndex:
         self._code_blocks: List[jax.Array] = []  # int32 doc codes per block
         self._code_rows = 0
         self._allowed_ones: Dict[int, jax.Array] = {}  # device ones per pad size
+        self._zeros_codes_cache: Optional[jax.Array] = None  # unfiltered-scan codes
         # --- device state (mesh path: row-sharded immutable blocks,
         # tail-refreshed exactly like _dev_blocks — an ingest uploads
         # only the tail block per shard, never the corpus)
@@ -440,7 +441,10 @@ class MultiVectorIndex:
 
     def _ensure_code_blocks(self) -> None:
         """Device copy of per-row document codes (tail-incremental; codes
-        of existing rows never change outside compaction)."""
+        of existing rows never change outside compaction). Built lazily:
+        only FILTERED queries need codes — unfiltered queries gate with a
+        shared zeros-codes block (allowed[0] == 1), so a deployment that
+        never filters never pays the O(n_rows) upload."""
         self._sync_block_size()
         if self._code_rows == self._count and len(self._code_blocks):
             return
@@ -451,6 +455,14 @@ class MultiVectorIndex:
         for b in range(first_dirty, n_blocks):
             self._code_blocks.append(jnp.asarray(self._code_block_host(b)))
         self._code_rows = self._count
+
+    def _zero_codes(self, n_blocks: int):
+        """One shared (B,) int32 zeros block reused for every block of an
+        unfiltered scan (the gate reads allowed[0] == 1 everywhere)."""
+        B = self._active_block
+        if self._zeros_codes_cache is None or self._zeros_codes_cache.shape[0] != B:
+            self._zeros_codes_cache = jnp.zeros((B,), jnp.int32)
+        return (self._zeros_codes_cache,) * n_blocks
 
     # --- filtered-query gate ----------------------------------------------
 
@@ -482,7 +494,7 @@ class MultiVectorIndex:
     def _mesh_ndev(self) -> int:
         return self.mesh.shape["data"]
 
-    def _ensure_mesh_blocks(self) -> None:
+    def _ensure_mesh_blocks(self, with_codes: bool = False) -> None:
         """Tail-incremental sharded twin of _ensure_device_blocks /
         _ensure_mask_blocks / _ensure_code_blocks: each block is one
         row-sharded device_put over the mesh's data axis. Only blocks
@@ -522,7 +534,8 @@ class MultiVectorIndex:
                     jax.device_put(self._mask_block_host(b), shard_vec(self.mesh))
                 )
             self._mesh_mask_rows = self._count
-        if self._mesh_code_rows != self._count or not self._mesh_code_blocks:
+        if with_codes and (self._mesh_code_rows != self._count or not self._mesh_code_blocks):
+            # lazily built: only filtered queries gate on real doc codes
             first_dirty = min(self._mesh_code_rows // B, len(self._mesh_code_blocks))
             del self._mesh_code_blocks[first_dirty:]
             for b in range(first_dirty, n_blocks):
@@ -531,6 +544,19 @@ class MultiVectorIndex:
                 )
             self._mesh_code_rows = self._count
         self.last_mesh_upload_rows = uploaded
+
+    def _mesh_zero_codes(self, n_blocks: int):
+        """Shared sharded zeros-codes block for unfiltered mesh scans
+        (sharded like real code blocks so the jit signature matches)."""
+        from morphik_core_tpu.parallel.search import shard_vec
+
+        B = self._active_block
+        z = getattr(self, "_mesh_zeros_cache", None)
+        if z is None or z.shape[0] != B:
+            self._mesh_zeros_cache = jax.device_put(
+                np.zeros(B, np.int32), shard_vec(self.mesh)
+            )
+        return (self._mesh_zeros_cache,) * n_blocks
 
     def _encode_query(self, q: np.ndarray):
         """FDE-encode one query multivector. For the int8 ANN path the
@@ -565,9 +591,14 @@ class MultiVectorIndex:
         allowed = self._allowed_vec(doc_ids)
 
         if self.mesh is not None:
-            self._ensure_mesh_blocks()
+            self._ensure_mesh_blocks(with_codes=doc_ids is not None)
             B = self._active_block
             n_blocks = len(self._mesh_blocks)
+            mesh_codes = (
+                tuple(self._mesh_code_blocks)
+                if doc_ids is not None
+                else self._mesh_zero_codes(n_blocks)
+            )
             # pow-2 bucket the compiled top-k size so corpus growth doesn't
             # recompile the kernel per query; extra candidates are trimmed
             # by the merge below. k is the PER-DEVICE local top-k.
@@ -582,14 +613,14 @@ class MultiVectorIndex:
                     tuple(b[0] for b in self._mesh_blocks),
                     tuple(b[1] for b in self._mesh_blocks),
                     tuple(self._mesh_mask_blocks),
-                    tuple(self._mesh_code_blocks),
+                    mesh_codes,
                 )
             else:
                 packed = search(
                     jnp.asarray(qe), allowed,
                     tuple(self._mesh_blocks),
                     tuple(self._mesh_mask_blocks),
-                    tuple(self._mesh_code_blocks),
+                    mesh_codes,
                 )
             packed = np.asarray(packed)  # one fetch: [scores | row ids]
             half = packed.shape[0] // 2
@@ -602,11 +633,14 @@ class MultiVectorIndex:
         # pays the host<->device RTT n_blocks times on remote TPUs)
         self._ensure_device_blocks()
         self._ensure_mask_blocks()
-        self._ensure_code_blocks()
         B = self._active_block
         kb = min(_round_capacity(pool_size, minimum=16), B)
         masks = tuple(self._mask_blocks)
-        codes = tuple(self._code_blocks)
+        if doc_ids is None:
+            codes = self._zero_codes(len(self._dev_blocks))
+        else:
+            self._ensure_code_blocks()
+            codes = tuple(self._code_blocks)
         if self.ann_dtype == "int8":
             q_dev, qs_dev = qe  # device (int8 vec, scale) from _encode_query
             packed = scan_blocks_topk_q(
@@ -1224,6 +1258,8 @@ class MultiVectorIndex:
         self._code_blocks = []
         self._code_rows = 0
         self._allowed_ones = {}
+        self._zeros_codes_cache = None
+        self._mesh_zeros_cache = None
         self._mesh_blocks = []
         self._mesh_dev_rows = 0
         self._mesh_mask_blocks = []

@@ -70,39 +70,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-# ---------------------------------------------------------------- quantized
-
-def _local_topk_kernel_q(fq_shard, scale_shard, mask_shard, qq, q_scale, k: int, axis: str):
-    """int8 variant of _local_topk_kernel: rows stored as int8 with a
-    per-row scale; the dot runs on the MXU in int8 -> int32 (4x the HBM
-    bandwidth of f32 — the ANN scan is bandwidth-bound)."""
-    s32 = jax.lax.dot_general(
-        fq_shard, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    scores = s32.astype(jnp.float32) * scale_shard * q_scale
-    scores = jnp.where(mask_shard > 0, scores, -jnp.inf)
-    v, i = jax.lax.top_k(scores, k)
-    base = jax.lax.axis_index(axis) * fq_shard.shape[0]
-    v_all = jax.lax.all_gather(v, axis).reshape(-1)
-    i_all = jax.lax.all_gather(i + base, axis).reshape(-1)
-    vm, im = jax.lax.top_k(v_all, k)
-    return vm, i_all[im]
-
-
-@functools.lru_cache(maxsize=32)
-def make_sharded_search_q(mesh: Mesh, k: int, axis: str = "data"):
-    """Quantized (int8 + per-row scale) mesh search: (Fq sharded, scales
-    sharded, mask sharded, q int8 replicated, q_scale) -> global top-k."""
-    fn = jax.shard_map(
-        functools.partial(_local_topk_kernel_q, k=k, axis=axis),
-        mesh=mesh,
-        in_specs=(P(axis, None), P(axis), P(axis), P(), P()),
-        out_specs=(P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(fn)
-
-
 # ------------------------------------------------- single-chip blocked scans
 
 @functools.partial(jax.jit, static_argnames=("k", "pool"))

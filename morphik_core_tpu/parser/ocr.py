@@ -80,7 +80,10 @@ class ApiOCR(BaseOCR):
         headers = {"Content-Type": "image/png"}
         if self.api_key:
             headers["Authorization"] = f"Bearer {self.api_key}"
-        url = self.endpoint + ("?tables=true" if self.tables else "")
+        # '&' when the endpoint already carries a query string (e.g.
+        # key-in-URL auth) — a second '?' would corrupt the first param
+        sep = "&" if "?" in self.endpoint else "?"
+        url = self.endpoint + (f"{sep}tables=true" if self.tables else "")
         req = urllib.request.Request(url, data=png, headers=headers)
         with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
             payload = json.loads(resp.read().decode())

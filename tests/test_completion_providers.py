@@ -173,19 +173,32 @@ def test_anthropic_streaming(fake_llm):
 
 def test_build_completion_model_routing(fake_llm):
     base, _ = fake_llm
-    reg = {
-        "ollama_vis": {"model_name": "ollama_chat/llama3.2-vision", "api_base": base},
-        "claude": {"model_name": "claude-test-1", "api_key": "k", "api_base": base},
-        "openai": {"model_name": "gpt-x", "api_base": base},
-        "explicit": {"model_name": "custom", "provider": "ollama", "api_base": base},
-    }
-    assert isinstance(build_completion_model(reg, "ollama_vis"), OllamaNativeCompletionModel)
-    assert build_completion_model(reg, "ollama_vis").model == "llama3.2-vision"
-    assert isinstance(build_completion_model(reg, "claude"), AnthropicCompletionModel)
-    assert isinstance(build_completion_model(reg, "explicit"), OllamaNativeCompletionModel)
     from morphik_core_tpu.completion.models import OpenAICompatCompletionModel
 
-    assert isinstance(build_completion_model(reg, "openai"), OpenAICompatCompletionModel)
+    reg = {
+        # prefix WITHOUT api_base -> native providers at their defaults
+        "ollama_vis": {"model_name": "ollama_chat/llama3.2-vision"},
+        "claude": {"model_name": "claude-test-1", "api_key": "k"},
+        # explicit provider + custom base -> native wire format there
+        "explicit_ollama": {"model_name": "custom", "provider": "ollama", "api_base": base},
+        "explicit_claude": {"model_name": "claude-x", "provider": "anthropic", "api_base": base},
+        # api_base without explicit provider stays OpenAI-compatible even
+        # with a provider-looking model_name (pre-existing proxy configs:
+        # openrouter/anthropic names, ollama's /v1 shim must NOT re-route)
+        "openai": {"model_name": "gpt-x", "api_base": base},
+        "proxy_claude": {"model_name": "anthropic/claude-3.5", "api_base": base},
+        "ollama_shim": {"model_name": "ollama/llama3", "api_base": base},
+    }
+    m = build_completion_model(reg, "ollama_vis")
+    assert isinstance(m, OllamaNativeCompletionModel)
+    assert m.model == "llama3.2-vision" and m.base_url == "http://localhost:11434"
+    c = build_completion_model(reg, "claude")
+    assert isinstance(c, AnthropicCompletionModel)
+    assert c.base_url == "https://api.anthropic.com"
+    assert isinstance(build_completion_model(reg, "explicit_ollama"), OllamaNativeCompletionModel)
+    assert isinstance(build_completion_model(reg, "explicit_claude"), AnthropicCompletionModel)
+    for key in ("openai", "proxy_claude", "ollama_shim"):
+        assert isinstance(build_completion_model(reg, key), OpenAICompatCompletionModel), key
     # production still refuses silent stub fallback
     with pytest.raises(RuntimeError):
         build_completion_model(reg, "missing_key", environment="production")

@@ -151,7 +151,10 @@ def test_filtered_query_upload_is_o_docs():
     idx.store(mvs, recs)
     idx.query(mvs[0][:4], k=3)
     assert idx.last_filter_upload_floats == 0  # unfiltered: cached device ones
+    # unfiltered queries never pay the O(n_rows) code upload (deferred)
+    assert idx._code_blocks == []
     res = idx.query(mvs[0][:4], k=3, doc_ids=["doc1", "doc3"])
+    assert idx._code_blocks  # built on the first filtered query
     assert res and all(r.document_id in ("doc1", "doc3") for r, _ in res)
     # pad bucket is pow2(max(n_docs,256)) -- far below the 200-row corpus scale
     assert idx.last_filter_upload_floats == 256

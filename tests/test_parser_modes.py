@@ -69,6 +69,7 @@ def fake_endpoint():
                 out = {"text": "REMOTE PARSED TEXT from the parse API"}
             elif self.path.startswith("/ocr"):
                 state["ocr_calls"] += 1
+                state["last_ocr_path"] = self.path
                 assert body[:8] == b"\x89PNG\r\n\x1a\n"
                 out = {"text": f"OCR TEXT page {state['ocr_calls']}"}
                 if "tables=true" in self.path:
@@ -234,6 +235,24 @@ def test_ladder_table_aware_deep_parse(svc, fake_endpoint):
         svc.document_service.retrieve_chunks("flux coupler torque", AUTH, k=1, use_colpali=False)
     )
     assert res and "| flux coupler | 42 |" in res[0].content
+
+
+def test_ocr_tables_url_join_preserves_existing_query(fake_endpoint):
+    """?tables=true must join with '&' when the endpoint already carries
+    a query string (key-in-URL auth)."""
+    import asyncio
+
+    from PIL import Image
+
+    from morphik_core_tpu.parser.ocr import ApiOCR
+
+    base, state = fake_endpoint
+    ocr = ApiOCR(f"{base}/ocr?key=abc", tables=True)
+    out = asyncio.new_event_loop().run_until_complete(
+        ocr.image_to_structured(Image.new("RGB", (20, 20), "white"))
+    )
+    assert out["tables"], out
+    assert state["last_ocr_path"].endswith("/ocr?key=abc&tables=true"), state["last_ocr_path"]
 
 
 def test_ladder_unsearchable_without_ocr(svc):
