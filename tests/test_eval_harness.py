@@ -174,3 +174,26 @@ def test_build_judge_config():
         judge_api_base="http://j:1/v1", judge_model="m", judge_api_key="k")
     judge2, desc2 = build_judge(ns2)
     assert judge2 is not None and desc2 == "llm:m@http://j:1/v1"
+
+
+def test_fidelity_eval_part_b_small(tmp_path):
+    """evaluations/fidelity_eval.py part B (FDE + int8-index recall with
+    planted relevant clusters) stays runnable and non-degenerate at tiny
+    scale; the int8-vs-f32 index delta must be ~0."""
+    import json as _json
+    import pathlib
+    import subprocess
+    import sys
+
+    out_file = tmp_path / "fid.json"
+    out = subprocess.run(
+        [sys.executable, "evaluations/fidelity_eval.py", "--small", "--cpu",
+         "--skip-part-a", "--out", str(out_file)],
+        capture_output=True, text=True, timeout=600,
+        cwd=str(pathlib.Path(__file__).resolve().parent.parent),
+    )
+    report = _json.loads(out_file.read_text())
+    b = report["part_b_fde_recall_at_scale"]
+    assert b["recall_at_75_of_exact_top10"] >= 0.8  # tiny-scale corpus is easy
+    assert abs(b["int8_recall_delta_at_75"]) <= 0.05
+    assert report["gate"]["thresholds"]["int8_recall_delta_at_75"] == -0.02
