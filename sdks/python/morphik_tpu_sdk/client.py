@@ -19,6 +19,22 @@ import httpx
 from morphik_tpu_sdk.models import ChunkResult, CompletionResponse, Document, FinalChunkResult
 
 
+def _coerce_query_image(img: Any) -> Optional[str]:
+    """PIL image / raw bytes / data URI -> data URI (or None)."""
+    if img is None or isinstance(img, str):
+        return img
+    import base64
+    import io
+
+    if hasattr(img, "save"):  # PIL.Image
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        img = buf.getvalue()
+    if isinstance(img, (bytes, bytearray)):
+        return "data:image/png;base64," + base64.b64encode(bytes(img)).decode()
+    raise TypeError(f"unsupported query_image type {type(img)!r}")
+
+
 def _parse_uri(uri: Optional[str], base_url: Optional[str]) -> tuple[str, Optional[str]]:
     if base_url:
         return base_url.rstrip("/"), None
@@ -318,7 +334,7 @@ class Morphik:
 
     def retrieve_chunks(
         self,
-        query: str,
+        query: str = "",
         filters: Optional[Dict[str, Any]] = None,
         k: int = 4,
         min_score: float = 0.0,
@@ -329,7 +345,11 @@ class Morphik:
         output_format: str = "base64",
         folder_name: Optional[str] = None,
         end_user_id: Optional[str] = None,
+        query_image: Any = None,
     ) -> List[FinalChunkResult]:
+        """`query_image`: a PIL image, raw image bytes, or data URI —
+        ColPali image-query retrieval (reference RetrieveRequest
+        query_image, core/models/request.py:114-180)."""
         data = self._post(
             "/retrieve/chunks",
             {
@@ -337,6 +357,7 @@ class Morphik:
                 "use_colpali": use_colpali, "use_reranking": use_reranking,
                 "padding": padding, "output_format": output_format,
                 "folder_name": folder_name, "end_user_id": end_user_id,
+                "query_image": _coerce_query_image(query_image),
             },
         )
         return [FinalChunkResult(**c) for c in data]

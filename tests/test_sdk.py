@@ -102,6 +102,11 @@ def test_sdk_file_ingest_wait_and_image(server_url):
         assert doc.status == "completed"
         chunks = db.retrieve_chunks("test page", k=1, use_colpali=True, filters={"src": "sdk"})
         assert chunks and chunks[0].image is not None
+        # image-query retrieval: a PIL image goes straight in (coerced to
+        # a data URI; reference RetrieveRequest.query_image)
+        hits = db.retrieve_chunks(k=1, use_colpali=True, query_image=img,
+                                  filters={"src": "sdk"})
+        assert hits and hits[0].document_id == doc.external_id
 
 
 def test_sdk_streaming_and_folders(server_url):

@@ -60,6 +60,48 @@ def test_shutdown_drains_all_tasks(tmp_path):
         loop.close()
 
 
+def test_stop_lets_in_flight_request_finish():
+    """A SIGTERM drain must let a handler that is MID-REQUEST write its
+    response (only idle keep-alive handlers cancel immediately)."""
+    from morphik_core_tpu.api.http import Request, Response, Router
+
+    loop = asyncio.new_event_loop()
+    try:
+
+        async def go():
+            router = Router()
+            entered = asyncio.Event()
+
+            @router.get("/slow")
+            async def slow(req: Request) -> Response:
+                entered.set()
+                await asyncio.sleep(0.5)
+                return Response.json({"ok": True})
+
+            srv = HTTPServer(router, "127.0.0.1", 0)
+            await srv.start()
+
+            async def client():
+                reader, writer = await asyncio.open_connection("127.0.0.1", srv.port)
+                writer.write(b"GET /slow HTTP/1.1\r\nHost: x\r\nConnection: close\r\n\r\n")
+                await writer.drain()
+                data = await reader.read()
+                writer.close()
+                return data
+
+            task = asyncio.create_task(client())
+            await asyncio.wait_for(entered.wait(), 5)
+            await srv.stop()  # drain while /slow is still in flight
+            body = await asyncio.wait_for(task, 5)
+            assert b"200 OK" in body and b'"ok": true' in body, body[:200]
+
+        loop.run_until_complete(go())
+        pending = [t for t in asyncio.all_tasks(loop) if not t.done()]
+        assert pending == []
+    finally:
+        loop.close()
+
+
 def test_job_queue_stop_awaits_workers(tmp_path):
     from morphik_core_tpu.workers.job_queue import JobQueue
 
