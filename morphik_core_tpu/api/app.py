@@ -112,16 +112,22 @@ def build_app(services: Services) -> Router:
                 components["colpali"]["index_rows"] = {
                     ns: len(ix) for ns, ix in services.colpali_vector_store._indexes.items()
                 }
+                def _tier(pc):
+                    total = pc.hits + pc.misses
+                    return {
+                        "hits": pc.hits, "misses": pc.misses,
+                        "hit_rate": round(pc.hits / total, 3) if total else 0.0,
+                        "resident": len(pc._row_to_slot), "slots": pc.slots,
+                    }
+
                 cache_stats = {}
                 for ns, ix in services.colpali_vector_store._indexes.items():
                     pc = getattr(ix, "_pool_cache", None)
                     if pc is not None:
-                        total = pc.hits + pc.misses
-                        cache_stats[ns] = {
-                            "hits": pc.hits, "misses": pc.misses,
-                            "hit_rate": round(pc.hits / total, 3) if total else 0.0,
-                            "resident": len(pc._row_to_slot), "slots": pc.slots,
-                        }
+                        cache_stats[ns] = _tier(pc)
+                    ppc = getattr(ix, "_pooled_cache", None)
+                    if ppc is not None:  # pooled-prefilter HBM tier
+                        cache_stats.setdefault(ns, {})["pooled_tier"] = _tier(ppc)
                 if cache_stats:
                     components["colpali"]["device_cache"] = cache_stats
         else:
