@@ -346,8 +346,19 @@ class HTTPServer:
             head = status_line + "".join(f"{k}: {v}\r\n" for k, v in headers.items()) + "\r\n"
             writer.write(head.encode())
             await writer.drain()
-            async for chunk in resp.stream:
-                writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+            try:
+                async for chunk in resp.stream:
+                    writer.write(f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n")
+                    await writer.drain()
+                writer.write(b"0\r\n\r\n")
                 await writer.drain()
-            writer.write(b"0\r\n\r\n")
-            await writer.drain()
+            finally:
+                # a client disconnect mid-stream abandons the generator;
+                # without an explicit aclose, GC schedules athrow on a
+                # possibly-dead loop ("Task was destroyed" at exit)
+                aclose = getattr(resp.stream, "aclose", None)
+                if aclose is not None:
+                    try:
+                        await aclose()
+                    except Exception:  # noqa: BLE001
+                        pass
