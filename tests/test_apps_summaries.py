@@ -180,3 +180,14 @@ def test_on_the_fly_document_query(server):
             assert r.status_code in (400, 422)  # empty upload rejected
 
     run(go())
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()

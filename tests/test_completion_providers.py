@@ -202,3 +202,14 @@ def test_build_completion_model_routing(fake_llm):
     # production still refuses silent stub fallback
     with pytest.raises(RuntimeError):
         build_completion_model(reg, "missing_key", environment="production")
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()

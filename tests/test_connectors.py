@@ -279,3 +279,14 @@ def test_github_list_files_paginates(tmp_path):
     assert len(p1["files"]) == 100 and p1["next_page_token"] == "2"
     p2 = run(conn.list_files(page_token=p1["next_page_token"]))
     assert len(p2["files"]) == 7 and p2["next_page_token"] is None
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()

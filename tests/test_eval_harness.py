@@ -197,3 +197,14 @@ def test_fidelity_eval_part_b_small(tmp_path):
     assert b["recall_at_75_of_exact_top10"] >= 0.8  # tiny-scale corpus is easy
     assert abs(b["int8_recall_delta_at_75"]) <= 0.05
     assert report["gate"]["thresholds"]["int8_recall_delta_at_75"] == -0.02
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()

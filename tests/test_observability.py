@@ -191,3 +191,14 @@ def test_device_profile_capture(server):
     out = run(go())
     # a trace directory is produced (file layout is backend-specific)
     assert "trace_dir" in out
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()

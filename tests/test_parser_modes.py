@@ -266,3 +266,14 @@ def test_ladder_unsearchable_without_ocr(svc):
     out = run(svc.ingestion_service.process_ingestion_job(doc.external_id, AUTH, use_colpali=False))
     assert out.system_metadata["status"] == "completed"
     assert out.system_metadata.get("unsearchable") is True
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()

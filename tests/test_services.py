@@ -471,3 +471,14 @@ def test_rerank_oversample_never_below_k(services):
         "turbines corpus item", AUTH, k=24, use_colpali=False, use_reranking=True,
         filters={"rrsuite": True}))
     assert len(res) == 24, len(res)
+
+@pytest.fixture(scope="module", autouse=True)
+def _loop_lifecycle():
+    """Run pending callbacks (async-generator aclose tasks scheduled at
+    GC) and CLOSE the module loop — an abandoned loop turns those into
+    'Task was destroyed but it is pending!' at interpreter exit."""
+    yield
+    try:
+        _LOOP.run_until_complete(asyncio.sleep(0.05))
+    finally:
+        _LOOP.close()
