@@ -42,3 +42,22 @@ def mesh8():
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()
+
+
+def run_once(coro):
+    """Run a coroutine on a fresh loop and CLEAN UP properly: shuts down
+    async generators and closes the loop. The bare
+    asyncio.new_event_loop().run_until_complete(...) pattern abandons its
+    loop — async generators GC'd later schedule aclose() on it and
+    surface as flaky 'Task was destroyed but it is pending!' warnings at
+    interpreter exit."""
+    import asyncio as _aio
+
+    loop = _aio.new_event_loop()
+    try:
+        return loop.run_until_complete(coro)
+    finally:
+        try:
+            loop.run_until_complete(loop.shutdown_asyncgens())
+        finally:
+            loop.close()

@@ -4,6 +4,8 @@ health/cooldown failover, 413 batch halving)."""
 
 import asyncio
 
+from conftest import run_once
+
 import numpy as np
 import pytest
 
@@ -16,7 +18,7 @@ from morphik_core_tpu.models.schemas import Chunk
 
 
 def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 def make_model(endpoints, post_sync):

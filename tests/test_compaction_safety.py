@@ -5,6 +5,8 @@ header validation, prefix-safe folder path rewrites."""
 import shutil
 from pathlib import Path
 
+from conftest import run_once
+
 import numpy as np
 import pytest
 
@@ -118,12 +120,10 @@ def test_compaction_persistent_roundtrip(tmp_path):
 def test_folder_rename_move_prefix_safety(tmp_path):
     """REPLACE-based path rewrites corrupted sibling-prefixed descendants
     ('/a/ab' -> '/z/zb' on renaming '/a' to '/z'). Regression coverage."""
-    import asyncio
-
     from morphik_core_tpu.database.sqlite_database import SQLiteDatabase
     from morphik_core_tpu.models.schemas import AuthContext, Document
 
-    run = asyncio.new_event_loop().run_until_complete
+    run = run_once
     db = SQLiteDatabase(str(tmp_path / "db.sqlite"))
     run(db.initialize())
     auth = AuthContext(entity_id="t", permissions=["read", "write", "admin"])

@@ -3,6 +3,8 @@ chats, system filters (folder_path/depth semantics of the reference API)."""
 
 import asyncio
 
+from conftest import run_once
+
 import pytest
 
 from morphik_core_tpu.database import SQLiteDatabase
@@ -10,7 +12,7 @@ from morphik_core_tpu.models.schemas import AuthContext, Document
 
 
 def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 @pytest.fixture()

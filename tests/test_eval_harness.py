@@ -1,6 +1,8 @@
 """Eval-harness smoke test on a small synthetic corpus."""
 
 import asyncio
+
+from conftest import run_once
 from pathlib import Path
 
 import pytest
@@ -74,7 +76,7 @@ def test_retrieval_eval_metrics():
         RetrievalCase("q1", ["doc_a"], "paris"),
         RetrievalCase("q2", ["doc_z"], "london"),
     ]
-    out = asyncio.new_event_loop().run_until_complete(
+    out = run_once(
         evaluate_retrieval(cases, retrieve, answer, k=3)
     )
     assert out["recall_at_k"] == 0.5

@@ -3,6 +3,8 @@ dry-run, page estimation, enforcement only in cloud mode)."""
 
 import asyncio
 
+from conftest import run_once
+
 import pytest
 
 from morphik_core_tpu.models.tiers import estimate_pages_from_chars
@@ -10,7 +12,7 @@ from morphik_core_tpu.services.user_service import LimitExceededError, UserServi
 
 
 def run(coro):
-    return asyncio.new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 def test_page_estimate():

@@ -7,6 +7,8 @@ import zipfile
 import zlib
 
 import asyncio
+
+from conftest import run_once
 import numpy as np
 import pytest
 
@@ -19,7 +21,7 @@ from morphik_core_tpu.storage.content_types import DOCX, PPTX, XLSX, detect_cont
 
 
 def run(coro):
-    return asyncio.new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 # ------------------------------------------------------------- splitter
@@ -240,7 +242,7 @@ def test_video_describe_fn_wired(tmp_path):
     )
     services = build_services(settings)
     assert services.parser.describe_fn is not None
-    out = asyncio.new_event_loop().run_until_complete(
+    out = run_once(
         services.parser.describe_fn("data:image/jpeg;base64,AAAA", "")
     )
     assert isinstance(out, str)
@@ -272,7 +274,7 @@ def test_parser_routes_html(tmp_path):
 
     p = MorphikParser(Settings())
     html = b"<!DOCTYPE html><html><head><title>T</title></head><body><p>HTML body text.</p></body></html>"
-    meta, text = asyncio.new_event_loop().run_until_complete(
+    meta, text = run_once(
         p.parse_file_to_text(html, "page.html")
     )
     assert meta.get("title") == "T"
@@ -293,7 +295,7 @@ def test_video_transcript_provider():
 
     vp = VideoParser(b"vid", transcribe_fn=transcribe)
     vp.sample_frames = lambda: ([(0.0, b"jpg")], {"fps": 30.0, "duration": 1.0, "frame_count": 30.0})
-    out = asyncio.new_event_loop().run_until_complete(vp.process_video())
+    out = run_once(vp.process_video())
     assert out["transcript"].time_to_content == {0.0: "hello", 2.5: "world"}
     assert out["frame_descriptions"].time_to_content
 
@@ -308,7 +310,7 @@ def test_video_transcript_provider_outage_tolerated():
 
     vp = VideoParser(b"vid", transcribe_fn=transcribe)
     vp.sample_frames = lambda: ([], {"fps": 30.0, "duration": 0.0, "frame_count": 0.0})
-    out = asyncio.new_event_loop().run_until_complete(vp.process_video())
+    out = run_once(vp.process_video())
     assert out["transcript"].time_to_content == {}  # ingest survives
 
 
@@ -329,7 +331,7 @@ def test_openai_transcription_client_parses_segments():
         ]}
 
     client._request = fake
-    out = asyncio.new_event_loop().run_until_complete(client(b"vid"))
+    out = run_once(client(b"vid"))
     assert out == {0.0: "intro", 3.2: "body"}
     assert seen["url"] == "http://stt.local/v1/audio/transcriptions"
     assert seen["data"]["response_format"] == "verbose_json"
@@ -347,7 +349,7 @@ def test_openai_transcription_client_plain_text_fallback():
         return {"text": "full transcript"}
 
     client._request = fake
-    out = asyncio.new_event_loop().run_until_complete(client(b"vid"))
+    out = run_once(client(b"vid"))
     assert out == {0.0: "full transcript"}
 
 

@@ -10,6 +10,8 @@ Reference behaviors reproduced:
 """
 
 import asyncio
+
+from conftest import run_once
 import json
 import threading
 import zlib
@@ -248,7 +250,7 @@ def test_ocr_tables_url_join_preserves_existing_query(fake_endpoint):
 
     base, state = fake_endpoint
     ocr = ApiOCR(f"{base}/ocr?key=abc", tables=True)
-    out = asyncio.new_event_loop().run_until_complete(
+    out = run_once(
         ocr.image_to_structured(Image.new("RGB", (20, 20), "white"))
     )
     assert out["tables"], out

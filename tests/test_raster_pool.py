@@ -6,13 +6,15 @@ run the native renderer."""
 
 import asyncio
 
+from conftest import run_once
+
 from tests.test_parser import make_pdf
 
 from morphik_core_tpu.parser.raster_pool import RasterPool, _page_count
 
 
 def run(coro):
-    return asyncio.new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 def _pdf(n):

@@ -2,6 +2,8 @@
 tests drive a running server the same way)."""
 
 import asyncio
+
+from conftest import run_once
 import threading
 
 import pytest
@@ -201,7 +203,7 @@ def test_async_sdk_parity(server_url, tmp_path):
                 toks.append(tok)
             assert toks
 
-    aio.new_event_loop().run_until_complete(go())
+    run_once(go())
 
 
 def test_sdk_v2_pipeline(server_url):
@@ -360,4 +362,4 @@ def test_async_folder_and_user_scope(server_url):
             fd = await fu.ingest_file(b"dave doc body", filename="dd.txt", use_colpali=False)
             assert fd.end_user_id == "dave" and fd.folder_path == "/async-proj"
 
-    aio.new_event_loop().run_until_complete(go())
+    run_once(go())

@@ -4,6 +4,8 @@ S3Storage in core/storage/s3_storage.py)."""
 
 import asyncio
 
+from conftest import run_once
+
 import pytest
 
 from morphik_core_tpu.config import Settings
@@ -13,7 +15,7 @@ from morphik_core_tpu.storage.local_storage import LocalStorage
 
 
 def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 def test_cache_put_get_evict(tmp_path):
@@ -186,7 +188,7 @@ def test_storage_path_traversal_blocked(tmp_path):
 
     from morphik_core_tpu.storage.local_storage import LocalStorage
 
-    run = asyncio.new_event_loop().run_until_complete
+    run = run_once
     (tmp_path / "store-secrets").mkdir()
     st = LocalStorage(tmp_path / "store")
     with pytest.raises(ValueError):

@@ -4,6 +4,8 @@ folder_depth levels, move guards, filter-evaluator edge cases."""
 
 import asyncio
 
+from conftest import run_once
+
 import pytest
 
 from morphik_core_tpu.database.metadata_filters import matches_filter
@@ -12,7 +14,7 @@ from morphik_core_tpu.models.schemas import AuthContext, Document
 
 
 def run(coro):
-    return asyncio.new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 A = AuthContext(entity_id="userA", permissions=["read", "write", "admin"], app_id="appA")

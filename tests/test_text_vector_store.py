@@ -4,6 +4,8 @@ exactly like a brute-force oracle."""
 
 import asyncio
 
+from conftest import run_once
+
 import numpy as np
 import pytest
 
@@ -13,7 +15,7 @@ from morphik_core_tpu.vector_store.text_vector_store import TextVectorStore
 
 
 def run(coro):
-    return asyncio.get_event_loop_policy().new_event_loop().run_until_complete(coro)
+    return run_once(coro)
 
 
 def _chunks(vecs, texts, doc="d"):
