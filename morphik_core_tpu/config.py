@@ -207,6 +207,17 @@ class VectorStoreConfig(BaseModel):
     # rerank. 0/1 = off. Factor 4 cuts the cold 75-candidate pool
     # upload ~4x with the winner still decided by exact MaxSim.
     rerank_prefilter_pooling: int = 4
+    # DEVICE-RESIDENT pooled-candidate tier: keep every row's
+    # token-pooled int8 multivector in HBM (blocks sharing the FDE
+    # geometry) and fuse the pooled prefilter into the ANN scan — a
+    # cold query uploads NOTHING for the prefilter; only the top
+    # max(2k, 16) exact-rescore rows pay transfer. pooled_tier_factor
+    # is the pooling (0 = off); the tier auto-falls-back to the upload
+    # pooled pass above when its HBM estimate exceeds the budget. At
+    # factor 32 a 1M-page corpus of ~1k-token pages costs ~4.2 GB next
+    # to the 10.2 GB int8 FDE matrix on one v5e chip.
+    pooled_tier_factor: int = 32
+    pooled_tier_budget_mb: int = 6144
 
 
 class WorkerConfig(BaseModel):

@@ -172,11 +172,14 @@ class DevicePoolCache:
             return None
         misses = [r for r in pool_rows if r not in self._row_to_slot]
         if misses:
-            # pow-2 bucket the insert batch: a fresh compile per distinct
-            # miss count would dominate cold queries. Padding repeats the
-            # LAST miss (same slot, same data — the duplicate scatter
-            # writes are idempotent). 16-bit (or int8+scale) upload.
-            m_pad = _round_pow2(len(misses))
+            # bucket the insert batch to a multiple of 8: a fresh compile
+            # per distinct miss count would dominate cold queries, while
+            # pow-2 padding would UPLOAD up to 2x the miss bytes (the
+            # insert is the one transfer a cold rescore pays). Padding
+            # repeats the LAST miss (same slot, same data — the duplicate
+            # scatter writes are idempotent). 16-bit (or int8+scale)
+            # upload.
+            m_pad = max(8, -(-len(misses) // 8) * 8)
             up_dtype = np.int8 if self.quantized else np.float16
             new = np.zeros((m_pad, self.token_bucket, self.dim), up_dtype)
             scales = np.ones((m_pad, self.token_bucket), np.float32) if self.quantized else None

@@ -112,6 +112,8 @@ class MultiVectorIndex:
         device_cache_token_bucket: int = 1024,
         rerank_dtype: str = "bf16",  # "bf16" | "int8" (per-token scales)
         rerank_prefilter_pooling: int = 0,  # 0/1 = off; p>1 = pooled first pass
+        pooled_tier_factor: int = 0,  # 0 = off; p>1 = device-resident pooled tier
+        pooled_tier_budget_mb: int = 6144,  # HBM budget gate for the tier
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
@@ -196,6 +198,22 @@ class MultiVectorIndex:
         # (min(10k, 75), fast_multivector_store.py:529-532); pooling
         # semantics per PAPERS.md training-free token pooling.
         self.rerank_prefilter_pooling = int(rerank_prefilter_pooling)
+        # DEVICE-RESIDENT pooled-candidate tier: every row's token-pooled
+        # int8 multivector lives in HBM blocks sharing the FDE block
+        # geometry, and the pooled prefilter FUSES into the ANN scan
+        # program — a cold query uploads NOTHING for the prefilter pass;
+        # only the max(2k, 16) exact-rescore survivors pay transfer.
+        # Gated by a byte budget (falls back to the upload-per-query
+        # pooled pass above when the corpus outgrows it). Single-device
+        # path only: under a mesh the tier would need row-sharded pooled
+        # blocks — mesh queries use the upload pooled prefilter instead.
+        self.pooled_tier_factor = int(pooled_tier_factor)
+        self.pooled_tier_budget_mb = int(pooled_tier_budget_mb)
+        self._pooled_blocks: List[Any] = []  # (B, T, D) int8 per block
+        self._pooled_scales: List[Any] = []  # (B, T) f32 (0 = padded token)
+        self._pooled_rows = 0
+        self._pooled_bucket = 0
+        self._max_tokens = 0
 
         if self.path:
             # finish or discard an interrupted compaction before loading
@@ -270,6 +288,7 @@ class MultiVectorIndex:
                 row = self._count
                 mv = np.ascontiguousarray(mv, dtype=self.store_dtype)
                 rec.n_tokens = int(mv.shape[0])
+                self._max_tokens = max(self._max_tokens, rec.n_tokens)
                 self.records.append(rec)
                 self._mv_off.append(-1)
                 self._mv_pending.append(mv)
@@ -371,6 +390,9 @@ class MultiVectorIndex:
             self._mesh_mask_rows = 0
             self._mesh_code_blocks = []
             self._mesh_code_rows = 0
+            self._pooled_blocks = []
+            self._pooled_scales = []
+            self._pooled_rows = 0
 
     def _block_host_arrays(self, b: int):
         """Host-side payload for block b (padded to B rows). int8 path
@@ -463,6 +485,148 @@ class MultiVectorIndex:
         if self._zeros_codes_cache is None or self._zeros_codes_cache.shape[0] != B:
             self._zeros_codes_cache = jnp.zeros((B,), jnp.int32)
         return (self._zeros_codes_cache,) * n_blocks
+
+    # --- device-resident pooled tier ----------------------------------------
+
+    def _tier_bucket(self) -> int:
+        """Pooled token bucket: ceil(max_tokens / factor) rounded up to a
+        multiple of 8 (the q8 kernel's minimum token tile)."""
+        from morphik_core_tpu.ops.pooling import pooled_token_count
+
+        p = self.pooled_tier_factor
+        n = pooled_token_count(max(self._max_tokens, 1), p)
+        return max(8, -(-n // 8) * 8)
+
+    def tier_bytes_estimate(self) -> int:
+        """HBM the pooled tier would occupy at the current corpus size
+        (int8 tokens + f32 per-token scales, padded block geometry)."""
+        self._sync_block_size()
+        B = self._active_block
+        n_blocks = -(-max(self._count, 1) // B)
+        bucket = self._tier_bucket()
+        return n_blocks * B * bucket * (self._dim + 4)
+
+    def _tier_active(self) -> bool:
+        """Device pooled tier serves the prefilter when configured, on a
+        single chip, and within the HBM byte budget. Over budget (or
+        under a mesh) the query falls back to the upload pooled pass —
+        re-checked per query, so a compaction that shrinks the corpus
+        re-enables the tier automatically."""
+        if self.pooled_tier_factor <= 1 or self.mesh is not None:
+            return False
+        if self._count == 0:
+            return False
+        return self.tier_bytes_estimate() <= self.pooled_tier_budget_mb * (1 << 20)
+
+    def _pooled_block_host(self, b: int, bucket: int):
+        """Host payload for pooled block b: per-token int8 + scales with
+        scale 0 marking padded tokens (doubles as the validity mask).
+        Builds in bounded row chunks — a 64k-row block would otherwise
+        materialize ~2 GB of f32 temporaries."""
+        from morphik_core_tpu.ops.pooling import pool_multivector
+
+        B = self._active_block
+        lo, hi = b * B, min((b + 1) * B, self._count)
+        q8 = np.zeros((B, bucket, self._dim), np.int8)
+        sc = np.zeros((B, bucket), np.float32)
+        CHUNK = 2048
+        p = self.pooled_tier_factor
+        for start in range(lo, hi, CHUNK):
+            stop = min(start + CHUNK, hi)
+            dense = np.zeros((stop - start, bucket, self._dim), np.float32)
+            for j, r in enumerate(range(start, stop)):
+                if not self._alive[r]:
+                    continue  # tombstones are never gathered; skip the IO
+                pv = pool_multivector(np.asarray(self._mv_row(r), np.float32), p)
+                n = min(pv.shape[0], bucket)
+                dense[j, :n] = pv[:n]
+            qq, ss = quantize_rows_int8(dense)
+            # zero-out scales at padded tokens (quantize gives them 1.0)
+            ss = ss * (np.abs(dense).max(axis=-1) > 0)
+            q8[start - lo : stop - lo] = qq
+            sc[start - lo : stop - lo] = ss
+        return q8, sc
+
+    def _ensure_pooled_blocks(self) -> None:
+        """Tail-incremental twin of _ensure_device_blocks for the pooled
+        tier. A bucket change (a longer row arrived) rebuilds the tier
+        from scratch at the new geometry."""
+        self._sync_block_size()
+        bucket = self._tier_bucket()
+        if bucket != self._pooled_bucket:
+            self._pooled_blocks = []
+            self._pooled_scales = []
+            self._pooled_rows = 0
+            self._pooled_bucket = bucket
+        if self._pooled_rows == self._count and self._pooled_blocks:
+            return
+        B = self._active_block
+        first_dirty = self._pooled_rows // B
+        n_blocks = -(-self._count // B)
+        del self._pooled_blocks[first_dirty:]
+        del self._pooled_scales[first_dirty:]
+        for b in range(first_dirty, n_blocks):
+            q8, sc = self._pooled_block_host(b, bucket)
+            self._pooled_blocks.append(jnp.asarray(q8))
+            self._pooled_scales.append(jnp.asarray(sc))
+        self._pooled_rows = self._count
+
+    def _ann_pooled_topm(
+        self,
+        qe,
+        q: np.ndarray,
+        doc_ids: Optional[Sequence[str]],
+        pool_size: int,
+        m: int,
+    ) -> List[int]:
+        """ONE compiled program: blocked ANN scan -> top-pool -> pooled
+        MaxSim rescore against the device tier -> top-m survivors. The
+        only per-query uploads are the (already device-resident) encoded
+        query + the tiny int8 query multivector; the fetch is one packed
+        (2m,) array. Survivor rows return best-pooled-first."""
+        from morphik_core_tpu.ops.maxsim import default_use_pallas, quantize_query_q8
+        from morphik_core_tpu.parallel.search import (
+            scan_blocks_topk_pooled,
+            scan_blocks_topk_q_pooled,
+        )
+
+        self._ensure_device_blocks()
+        self._ensure_mask_blocks()
+        self._ensure_pooled_blocks()
+        B = self._active_block
+        kb = min(_round_capacity(pool_size, minimum=16), B)
+        masks = tuple(self._mask_blocks)
+        if doc_ids is None:
+            codes = self._zero_codes(len(self._dev_blocks))
+        else:
+            self._ensure_code_blocks()
+            codes = tuple(self._code_blocks)
+        allowed = self._allowed_vec(doc_ids)
+        q8p, qsp = quantize_query_q8(q)
+        use_pallas = self.use_pallas if self.use_pallas is not None else default_use_pallas()
+        m_pad = min(_round_capacity(m, minimum=16), pool_size)
+        if self.ann_dtype == "int8":
+            q_dev, qs_dev = qe
+            packed = scan_blocks_topk_q_pooled(
+                tuple(b[0] for b in self._dev_blocks),
+                tuple(b[1] for b in self._dev_blocks),
+                masks, codes, allowed, q_dev, qs_dev,
+                tuple(self._pooled_blocks), tuple(self._pooled_scales),
+                jnp.asarray(q8p), jnp.asarray(qsp),
+                kb, pool_size, m_pad, use_pallas,
+            )
+        else:
+            packed = scan_blocks_topk_pooled(
+                tuple(self._dev_blocks), masks, codes, allowed, jnp.asarray(qe),
+                tuple(self._pooled_blocks), tuple(self._pooled_scales),
+                jnp.asarray(q8p), jnp.asarray(qsp),
+                kb, pool_size, m_pad, use_pallas,
+            )
+        packed = np.asarray(packed)
+        half = packed.shape[0] // 2
+        vals, gids = packed[:half], packed[half:].astype(np.int64)
+        out = [int(g) for g, s in zip(gids, vals) if np.isfinite(s) and g < self._count]
+        return out[:m]
 
     # --- filtered-query gate ----------------------------------------------
 
@@ -683,20 +847,31 @@ class MultiVectorIndex:
                     return []
             elif len(self) == 0:
                 return []
-            pool = self._ann_pool(qe, doc_ids, pool_size)
+            # exact-rescore survivor count: the pooled prefilter (either
+            # variant) narrows the ANN pool to this many rows before the
+            # full-token exact rerank
+            rescore_n = max(2 * k, 16)
+            tier = self._tier_active() and pool_size > rescore_n
+            if tier:
+                # fused path: ANN scan + device pooled-tier rescore in one
+                # program — zero candidate upload for the prefilter pass
+                pool = self._ann_pooled_topm(qe, q, doc_ids, pool_size, rescore_n)
+            else:
+                pool = self._ann_pool(qe, doc_ids, pool_size)
             t2 = time.perf_counter()
             if not pool:
                 return []
 
             # exact rerank of the pool. Hot candidates come from the HBM
             # LRU (insert-on-miss, device gather — zero bulk transfer on
-            # warm queries). A COLD pool first goes through an int8
-            # token-POOLED prefilter (transfer / pooling factor) that
-            # narrows it to max(2k, 16) rows before the full-token exact
-            # rerank — only those rows pay the full upload / cache slots.
-            # The fallback exact path uploads 16-bit (halves the transfer
-            # vs f32; f16->bf16 rounding is orders of magnitude below
-            # MaxSim ranking margins).
+            # warm queries). A COLD pool (when the device pooled tier is
+            # off/over-budget) first goes through an int8 token-POOLED
+            # prefilter (transfer / pooling factor) that narrows it to
+            # max(2k, 16) rows before the full-token exact rerank — only
+            # those rows pay the full upload / cache slots. The fallback
+            # exact path uploads 16-bit (halves the transfer vs f32;
+            # f16->bf16 rounding is orders of magnitude below MaxSim
+            # ranking margins).
             rescores = None
             resident = (
                 self._cache_slots > 0
@@ -704,8 +879,7 @@ class MultiVectorIndex:
                 and self._pool_cache.resident(pool)
             )
             p = self.rerank_prefilter_pooling
-            rescore_n = max(2 * k, 16)
-            if not resident and p > 1 and len(pool) > rescore_n:
+            if not tier and not resident and p > 1 and len(pool) > rescore_n:
                 pool = self._pooled_prefilter(pool, q, rescore_n, p)
             if self._cache_slots > 0:
                 rescores = self._pool_scores_cached(pool, q)
@@ -738,6 +912,7 @@ class MultiVectorIndex:
                     "ann_ms": (t2 - t1) * 1e3,
                     "rerank_ms": (t3 - t2) * 1e3,
                     "pool": len(pool),
+                    "pooled_tier": tier,
                 }
                 logger.info(
                     "index.query timing encode=%.1fms ann=%.1fms rerank=%.1fms pool=%d",
@@ -954,6 +1129,7 @@ class MultiVectorIndex:
                         content_key=op.get("content_key"),
                         n_tokens=op["n_tokens"],
                     )
+                    self._max_tokens = max(self._max_tokens, rec.n_tokens)
                     sid = f"{rec.document_id}-{rec.chunk_number}"
                     old = self._id_to_row.get(sid)
                     if row >= len(self._alive):
@@ -1246,6 +1422,7 @@ class MultiVectorIndex:
         self._mv_pending = []
         self._wal_buffer = []
         self._mv_file_tokens = 0
+        self._max_tokens = 0
         self._reset_device_state()
         self._invalidate_all_caches()  # row ids were renumbered
         self._load()
@@ -1266,6 +1443,10 @@ class MultiVectorIndex:
         self._mesh_mask_rows = 0
         self._mesh_code_blocks = []
         self._mesh_code_rows = 0
+        self._pooled_blocks = []
+        self._pooled_scales = []
+        self._pooled_rows = 0
+        self._pooled_bucket = 0
 
     def _reset_state(self, records, fde_pending, mv_pending, id_to_row, doc_rows) -> None:
         self.records = records
@@ -1286,10 +1467,12 @@ class MultiVectorIndex:
         self._doc_index = {}
         self._doc_alive = {}
         self._row_code = []
+        self._max_tokens = 0
         for rec in records:
             code = self._doc_index.setdefault(rec.document_id, len(self._doc_index))
             self._row_code.append(code)
             self._doc_alive[rec.document_id] = self._doc_alive.get(rec.document_id, 0) + 1
+            self._max_tokens = max(self._max_tokens, rec.n_tokens)
         self._wal_buffer = [
             {
                 "op": "add",

@@ -72,18 +72,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 # ------------------------------------------------- single-chip blocked scans
 
-@functools.partial(jax.jit, static_argnames=("k", "pool"))
-def scan_blocks_topk(blocks, masks, codes, allowed, q, k: int, pool: int):
-    """Fused single-device blocked ANN scan: every block's matvec +
-    local top-k AND the global merge run in ONE compiled program (one
-    dispatch, one fetch — per-block dispatches pay the host<->device
-    RTT n_blocks times on remote-attached TPUs).
-
-    blocks: tuple of (B, D) float/bf16 arrays; masks: tuple of (B,)
-    device-cached alive masks; codes: tuple of (B,) int32 per-row doc
-    codes (device-cached); allowed: (n_codes_pad,) float32 gate over
-    document codes — filtered queries upload only this O(n_docs)
-    vector, never an O(n_rows) mask."""
+def _scan_body(blocks, masks, codes, allowed, q, k: int, pool: int):
+    """Blocked float/bf16 ANN scan core: per-block matvec + local top-k
+    + global merge. Returns (scores (pool,) f32, global row ids (pool,)
+    int32) — still on device, for composition with the pooled stage."""
     vs, gis = [], []
     for b, (f, m, c) in enumerate(zip(blocks, masks, codes)):
         scores = (f @ q.astype(f.dtype)).astype(jnp.float32)
@@ -95,16 +87,11 @@ def scan_blocks_topk(blocks, masks, codes, allowed, q, k: int, pool: int):
     v = jnp.concatenate(vs)
     gi = jnp.concatenate(gis)
     vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
-    # ONE packed result array: each device->host fetch through a
-    # remote-attached relay costs a full RTT, so (scores, indices) ride
-    # together — f32 holds row ids exactly up to 2^24 (16.7M rows/chip,
-    # far above the 1M-page/chip design point)
-    return jnp.concatenate([vm, gi[sel].astype(jnp.float32)])
+    return vm, gi[sel].astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "pool"))
-def scan_blocks_topk_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: int, pool: int):
-    """int8 variant of `scan_blocks_topk` (per-row scales; int8 MXU dot)."""
+def _scan_body_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: int, pool: int):
+    """int8 variant of `_scan_body` (per-row scales; int8 MXU dot)."""
     vs, gis = [], []
     for b, (fq, s, m, c) in enumerate(zip(blocks, scales, masks, codes)):
         s32 = jax.lax.dot_general(
@@ -119,7 +106,125 @@ def scan_blocks_topk_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: in
     v = jnp.concatenate(vs)
     gi = jnp.concatenate(gis)
     vm, sel = jax.lax.top_k(v, min(pool, int(v.shape[0])))
-    return jnp.concatenate([vm, gi[sel].astype(jnp.float32)])
+    return vm, gi[sel].astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pool"))
+def scan_blocks_topk(blocks, masks, codes, allowed, q, k: int, pool: int):
+    """Fused single-device blocked ANN scan: every block's matvec +
+    local top-k AND the global merge run in ONE compiled program (one
+    dispatch, one fetch — per-block dispatches pay the host<->device
+    RTT n_blocks times on remote-attached TPUs).
+
+    blocks: tuple of (B, D) float/bf16 arrays; masks: tuple of (B,)
+    device-cached alive masks; codes: tuple of (B,) int32 per-row doc
+    codes (device-cached); allowed: (n_codes_pad,) float32 gate over
+    document codes — filtered queries upload only this O(n_docs)
+    vector, never an O(n_rows) mask."""
+    vm, gi = _scan_body(blocks, masks, codes, allowed, q, k, pool)
+    # ONE packed result array: each device->host fetch through a
+    # remote-attached relay costs a full RTT, so (scores, indices) ride
+    # together — f32 holds row ids exactly up to 2^24 (16.7M rows/chip,
+    # far above the 1M-page/chip design point)
+    return jnp.concatenate([vm, gi.astype(jnp.float32)])
+
+
+@functools.partial(jax.jit, static_argnames=("k", "pool"))
+def scan_blocks_topk_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: int, pool: int):
+    """int8 variant of `scan_blocks_topk` (per-row scales; int8 MXU dot)."""
+    vm, gi = _scan_body_q(blocks, scales, masks, codes, allowed, qq, q_scale, k, pool)
+    return jnp.concatenate([vm, gi.astype(jnp.float32)])
+
+
+# ----------------------------------------- fused ANN + pooled-tier rescore
+#
+# The device-resident pooled-candidate tier: every row's token-POOLED
+# int8 multivector lives in HBM blocks with the same row geometry as
+# the FDE blocks. The ANN pool is then narrowed to the exact-rescore
+# survivors entirely ON DEVICE — a cold query's pooled prefilter pass
+# uploads nothing and fetches one tiny packed array. Only the top
+# max(2k, 16) survivors pay the full-token host->device upload for the
+# exact MaxSim rerank. (The reference's cache-first rerank semantics
+# this replaces: core/vector_store/fast_multivector_store.py:713-774.)
+
+
+def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
+                  use_pallas: bool, interpret: bool):
+    """Rescore the ANN pool (vm scores, gi global row ids) by MaxSim over
+    the device-resident POOLED int8 tier and keep the top `m`.
+
+    The pool is PADDED to a multiple of 8 for the q8 kernel's candidate
+    tile; `n_valid` masks the padding so results match an unpadded pool
+    exactly. pblocks: tuple of (B, T, D) int8 pooled tokens; pscales:
+    tuple of (B, T) f32 per-token scales with 0 marking padded tokens
+    (doubles as the validity mask). q8p/qsp: int8-quantized query
+    multivector (quantize_query_q8 layout). Returns packed
+    [scores (m,) | ids (m,)] — one device->host fetch."""
+    from morphik_core_tpu.ops.maxsim import _maxsim_pallas_q8, maxsim_scores_ref
+
+    B = pblocks[0].shape[0]
+    T = pblocks[0].shape[1]
+    P_ = gi.shape[0]
+    token_tile = T
+    for t in (256, 128, 64, 32, 16, 8):
+        if T % t == 0:
+            token_tile = t
+            break
+    total = jnp.zeros((P_,), jnp.float32)
+    for b in range(len(pblocks)):
+        sel = (gi // B) == b
+        idx = jnp.where(sel, gi - b * B, 0)
+        g8 = pblocks[b][idx]  # (P, T, D) int8 gather — stays in HBM
+        gs = pscales[b][idx]  # (P, T)
+        gmask = (gs > 0).astype(jnp.float32) * sel[:, None].astype(jnp.float32)
+        if use_pallas:
+            s = _maxsim_pallas_q8(
+                q8p, qsp, g8, gs, gmask,
+                candidate_tile=8, token_tile=token_tile, interpret=interpret,
+            )[:P_]
+        else:
+            deq_d = g8.astype(jnp.float32) * gs[:, :, None]
+            deq_q = q8p.astype(jnp.float32) * qsp[0][:, None]
+            s = maxsim_scores_ref(deq_q, deq_d, gmask)
+        # rows outside block b are fully masked -> the kernel maps them
+        # to exactly 0, so summing across blocks keeps one real score
+        total = total + s
+    valid = jnp.isfinite(vm) & (jnp.arange(P_) < n_valid)
+    total = jnp.where(valid, total, -jnp.inf)
+    m = min(m, P_)
+    vals, pos = jax.lax.top_k(total, m)
+    return jnp.concatenate([vals, gi[pos].astype(jnp.float32)])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "pool", "m", "use_pallas", "interpret")
+)
+def scan_blocks_topk_q_pooled(
+    blocks, scales, masks, codes, allowed, qq, q_scale,
+    pblocks, pscales, q8p, qsp,
+    k: int, pool: int, m: int, use_pallas: bool = True, interpret: bool = False,
+):
+    """int8 ANN scan + device pooled-tier rescore in ONE compiled
+    program: one dispatch, one tiny fetch, zero candidate upload.
+    `pool` is the true candidate count; the scan internally pads it to
+    the kernel's candidate-tile multiple and masks the padding."""
+    pool8 = -(-pool // 8) * 8
+    vm, gi = _scan_body_q(blocks, scales, masks, codes, allowed, qq, q_scale, k, pool8)
+    return _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m, pool, use_pallas, interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "pool", "m", "use_pallas", "interpret")
+)
+def scan_blocks_topk_pooled(
+    blocks, masks, codes, allowed, q,
+    pblocks, pscales, q8p, qsp,
+    k: int, pool: int, m: int, use_pallas: bool = True, interpret: bool = False,
+):
+    """float/bf16-ANN twin of `scan_blocks_topk_q_pooled`."""
+    pool8 = -(-pool // 8) * 8
+    vm, gi = _scan_body(blocks, masks, codes, allowed, q, k, pool8)
+    return _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m, pool, use_pallas, interpret)
 
 
 # --------------------------------------------------------- mesh blocked path

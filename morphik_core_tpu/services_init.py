@@ -244,6 +244,8 @@ def build_services(
             device_cache_token_bucket=settings.vector_store.device_cache_token_bucket,
             rerank_dtype=settings.vector_store.rerank_dtype,
             rerank_prefilter_pooling=settings.vector_store.rerank_prefilter_pooling,
+            pooled_tier_factor=settings.vector_store.pooled_tier_factor,
+            pooled_tier_budget_mb=settings.vector_store.pooled_tier_budget_mb,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

@@ -60,6 +60,8 @@ class TPUMultiVectorStore(BaseVectorStore):
         device_cache_token_bucket: int = 1024,
         rerank_dtype: str = "bf16",
         rerank_prefilter_pooling: int = 0,
+        pooled_tier_factor: int = 0,
+        pooled_tier_budget_mb: int = 6144,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -79,6 +81,8 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.device_cache_token_bucket = device_cache_token_bucket
         self.rerank_dtype = rerank_dtype
         self.rerank_prefilter_pooling = rerank_prefilter_pooling
+        self.pooled_tier_factor = pooled_tier_factor
+        self.pooled_tier_budget_mb = pooled_tier_budget_mb
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -109,6 +113,8 @@ class TPUMultiVectorStore(BaseVectorStore):
                     device_cache_token_bucket=self.device_cache_token_bucket,
                     rerank_dtype=self.rerank_dtype,
                     rerank_prefilter_pooling=self.rerank_prefilter_pooling,
+                    pooled_tier_factor=self.pooled_tier_factor,
+                    pooled_tier_budget_mb=self.pooled_tier_budget_mb,
                 )
         return self._indexes[ns]
 

@@ -1,0 +1,192 @@
+"""Device-resident pooled-candidate tier tests.
+
+The tier keeps token-POOLED int8 multivectors of every row in HBM
+blocks and fuses the pooled prefilter into the ANN scan program, so a
+cold query uploads nothing until the max(2k, 16)-row exact rescore
+(replaces the reference's cache-first candidate downloads,
+core/vector_store/fast_multivector_store.py:713-774).
+"""
+
+import numpy as np
+
+from morphik_core_tpu.index import IndexRecord, MultiVectorIndex
+from morphik_core_tpu.ops.fde import FDEConfig
+
+CFG = FDEConfig(dimension=32, num_repetitions=8, num_simhash_projections=4, projection_dimension=8)
+
+
+def _corpus(rng, n_docs, d=32, tok=(10, 30)):
+    concepts = rng.standard_normal((100, d)).astype(np.float32)
+    concepts /= np.linalg.norm(concepts, axis=1, keepdims=True)
+    mvs, topics = [], []
+    for _ in range(n_docs):
+        t = rng.choice(100, 3, replace=False)
+        x = concepts[rng.choice(t, rng.integers(*tok))]
+        x = x + 0.1 * rng.standard_normal(x.shape).astype(np.float32)
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        mvs.append(x.astype(np.float32))
+        topics.append(t)
+    return concepts, mvs, topics
+
+
+def _fill(index, mvs, doc_prefix="doc"):
+    recs = [
+        IndexRecord(document_id=f"{doc_prefix}{i}", chunk_number=0, metadata={"i": i})
+        for i in range(len(mvs))
+    ]
+    return index.store(mvs, recs)
+
+
+def _mk(tier: bool, **kw) -> MultiVectorIndex:
+    return MultiVectorIndex(
+        CFG,
+        pooled_tier_factor=2 if tier else 0,
+        pooled_tier_budget_mb=64,
+        rerank_prefilter_pooling=2,
+        prefilter_cap=75,
+        **kw,
+    )
+
+
+def test_tier_query_matches_upload_path():
+    """The fused device tier and the upload pooled prefilter compute the
+    same pooled vectors with the same quantization — the survivor set
+    and final exact ranking must agree."""
+    rng = np.random.default_rng(0)
+    concepts, mvs, topics = _corpus(rng, 120)
+    a = _mk(tier=True)
+    b = _mk(tier=False)
+    _fill(a, mvs)
+    _fill(b, mvs)
+    assert a._tier_active() and not b._tier_active()
+    for t in (3, 57, 99):
+        q = concepts[topics[t]] + 0.05 * rng.standard_normal((3, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        ra = a.query(q, k=5, return_timing=True)
+        assert a.last_timing["pooled_tier"] is True
+        rb = b.query(q, k=5)
+        assert [r.document_id for r, _ in ra] == [r.document_id for r, _ in rb]
+        np.testing.assert_allclose(
+            [s for _, s in ra], [s for _, s in rb], rtol=1e-5, atol=1e-5
+        )
+        assert ra[0][0].document_id == f"doc{t}"
+
+
+def test_tier_filtered_query():
+    rng = np.random.default_rng(1)
+    concepts, mvs, topics = _corpus(rng, 60)
+    idx = _mk(tier=True)
+    _fill(idx, mvs)
+    q = concepts[topics[5]]
+    allowed = [f"doc{i}" for i in range(0, 60, 3)]
+    res = idx.query(q, k=8, doc_ids=allowed)
+    assert res and all(r.document_id in allowed for r, _ in res)
+    assert idx.query(q, k=5, doc_ids=[]) == []
+
+
+def test_tier_upsert_delete_and_compact():
+    rng = np.random.default_rng(2)
+    concepts, mvs, topics = _corpus(rng, 40)
+    idx = _mk(tier=True, compact_min_rows=8)
+    _fill(idx, mvs)
+    q = concepts[topics[7]]
+    assert idx.query(q, k=3)[0][0].document_id == "doc7"
+    # upsert doc7 with doc20's content: the tier must serve the NEW row
+    idx.store([mvs[20]], [IndexRecord(document_id="doc7", chunk_number=0)])
+    res = idx.query(concepts[topics[20]], k=3)
+    assert {r.document_id for r, _ in res} >= {"doc20", "doc7"}
+    # delete + enough churn to trip compaction (row renumbering)
+    idx.delete_document("doc20")
+    for i in range(30):
+        idx.store([mvs[i]], [IndexRecord(document_id=f"doc{i}", chunk_number=0)])
+    res = idx.query(concepts[topics[11]], k=3)
+    assert res[0][0].document_id == "doc11"
+    assert all(r.document_id != "doc20" for r, _ in res)
+
+
+def test_tier_budget_fallback():
+    """Over-budget corpora must fall back to the upload pooled path and
+    still answer correctly (and re-report tier inactive)."""
+    rng = np.random.default_rng(3)
+    concepts, mvs, topics = _corpus(rng, 50)
+    idx = MultiVectorIndex(
+        CFG, pooled_tier_factor=2, pooled_tier_budget_mb=0, rerank_prefilter_pooling=2
+    )
+    _fill(idx, mvs)
+    assert not idx._tier_active()
+    res = idx.query(concepts[topics[9]], k=5, return_timing=True)
+    assert idx.last_timing["pooled_tier"] is False
+    assert res[0][0].document_id == "doc9"
+
+
+def test_tier_bucket_grows_with_longer_rows():
+    """A row longer than the current pooled bucket rebuilds the tier at
+    the new geometry instead of truncating tokens."""
+    rng = np.random.default_rng(4)
+    concepts, mvs, topics = _corpus(rng, 30, tok=(10, 16))
+    idx = _mk(tier=True)
+    _fill(idx, mvs)
+    idx.query(concepts[topics[0]], k=3)  # builds the tier at small bucket
+    b0 = idx._pooled_bucket
+    long_mv = np.tile(concepts[topics[3]], (40, 1)).astype(np.float32)
+    long_mv /= np.linalg.norm(long_mv, axis=1, keepdims=True)
+    idx.store([long_mv], [IndexRecord(document_id="long", chunk_number=0)])
+    res = idx.query(concepts[topics[3]], k=3)
+    assert idx._pooled_bucket > b0
+    assert "long" in {r.document_id for r, _ in res}
+
+
+def test_tier_persistence_roundtrip(tmp_path):
+    rng = np.random.default_rng(5)
+    concepts, mvs, topics = _corpus(rng, 30)
+    idx = _mk(tier=True, path=tmp_path / "ix")
+    _fill(idx, mvs)
+    idx.save()
+    idx2 = _mk(tier=True, path=tmp_path / "ix")
+    res = idx2.query(concepts[topics[12]], k=3, return_timing=True)
+    assert idx2.last_timing["pooled_tier"] is True
+    assert res[0][0].document_id == "doc12"
+
+def test_fused_kernel_interpret_matches_ref():
+    """Run the fused scan+pooled-rescore program with the Pallas q8
+    kernel in interpret mode and check it matches the XLA reference
+    path bit-for-bit on the survivor set (validates the kernel's tile
+    shapes without TPU hardware)."""
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.parallel.search import (
+        quantize_rows_int8,
+        scan_blocks_topk_q_pooled,
+    )
+
+    rng = np.random.default_rng(6)
+    B, D, T, dim = 64, 64, 16, 32
+    fde = rng.standard_normal((B, D)).astype(np.float32)
+    f8, fs = quantize_rows_int8(fde)
+    mask = np.zeros(B, np.float32)
+    mask[:50] = 1.0
+    codes = np.zeros(B, np.int32)
+    allowed = np.ones(8, np.float32)
+    p8 = rng.integers(-127, 128, (B, T, dim)).astype(np.int8)
+    ps = np.abs(rng.standard_normal((B, T))).astype(np.float32) + 0.1
+    ps[:, 12:] = 0.0  # padded tokens
+    qv = rng.standard_normal(D).astype(np.float32)
+    q8v, qs = quantize_rows_int8(qv[None])
+    from morphik_core_tpu.ops.maxsim import quantize_query_q8
+
+    qmv = rng.standard_normal((5, dim)).astype(np.float32)
+    q8p, qsp = quantize_query_q8(qmv)
+
+    args = (
+        (jnp.asarray(f8),), (jnp.asarray(fs),), (jnp.asarray(mask),),
+        (jnp.asarray(codes),), jnp.asarray(allowed),
+        jnp.asarray(q8v[0]), jnp.asarray(qs[0]),
+        (jnp.asarray(p8),), (jnp.asarray(ps),),
+        jnp.asarray(q8p), jnp.asarray(qsp),
+    )
+    ref = np.asarray(scan_blocks_topk_q_pooled(*args, 32, 24, 8, use_pallas=False))
+    ker = np.asarray(
+        scan_blocks_topk_q_pooled(*args, 32, 24, 8, use_pallas=True, interpret=True)
+    )
+    np.testing.assert_array_equal(ref[8:], ker[8:])  # same survivor ids
+    np.testing.assert_allclose(ref[:8], ker[:8], rtol=1e-5, atol=1e-5)
