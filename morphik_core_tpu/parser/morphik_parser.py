@@ -136,7 +136,27 @@ class MorphikParser:
                 )
             if ctype == "application/pdf":
                 pages = extract_pages_text(file)
-                return {"page_count": len(pages)}, "\n\n".join(pages)
+                # no parse endpoint / layout model needed for born-digital
+                # PDFs: recover table grids geometrically from the text-
+                # positioning operators and merge them as markdown so the
+                # splitter produces searchable table chunks (reference
+                # TableFormer merge, morphik_parser.py:552-582)
+                from morphik_core_tpu.parser.table_detect import detect_pdf_tables
+
+                per_page_tables = detect_pdf_tables(file)
+                n_tables = 0
+                parts = []
+                for i, pg in enumerate(pages):
+                    seg = [pg] if pg else []
+                    if i < len(per_page_tables) and per_page_tables[i]:
+                        seg.extend(per_page_tables[i])
+                        n_tables += len(per_page_tables[i])
+                    if seg:
+                        parts.append("\n\n".join(seg))
+                meta: Dict[str, Any] = {"page_count": len(pages)}
+                if n_tables:
+                    meta["detected_tables"] = n_tables
+                return meta, "\n\n".join(parts)
             if ctype.startswith("video/"):
                 return await self._parse_video(file)
             if ctype in ("application/xml", "text/xml") or (filename or "").lower().endswith(".xml"):
