@@ -657,7 +657,10 @@ def test_console_served(server):
                    "/ingest/file", "stream_response",
                    # round-3: PDF page viewer + connector management
                    'data-tab="connectors"', "/documents/pages", "auth_status",
-                   "viewercard", "/ingest'", "disconnect"):
+                   "viewercard", "/ingest'", "disconnect",
+                   # round-4: model-config + API-key panels
+                   'data-tab="models"', "/models/custom", "/models/available",
+                   "/api-keys", "custmodels", "akrows"):
         assert marker in body, marker
 
 
