@@ -33,7 +33,7 @@ import jax
 from morphik_core_tpu.config import Settings, get_settings
 from morphik_core_tpu.embedding.base_embedding_model import BaseEmbeddingModel
 from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
-from morphik_core_tpu.models.colqwen.preprocess import preprocess_image
+from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
 from morphik_core_tpu.models.schemas import Chunk
 from morphik_core_tpu.utils.fast_ops import data_uri_to_bytes
 
@@ -107,7 +107,8 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
 
     def embed_images(self, images: List[Image.Image]) -> List[np.ndarray]:
         """Preprocess -> bucket-group -> batched TPU forward. Order-preserving.
-        Preprocessing (resize + normalize + patch reshape) runs in a
+        Preprocessing (resize + uint8 patch reshape; normalization happens
+        on device — the transfer-diet path, preprocess_image_u8) runs in a
         thread pool — PIL/numpy release the GIL, and a single-threaded
         prep loop can't feed the chip at the 10k pages/min target."""
         prep_start = time.perf_counter()
@@ -118,7 +119,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
             with ThreadPoolExecutor(max_workers=min(8, len(images))) as pool:
                 prepped = list(
                     pool.map(
-                        lambda im: preprocess_image(
+                        lambda im: preprocess_image_u8(
                             im, min_pixels=self.min_pixels, max_pixels=self.max_pixels
                         ),
                         images,
@@ -126,7 +127,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 )
         else:
             prepped = [
-                preprocess_image(im, min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+                preprocess_image_u8(im, min_pixels=self.min_pixels, max_pixels=self.max_pixels)
                 for im in images
             ]
         for i, (patches, grid) in enumerate(prepped):
@@ -212,7 +213,10 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
             self.embed_texts(["warmup query"])
             for hu, wu in grids or [(20, 28)]:
                 s = hu * wu * self.model.cfg.vision.merge_unit
-                patches = np.zeros((1, s, self.model.cfg.vision.patch_input_dim), np.float32)
+                # the serving ingest path ships uint8 patches (588 = C*ph*pw)
+                patches = np.zeros(
+                    (1, s, self.model.cfg.vision.patch_input_dim // 2), np.uint8
+                )
                 self.model.embed_image_batch(patches, hu, wu)
         except Exception:  # noqa: BLE001 — warmup must never block serving
             logger.exception("warmup failed (continuing)")

@@ -79,6 +79,54 @@ def init_colqwen_params(key: jax.Array, cfg: ColQwenConfig, dtype=jnp.float32) -
     }
 
 
+def expand_patches_u8(u8: jax.Array, dtype=jnp.bfloat16) -> jax.Array:
+    """(B, S, 588) raw uint8 patches -> (B, S, 1176) CLIP-normalized
+    `dtype` patches, on device.
+
+    The ingest transfer diet (preprocess.preprocess_image_u8): hosts ship
+    un-normalized, un-duplicated uint8 pixels (4x fewer bytes than bf16
+    with the temporal copy); the normalize (one per-channel FMA) and the
+    temporal broadcast run here, where XLA fuses them into the
+    patch-embed matmul's prologue — zero extra HBM round-trips."""
+    from morphik_core_tpu.models.colqwen.preprocess import (
+        IMAGE_MEAN,
+        IMAGE_STD,
+        PATCH_SIZE,
+        TEMPORAL_PATCH_SIZE,
+    )
+
+    b, s, f = u8.shape
+    pp = PATCH_SIZE * PATCH_SIZE
+    c = f // pp
+    # (u8/255 - mean)/std  ==  u8*scale + bias with the constants folded
+    scale = jnp.asarray(1.0 / (255.0 * IMAGE_STD), jnp.float32)
+    bias = jnp.asarray(-IMAGE_MEAN / IMAGE_STD, jnp.float32)
+    x = u8.astype(jnp.float32).reshape(b, s, c, pp)
+    x = x * scale[:, None] + bias[:, None]
+    x = jnp.broadcast_to(x[:, :, :, None, :], (b, s, c, TEMPORAL_PATCH_SIZE, pp))
+    return x.reshape(b, s, f * TEMPORAL_PATCH_SIZE).astype(dtype)
+
+
+def colqwen_image_forward_u8(
+    params: dict,
+    cfg: ColQwenConfig,
+    patches: jax.Array,  # (B, S_patches, 588) uint8
+    cos_v: jax.Array,
+    sin_v: jax.Array,
+    input_ids: jax.Array,
+    cos_t: jax.Array,
+    sin_t: jax.Array,
+    h_units: int,
+    w_units: int,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """uint8-ingest variant of `colqwen_image_forward` (transfer diet)."""
+    return colqwen_image_forward(
+        params, cfg, expand_patches_u8(patches, dtype), cos_v, sin_v,
+        input_ids, cos_t, sin_t, h_units, w_units,
+    )
+
+
 def colqwen_image_forward(
     params: dict,
     cfg: ColQwenConfig,
@@ -213,12 +261,18 @@ class ColQwenModel:
 
     # -- image path --------------------------------------------------------
 
-    def _image_fn(self, h_units: int, w_units: int):
-        key = (h_units, w_units)
+    def _image_fn(self, h_units: int, w_units: int, u8: bool = False):
+        key = (h_units, w_units, u8)
         if key not in self._image_fn_cache:
-            fn = functools.partial(
-                colqwen_image_forward, cfg=self.cfg, h_units=h_units, w_units=w_units
-            )
+            if u8:
+                fn = functools.partial(
+                    colqwen_image_forward_u8, cfg=self.cfg, h_units=h_units,
+                    w_units=w_units, dtype=self.dtype,
+                )
+            else:
+                fn = functools.partial(
+                    colqwen_image_forward, cfg=self.cfg, h_units=h_units, w_units=w_units
+                )
             if self._shardings is not None:
                 self._image_fn_cache[key] = jax.jit(fn, out_shardings=self._shardings["out"])
             else:
@@ -241,7 +295,12 @@ class ColQwenModel:
         is padded to a multiple of the data axis and sharded over it.
         `as_device=True` returns (jax_array, valid_rows) WITHOUT blocking —
         jax's async dispatch lets callers pipeline host prep of the next
-        batch against device compute of this one."""
+        batch against device compute of this one.
+
+        uint8 patches (B, S, 588) from `preprocess_image_u8` take the
+        transfer-diet path: normalize + temporal expand happen on device
+        (expand_patches_u8) — 4x less host->device bandwidth."""
+        is_u8 = patches.dtype == np.uint8
         b = patches.shape[0]
         pad = (-b) % self._data_size
         if pad:
@@ -255,7 +314,7 @@ class ColQwenModel:
         pos = mrope_position_ids(input_ids, self.cfg.image_token_id, grids)
         cos_t, sin_t = mrope_cos_sin(pos, self.cfg.text)
         args = dict(
-            patches=jnp.asarray(patches, self.dtype),
+            patches=jnp.asarray(patches) if is_u8 else jnp.asarray(patches, self.dtype),
             cos_v=jnp.asarray(cos_v),
             sin_v=jnp.asarray(sin_v),
             input_ids=jnp.asarray(input_ids),
@@ -265,7 +324,7 @@ class ColQwenModel:
         if self._shardings is not None:
             sh = self._shardings
             args = {k: jax.device_put(v, sh[k]) for k, v in args.items()}
-        fn = self._image_fn(h_units, w_units)
+        fn = self._image_fn(h_units, w_units, u8=is_u8)
         out = fn(self.params, **args)
         if as_device:
             return out, b  # jax array (padded batch) + valid row count

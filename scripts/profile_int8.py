@@ -53,7 +53,7 @@ def main() -> None:
     B, HU, WU = 8, 20, 28
     S_p = HU * WU * cfg.vision.merge_unit  # 2240 patches
     n_units = HU * WU
-    S_t = 3 + n_units + 3  # text seq of the image step
+    S_t = 3 + n_units + 2  # text seq of the image step (= len(ids) below)
 
     def chain(fn, n, *args):
         """Best-of-3 (t(2N)-t(N))/N step time for fn(*args)->array."""

@@ -131,3 +131,30 @@ def test_embed_queries_groups_by_bucket(monkeypatch):
     buckets = sorted(s[1] for s in seen_shapes)
     assert buckets[0] <= 32 and buckets[-1] >= 128  # two groups, not one big
     assert sorted(s[0] for s in seen_shapes) == [1, 2]  # 2 shorts + 1 long
+
+
+def test_u8_patch_path_matches_f32(model):
+    """The transfer-diet ingest path (uint8 patches + on-device
+    normalize/temporal-expand, preprocess_image_u8 + expand_patches_u8)
+    must produce the same embeddings as the classic host-normalized f32
+    path to within float rounding."""
+    from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 256, (300, 400, 3), dtype=np.uint8))
+    pf, (hu, wu) = preprocess_image(img)
+    pu, (hu2, wu2) = preprocess_image_u8(img)
+    assert (hu, wu) == (hu2, wu2)
+    assert pu.dtype == np.uint8 and pu.shape == (pf.shape[0], pf.shape[1] // 2)
+    # the u8 layout drops the duplicated temporal frame; re-expanding on
+    # host must reproduce the f32 patches exactly (same pixels)
+    pp = 14 * 14
+    re = np.repeat(pu.reshape(pu.shape[0], 3, 1, pp), 2, axis=2).astype(np.float32)
+    from morphik_core_tpu.models.colqwen.preprocess import IMAGE_MEAN, IMAGE_STD
+
+    re = (re / 255.0 - IMAGE_MEAN[None, :, None, None]) / IMAGE_STD[None, :, None, None]
+    np.testing.assert_allclose(re.reshape(pf.shape), pf, atol=1e-5)
+
+    out_f = model.embed_image_batch(pf[None], hu, wu)
+    out_u = model.embed_image_batch(pu[None], hu, wu)
+    np.testing.assert_allclose(out_u, out_f, atol=2e-3)
