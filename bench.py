@@ -433,9 +433,9 @@ def main() -> None:
                 idx.query(qq, k=10)
                 ts.append((time.time() - t0) * 1e3)
             pool_curve[str(cap)] = round(float(np.median(ts)), 2)
-        idx.prefilter_cap, idx.prefilter_multiplier = 75, 10
+        idx.prefilter_cap, idx.prefilter_multiplier = 300, 30  # production default
 
-        rescore_rows = 20  # max(2k, 16) at k=10
+        rescore_rows = 30  # max(2k, 16, pool//10) at k=10, pool 300
         rescore_mb = rescore_rows * tok * (cfg.embedding_dim + 4) / 1e6  # int8 + scales
         e2e = {
             "retrieval_p50_ms_1M_warm": round(float(np.median(warm)), 2),
@@ -445,7 +445,7 @@ def main() -> None:
             "e2e_ann_p50_ms": round(float(np.median(stage["ann_ms"])), 2),
             "e2e_rerank_p50_ms": round(float(np.median(stage["rerank_ms"])), 2),
             "e2e_rows": rows,
-            "e2e_pool": 75,
+            "e2e_pool": idx.prefilter_cap,
             "e2e_pool_p50_ms": pool_curve,
             "e2e_rerank_cfg": (
                 f"int8 + device pooled tier (factor {tier_factor}, "

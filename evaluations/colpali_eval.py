@@ -83,21 +83,37 @@ def make_pdf(pages_text: List[str]) -> bytes:
     return b"%PDF-1.4\n" + b"".join(objs) + b"trailer<</Root 1 0 R>>\n%%EOF"
 
 
-def gen_corpus(n_docs: int, pages_per_doc: int, seed: int = 0):
+def gen_corpus(n_docs: int, pages_per_doc: int, seed: int = 0, n_templates: int = 0):
     """Returns (pdfs, facts): pdfs = [(filename, bytes)], facts = list of
-    {doc, page, keyword, question, answer} — one planted fact per page,
-    distinct page layouts (multi-fact questions draw two pages)."""
+    {doc, page, keyword, question, answer} — one planted fact per page.
+
+    `n_templates` > 0 makes the corpus DISTRACTOR-HEAVY (round-3 verdict
+    item 3): docs are drawn from a small pool of shared page layouts
+    (same filler lines, same fact-slot position) so every gold page has
+    n_docs/n_templates near-duplicate siblings differing only in the
+    keyword/value glyphs — the perturbation ladder then measures how
+    much pixel damage the stack can absorb before near-duplicates win."""
     rng = np.random.default_rng(seed)
+    templates = []
+    for _ in range(max(n_templates, 1)):
+        filler = [" ".join(rng.choice(VOCAB, rng.integers(3, 9)).tolist())
+                  for _ in range(int(rng.integers(10, 16)))]
+        templates.append((filler, int(rng.integers(2, len(filler)))))
     pdfs, facts = [], []
     for d in range(n_docs):
         pages = []
         for p in range(pages_per_doc):
             kw = f"{rng.choice(VOCAB).upper()}-{rng.integers(1000, 9999)}"
             val = int(rng.integers(10, 990))
-            lines = [f"UNIT SPEC {kw}", ""]
-            for _ in range(int(rng.integers(8, 16))):
-                lines.append(" ".join(rng.choice(VOCAB, rng.integers(3, 9)).tolist()))
-            lines.insert(int(rng.integers(2, len(lines))), f"rated torque of {kw} is {val} Nm")
+            if n_templates:
+                filler, slot = templates[(d * pages_per_doc + p) % n_templates]
+                lines = [f"UNIT SPEC {kw}", ""] + list(filler)
+                lines.insert(slot, f"rated torque of {kw} is {val} Nm")
+            else:
+                lines = [f"UNIT SPEC {kw}", ""]
+                for _ in range(int(rng.integers(8, 16))):
+                    lines.append(" ".join(rng.choice(VOCAB, rng.integers(3, 9)).tolist()))
+                lines.insert(int(rng.integers(2, len(lines))), f"rated torque of {kw} is {val} Nm")
             pages.append("\n".join(lines))
             facts.append(
                 {
@@ -118,31 +134,47 @@ def _to_img(arr):
     return Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
 
 
+def _occlude(a, frac, rng):
+    """White rectangles until ~`frac` of the page area is covered."""
+    h, w, _ = a.shape
+    covered = np.zeros((h, w), bool)
+    while covered.mean() < frac:
+        bh, bw = int(h * 0.18), int(w * 0.18)
+        y, x = int(rng.integers(0, h - bh)), int(rng.integers(0, w - bw))
+        a[y : y + bh, x : x + bw] = 255.0
+        covered[y : y + bh, x : x + bw] = True
+    return a
+
+
 def perturb(img, rung: str, rng):
     """Full-page perturbations (extent preserved — ColPali patch grids
     are position-sensitive, so difficulty comes from pixel damage, not
-    crops)."""
-    from PIL import Image
+    crops). Parameterized rungs: "blur:S", "occ:F", "jpeg:Q",
+    "rescale:F", "noise:S" — the ladder spans easy->hard so that at any
+    tower geometry several rungs land in the measurable recall band
+    (round-3 verdict item 3)."""
+    from PIL import Image, ImageFilter
 
     a = np.asarray(img.convert("RGB"), np.float32)
-    if rung == "identity":
+    kind, *ps = rung.split(":")
+    if kind == "identity":
         return img
-    if rung == "noise":
-        return _to_img(a + rng.normal(0, 25, a.shape))
-    if rung == "jpeg":
+    if kind == "blur":
+        return img.convert("RGB").filter(ImageFilter.GaussianBlur(float(ps[0])))
+    if kind == "noise":
+        return _to_img(a + rng.normal(0, float(ps[0]), a.shape))
+    if kind == "jpeg":
         buf = io.BytesIO()
-        _to_img(a + rng.normal(0, 10, a.shape)).save(buf, "JPEG", quality=20)
+        _to_img(a + rng.normal(0, 10, a.shape)).save(buf, "JPEG", quality=int(ps[0]))
         return Image.open(buf).convert("RGB")
-    if rung == "rescale":
+    if kind == "rescale":
+        f = int(ps[0])
         w, h = img.size
-        return img.resize((max(1, w // 4), max(1, h // 4))).resize((w, h))
-    if rung == "occlude":
-        h, w, _ = a.shape
-        for _ in range(10):
-            y, x = int(rng.integers(0, h * 3 // 4)), int(rng.integers(0, w * 3 // 4))
-            a[y : y + h // 4, x : x + w // 4] = 255.0
-        return _to_img(a + rng.normal(0, 20, a.shape))
-    if rung == "wreck":
+        return img.resize((max(1, w // f), max(1, h // f))).resize((w, h))
+    if kind == "occ":
+        a = _occlude(a.copy(), float(ps[0]), rng)
+        return _to_img(a + rng.normal(0, 15, a.shape))
+    if kind == "wreck":
         # compound damage: the deliberately-unsaturated top rung
         w, h = img.size
         img2 = img.resize((max(1, w // 5), max(1, h // 5))).resize((w, h))
@@ -156,7 +188,18 @@ def perturb(img, rung: str, rng):
     raise ValueError(rung)
 
 
-RUNGS = ("identity", "noise", "jpeg", "rescale", "occlude", "wreck")
+# easy -> hard; identity pins the sanity row at 1.0, wreck stays near
+# the floor. Round-4 calibration (tiny tower, 120-page template corpus):
+# noise:60 / jpeg:4 / occ:0.25 all 1.0 (saturated); blur 2/4/6 and
+# rescale 6/8 all <=0.07 (floored); occ 0.45/0.65 = 0.87/0.77 (in
+# band). The sweep below spans that transition: the blur sigma-sweep
+# covers (0, 2) and occlusion (0.4, 0.7), so >=4 rungs sit in recall@1
+# (0.2, 0.97) at either geometry (3B shifts everything up).
+RUNGS = (
+    "identity", "blur:1", "blur:1.5", "blur:2", "jpeg:4",
+    "rescale:5", "occ:0.45", "occ:0.65", "wreck",
+)
+RUNGS_SMALL = ("identity", "blur:1.5", "occ:0.65")
 
 
 # --------------------------------------------------------------- harness
@@ -170,8 +213,9 @@ async def run_eval(args) -> Dict:
     from morphik_core_tpu.utils.fast_ops import bytes_to_data_uri, data_uri_to_bytes
 
     rng = np.random.default_rng(1)
-    pdfs, facts = gen_corpus(args.docs, args.pages, seed=0)
+    pdfs, facts = gen_corpus(args.docs, args.pages, seed=0, n_templates=args.templates)
     n_pages_total = args.docs * args.pages
+    rungs = RUNGS_SMALL if args.small else RUNGS
 
     with tempfile.TemporaryDirectory() as tmp:
         settings = Settings.model_validate(
@@ -182,7 +226,15 @@ async def run_eval(args) -> Dict:
             }
         )
         colqwen_model = None
-        if args.geometry == "3b":
+        if args.geometry == "fixture":
+            # the committed tiny TRAINED checkpoint (scripts/
+            # train_tiny_fixture.py): keyword-image and text rows become
+            # real semantic metrics (well above chance) without the
+            # undownloadable released weights
+            from morphik_core_tpu.models.colqwen import ColQwenModel
+
+            colqwen_model = ColQwenModel.from_fixture(args.fixture)
+        elif args.geometry == "3b":
             # full 3B geometry with random bf16 weights at the CONFIGURED
             # serving precision — the shipped compute path end to end
             import jax
@@ -248,7 +300,7 @@ async def run_eval(args) -> Dict:
         probe_facts = [facts[i] for i in rng.choice(len(facts), min(args.queries, len(facts)), replace=False)]
         by_rung = {}
         t0 = time.time()
-        for rung in RUNGS:
+        for rung in rungs:
             ranks = []
             for f in probe_facts:
                 img = await page_image(f["doc"], f["page"])
@@ -282,7 +334,8 @@ async def run_eval(args) -> Dict:
         checkpoint = settings.model.checkpoint_path
         return {
             "corpus": {"docs": args.docs, "pages_per_doc": args.pages,
-                       "total_pages": n_pages_total, "ingest_s": round(ingest_s, 1)},
+                       "total_pages": n_pages_total, "templates": args.templates,
+                       "ingest_s": round(ingest_s, 1)},
             "geometry": args.geometry,
             "serving_precision": settings.model.matmul_precision,
             "weights": checkpoint or "random (no checkpoint in env — structural fidelity mode)",
@@ -296,15 +349,25 @@ async def run_eval(args) -> Dict:
 
 
 def main() -> int:
+    default_fixture = Path(__file__).resolve().parent.parent / "tests/fixtures/tiny_colqwen.npz"
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=20)
-    ap.add_argument("--pages", type=int, default=4)
+    ap.add_argument("--docs", type=int, default=55)
+    ap.add_argument("--pages", type=int, default=8)
     ap.add_argument("--queries", type=int, default=40)
+    ap.add_argument("--templates", type=int, default=11,
+                    help="page-layout templates shared across docs (0 = every page unique)")
     ap.add_argument("--out", type=Path, default=None)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--geometry", choices=("dev", "3b"), default="dev",
-                    help="dev = tiny random tower; 3b = full geometry, random weights")
+    ap.add_argument("--small", action="store_true",
+                    help="CI smoke: tiny corpus + 3-rung ladder")
+    ap.add_argument("--geometry", choices=("dev", "3b", "fixture"),
+                    default="fixture" if default_fixture.exists() else "dev",
+                    help="dev = tiny random tower; 3b = full geometry, random "
+                         "weights; fixture = committed tiny TRAINED checkpoint")
+    ap.add_argument("--fixture", type=Path, default=default_fixture)
     args = ap.parse_args()
+    if args.small:
+        args.docs, args.pages, args.queries, args.templates = 5, 4, 8, 2
     if args.cpu:
         import jax
 

@@ -168,9 +168,15 @@ class VectorStoreConfig(BaseModel):
     fde_num_simhash_projections: int = 5
     fde_projection_dimension: int = 16
     fde_seed: int = 42
-    # ANN candidate pool before exact rerank: min(prefilter_multiplier*k, prefilter_cap)
-    prefilter_multiplier: int = 10
-    prefilter_cap: int = 75
+    # ANN candidate pool before exact rerank: min(prefilter_multiplier*k,
+    # prefilter_cap). Default pool 300 at k=10 — chosen from the measured
+    # curve, not the reference's 75 (fast_multivector_store.py:529-532):
+    # EVAL part B pool_scaling shows exact-top10 capture 0.74@75 ->
+    # 0.82@150 -> 0.89@300 at 100k rows, while the fused device pooled
+    # tier makes the wider scan zero-transfer (BENCH e2e_pool_p50_ms:
+    # ~flat 75->300 through the relay).
+    prefilter_multiplier: int = 30
+    prefilter_cap: int = 300
     # Training-free token pooling of stored page multivectors (PAPERS.md;
     # 1 = off). Factor 2-4 cuts index memory + rerank FLOPs by the same
     # factor at a small recall cost; queries are never pooled.

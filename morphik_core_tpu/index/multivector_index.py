@@ -99,8 +99,8 @@ class MultiVectorIndex:
         fde_config: Optional[FDEConfig] = None,
         *,
         mesh=None,
-        prefilter_multiplier: int = 10,
-        prefilter_cap: int = 75,
+        prefilter_multiplier: int = 30,
+        prefilter_cap: int = 300,
         store_dtype=np.float16,
         path: Optional[str | Path] = None,
         use_pallas: Optional[bool] = None,
@@ -849,8 +849,12 @@ class MultiVectorIndex:
                 return []
             # exact-rescore survivor count: the pooled prefilter (either
             # variant) narrows the ANN pool to this many rows before the
-            # full-token exact rerank
-            rescore_n = max(2 * k, 16)
+            # full-token exact rerank. Scales mildly with the pool so a
+            # wide ANN pool (default 300 since round 4 — EVAL pool_scaling
+            # showed exact-top10 capture 0.74@75 -> 0.89@300 while the
+            # fused device tier makes wide pools ~latency-free) doesn't
+            # funnel through a fixed-20 pooled-selection bottleneck.
+            rescore_n = max(2 * k, 16, pool_size // 10)
             tier = self._tier_active() and pool_size > rescore_n
             if tier:
                 # fused path: ANN scan + device pooled-tier rescore in one

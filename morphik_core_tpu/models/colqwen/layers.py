@@ -23,6 +23,16 @@ def linear(x: jax.Array, w, b=None) -> jax.Array:
     return out if b is None else out + b
 
 
+def quantize_act_int8(x: jax.Array):
+    """Per-token symmetric int8 quantization of activations.
+    Returns (xq int8, xs f32 per-row scale)."""
+    xf = x.astype(jnp.float32)
+    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    xs = jnp.where(ax == 0, 1.0, ax / 127.0)
+    xq = jnp.clip(jnp.rint(xf / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
 def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None) -> jax.Array:
     """W8A8 dynamic-quantized matmul.
 
@@ -34,10 +44,7 @@ def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None) -> jax.Array:
     model.matmul_precision = "int8"): validate retrieval quality on real
     checkpoints with evaluations/ before enabling in production.
     """
-    xf = x.astype(jnp.float32)
-    ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    xs = jnp.where(ax == 0, 1.0, ax / 127.0)
-    xq = jnp.clip(jnp.rint(xf / xs), -127, 127).astype(jnp.int8)
+    xq, xs = quantize_act_int8(x)
     acc = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -45,6 +52,31 @@ def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None) -> jax.Array:
     if b is not None:
         out = out + b.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def linear_multi(x: jax.Array, ws, bs):
+    """Several matmuls over the SAME input (q/k/v projections, gate/up)
+    with ONE shared dynamic activation quantization in the int8 path.
+
+    The round-4 int8 profile (PROFILE_r04.json) attributed ~17% of the
+    W8A8 step to dynamic-quant passes; q/k/v re-quantizing the identical
+    layernorm output 3x (and gate/up 2x) is pure waste that XLA's CSE is
+    not guaranteed to remove across separate q8_matmul subgraphs.
+    Falls back to per-call `linear` in bf16 mode."""
+    if all(isinstance(w, dict) for w in ws):
+        xq, xs = quantize_act_int8(x)
+        outs = []
+        for w, b in zip(ws, bs):
+            acc = jax.lax.dot_general(
+                xq, w["q8"], (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            out = acc.astype(jnp.float32) * xs * w["s"]
+            if b is not None:
+                out = out + b.astype(jnp.float32)
+            outs.append(out.astype(x.dtype))
+        return outs
+    return [linear(x, w, b) for w, b in zip(ws, bs)]
 
 
 def quantize_weight_int8(w: jax.Array) -> dict:
@@ -96,8 +128,7 @@ def apply_rotary(q: jax.Array, k: jax.Array, cos: jax.Array, sin: jax.Array):
 
 
 def swiglu(x: jax.Array, gate_w, up_w, down_w, gate_b=None, up_b=None, down_b=None) -> jax.Array:
-    g = linear(x, gate_w, gate_b)
-    u = linear(x, up_w, up_b)
+    g, u = linear_multi(x, (gate_w, up_w), (gate_b, up_b))
     h = jax.nn.silu(g) * u
     return linear(h, down_w, down_b)
 

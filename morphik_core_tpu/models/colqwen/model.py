@@ -127,6 +127,37 @@ def colqwen_image_forward_u8(
     )
 
 
+def save_params_npz(path, params: dict) -> None:
+    """Flatten a params tree to one compressed npz (slash-joined keys).
+    Used for the committed tiny trained FIXTURE checkpoint
+    (scripts/train_tiny_fixture.py) — real deployments load HF
+    safetensors via `ColQwenModel.from_checkpoint`."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path) -> dict:
+    """Inverse of `save_params_npz`."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jnp.asarray(z[key])
+    return out
+
+
 def colqwen_image_forward(
     params: dict,
     cfg: ColQwenConfig,
@@ -241,6 +272,14 @@ class ColQwenModel:
     def init_random(cls, key: jax.Array, cfg: Optional[ColQwenConfig] = None, dtype=jnp.float32, **kw):
         cfg = cfg or ColQwenConfig.tiny()
         return cls(cfg, init_colqwen_params(key, cfg, dtype), dtype=dtype, **kw)
+
+    @classmethod
+    def from_fixture(cls, path: str | Path, **kw):
+        """Load the committed tiny TRAINED fixture (tiny geometry, npz —
+        scripts/train_tiny_fixture.py). Gives dev/test deployments and
+        the committed eval real (glyph-level) retrieval semantics where
+        random weights measure at chance."""
+        return cls(ColQwenConfig.tiny(), load_params_npz(Path(path)), dtype=jnp.float32, **kw)
 
     @classmethod
     def from_checkpoint(cls, path: str | Path, dtype=jnp.bfloat16, **kw):

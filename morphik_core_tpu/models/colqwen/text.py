@@ -20,7 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from morphik_core_tpu.models.colqwen.config import TextConfig
-from morphik_core_tpu.models.colqwen.layers import apply_rotary, attention, linear, rms_norm, swiglu
+from morphik_core_tpu.models.colqwen.layers import (
+    apply_rotary,
+    attention,
+    linear,
+    linear_multi,
+    rms_norm,
+    swiglu,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -143,9 +150,14 @@ def _decoder_block(x, layer, cos, sin, bias, cfg: TextConfig):
 
     res = x
     y = rms_norm(x, layer["input_ln"], cfg.rms_norm_eps)
-    q = linear(y, layer["q_w"], layer["q_b"]).reshape(b, s, nh, hd)
-    k = linear(y, layer["k_w"], layer["k_b"]).reshape(b, s, nkv, hd)
-    v = linear(y, layer["v_w"], layer["v_b"]).reshape(b, s, nkv, hd)
+    q, k, v = linear_multi(
+        y,
+        (layer["q_w"], layer["k_w"], layer["v_w"]),
+        (layer["q_b"], layer["k_b"], layer["v_b"]),
+    )
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
     o = attention(q, k, v, bias=bias)
     x = res + linear(o.reshape(b, s, nh * hd), layer["o_w"])

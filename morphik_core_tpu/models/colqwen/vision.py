@@ -31,7 +31,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from morphik_core_tpu.models.colqwen.config import VisionConfig
-from morphik_core_tpu.models.colqwen.layers import apply_rotary, attention, linear, rms_norm, swiglu
+from morphik_core_tpu.models.colqwen.layers import (
+    apply_rotary,
+    attention,
+    linear,
+    linear_multi,
+    rms_norm,
+    swiglu,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -160,9 +167,14 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
 
     res = x
     y = rms_norm(x, layer["norm1"], cfg.rms_norm_eps)
-    q = linear(y, layer["q_w"], layer["q_b"]).reshape(b, s, nh, hd)
-    k = linear(y, layer["k_w"], layer["k_b"]).reshape(b, s, nh, hd)
-    v = linear(y, layer["v_w"], layer["v_b"]).reshape(b, s, nh, hd)
+    q, k, v = linear_multi(
+        y,
+        (layer["q_w"], layer["k_w"], layer["v_w"]),
+        (layer["q_b"], layer["k_b"], layer["v_b"]),
+    )
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nh, hd)
+    v = v.reshape(b, s, nh, hd)
     q, k = apply_rotary(q, k, cos[None, :, None, :], sin[None, :, None, :])
 
     def full_attn(args):
@@ -176,7 +188,10 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
         o = attention(to_win(q), to_win(k), to_win(v))
         return o.reshape(b, s, nh, hd)
 
-    o = jax.lax.cond(is_full, full_attn, window_attn, (q, k, v))
+    if isinstance(is_full, bool):  # static (unrolled int8 path): no cond HLO
+        o = full_attn((q, k, v)) if is_full else window_attn((q, k, v))
+    else:
+        o = jax.lax.cond(is_full, full_attn, window_attn, (q, k, v))
     x = res + linear(o.reshape(b, s, h), layer["proj_w"], layer["proj_b"])
 
     y = rms_norm(x, layer["norm2"], cfg.rms_norm_eps)
@@ -205,16 +220,26 @@ def vision_forward(
     x = patches @ params["patch_embed_w"]  # (B, S, H)
     x = to_window_order(x, h_units, w_units, wu)
 
-    full_flags = np.zeros((cfg.depth,), dtype=bool)
-    if cfg.fullatt_block_indexes:
-        full_flags[np.asarray(cfg.fullatt_block_indexes)] = True
-    full_flags = jnp.asarray(full_flags)
+    if isinstance(params["blocks"].get("q_w"), dict):
+        # int8 (W8A8) mode runs UNROLLED with static attention branches:
+        # scan's per-iteration dynamic-slice of the stacked int8 weights
+        # costs ~10 ms/step on the 3B geometry (AB_SCAN_r04.json:
+        # 200.3 ms scan vs 189.6 unrolled), while bf16 scan remains the
+        # fast structure (round-2 A/B; unrolled bf16 regresses).
+        for li in range(cfg.depth):
+            layer = jax.tree_util.tree_map(lambda w: w[li], params["blocks"])
+            x = _block(x, layer, li in (cfg.fullatt_block_indexes or ()), cos, sin, cfg)
+    else:
+        full_flags = np.zeros((cfg.depth,), dtype=bool)
+        if cfg.fullatt_block_indexes:
+            full_flags[np.asarray(cfg.fullatt_block_indexes)] = True
+        full_flags = jnp.asarray(full_flags)
 
-    def body(carry, inp):
-        layer, is_full = inp
-        return _block(carry, layer, is_full, cos, sin, cfg), None
+        def body(carry, inp):
+            layer, is_full = inp
+            return _block(carry, layer, is_full, cos, sin, cfg), None
 
-    x, _ = jax.lax.scan(body, x, (params["blocks"], full_flags))
+        x, _ = jax.lax.scan(body, x, (params["blocks"], full_flags))
 
     # merger: group 4 consecutive patches (one merge unit)
     b, s, h = x.shape

@@ -46,8 +46,8 @@ class TPUMultiVectorStore(BaseVectorStore):
         fde_config: Optional[FDEConfig] = None,
         index_path: Optional[str | Path] = None,
         mesh=None,
-        prefilter_multiplier: int = 10,
-        prefilter_cap: int = 75,
+        prefilter_multiplier: int = 30,
+        prefilter_cap: int = 300,
         use_pallas: Optional[bool] = None,
         provider: str = "fde",  # "fde" (two-stage, reference 'morphik') |
         #                         "binary" (exact Hamming scan, reference 'postgres')
