@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -395,6 +396,40 @@ def main() -> None:
             idx.query(qw, k=10)
             warm.append((time.time() - t0) * 1e3)
 
+        # warm-path HIT-RATE CURVE vs working-set size (round-3 verdict
+        # weak #6: the single-repeated-query warm number is a 100%-hit
+        # best case). The HBM cache holds `device_cache_slots` candidate
+        # ROWS; each query occupies ~rescore_n of them, so W distinct
+        # queries compete for slots. Cycle W queries twice — pass 1
+        # fills, pass 2 measures the steady-state warm/cold blend a real
+        # working set of size W would see.
+        warm_curve = {}
+        for W in (1, 4, 16, 64):
+            qs = [
+                np.asarray(
+                    jax.random.normal(
+                        jax.random.PRNGKey(10_000 + W * 100 + i), (32, cfg.embedding_dim)
+                    ),
+                    np.float32,
+                )
+                for i in range(W)
+            ]
+            for q_ in qs:
+                idx.query(q_, k=10)  # fill
+            cache = idx._pool_cache
+            h0, m0 = (cache.hits, cache.misses) if cache else (0, 0)
+            ts = []
+            for q_ in qs[: min(W, 12)]:
+                t0 = time.time()
+                idx.query(q_, k=10)
+                ts.append((time.time() - t0) * 1e3)
+            hits = (cache.hits - h0) if cache else 0
+            total_rows = hits + ((cache.misses - m0) if cache else 0)
+            warm_curve[str(W)] = {
+                "p50_ms": round(float(np.median(ts)), 2),
+                "row_hit_rate": round(hits / total_rows, 3) if total_rows else None,
+            }
+
         # FILTERED p50: auth-scoped query over a doc subset. The gate
         # rides per-row document codes on device — upload is one
         # O(n_docs) vector, so filtered must land within ~2x of
@@ -439,6 +474,7 @@ def main() -> None:
         rescore_mb = rescore_rows * tok * (cfg.embedding_dim + 4) / 1e6  # int8 + scales
         e2e = {
             "retrieval_p50_ms_1M_warm": round(float(np.median(warm)), 2),
+            "warm_curve_by_working_set": warm_curve,
             "retrieval_p50_ms_1M_e2e": round(float(np.median(lat)), 2),
             "retrieval_p90_ms_1M_e2e": round(float(np.percentile(lat, 90)), 2),
             "retrieval_p50_ms_1M_filtered": round(float(np.median(filt)), 2),
@@ -464,6 +500,37 @@ def main() -> None:
         import shutil as _sh
 
         _sh.rmtree(tmp, ignore_errors=True)
+
+        # free the 1M index's device arrays (10.2 GB FDE + pooled tier):
+        # the ingest block below re-inits the 3B tower and needs the HBM
+        for arr in jax.tree_util.tree_leaves(
+            [idx._dev_blocks, idx._mask_blocks, idx._pooled_blocks, idx._pooled_scales]
+        ):
+            if hasattr(arr, "delete"):
+                arr.delete()
+        for c in (idx._pool_cache, idx._pooled_cache):
+            if c is not None:
+                for a in (c._buf, c._sbuf, c._mbuf):
+                    if a is not None:
+                        a.delete()
+        del idx
+
+    # ---- ingest e2e (round-3 verdict item 7): the full production
+    # pipeline — pdf -> raster -> JPEG URI -> decode -> preprocess ->
+    # embed -> FDE -> store — through IngestionService.process_ingestion_job
+    # with the sequential worker model and production batch sizes, plus a
+    # per-stage isolation split. Compact corpus here (the full ≥500-page
+    # decomposition is scripts/bench_ingest.py -> INGEST_r04.json).
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from bench_ingest import run_bench as _ingest_bench
+
+    ingest = _ingest_bench(2 if small else 6, 4 if small else 16, small)
+    ingest_e2e = {
+        "ingest_e2e_pages_per_s": ingest["value"],
+        "ingest_phase_split_s": ingest["phase_split_s"],
+        "ingest_stage_isolation_pages_per_s": ingest["stage_isolation_pages_per_s"],
+        "ingest_pages": ingest["pages"],
+    }
 
     target_pages_per_s_per_chip = 10_000 / 60 / 8  # BASELINE.json north star
     # The headline follows the SHIPPED serving precision
@@ -499,6 +566,7 @@ def main() -> None:
                     "fde_encode_ms_per_page": round(fde_ms_per_page, 3),
                     "retrieval_p50_ms": round(query_encode_p50 + ann_p50 + rerank_p50, 3),
                     **e2e,
+                    **ingest_e2e,
                     "compile_s": round(compile_s, 1),
                     "host_rtt_ms": round(rtt_s * 1e3, 2),
                     "init_s": round(init_s, 1),

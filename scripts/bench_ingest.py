@@ -1,0 +1,280 @@
+#!/usr/bin/env python3
+"""Ingest-pipeline e2e throughput decomposition (round-3 VERDICT item 7).
+
+The serving-side embed throughput (bench.py headline, 26 pages/s/chip
+int8) says nothing about what a tenant actually sees when they upload a
+corpus: the full ingest path is download -> parse -> rasterize -> JPEG
+data-URI -> decode -> preprocess -> embed -> FDE -> store, plus per-doc
+job/db overhead (reference hot loop: ingestion_worker.py:1035-1145).
+EVAL_r03's buried red flag was 0.42 pages/s through this path at tiny
+batch sizes. This script measures, on the real chip with production
+batch sizes:
+
+  A. e2e: N docs x P pages through the PRODUCTION
+     IngestionService.process_ingestion_job (sequential, the worker's
+     max_jobs=1 model), with the service's own phase_times aggregated.
+  B. stage isolation on the same corpus: raster, JPEG roundtrip,
+     preprocess (threaded u8 patchify), embed (pipelined device
+     batches), FDE+store.
+
+Writes INGEST_r04.json next to the repo root (unless --out given).
+Run (real TPU, ~5 min): python scripts/bench_ingest.py
+Smoke (CPU):            python scripts/bench_ingest.py --small
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import io
+import json
+import sys
+import tempfile
+import time
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+WORDS = (
+    "alpha bridge casing dynamo ember flux gasket helix ion joule kelvin lumen "
+    "motor nacelle orbit piston quartz rotor stator torque valve winding yoke zenith"
+).split()
+
+
+def make_pdf(pages: list[str]) -> bytes:
+    """Minimal text-PDF the hand-rolled parser can read (mirrors the
+    tests' builder, tests/test_parser.py; parser/pdf.py rasterizes it via
+    the textrender fallback — the production path in this image)."""
+    objs = []
+    n_pages = len(pages)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(f"1 0 obj<</Type/Catalog/Pages 2 0 R>>endobj\n".encode())
+    objs.append(f"2 0 obj<</Type/Pages/Count {n_pages}/Kids[{kids}]>>endobj\n".encode())
+    for i, text in enumerate(pages):
+        page_num, content_num = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            f"{page_num} 0 obj<</Type/Page/Parent 2 0 R/Contents {content_num} 0 R"
+            f"/MediaBox[0 0 612 792]>>endobj\n".encode()
+        )
+        lines = []
+        for j, ln in enumerate(text.split("\n")):
+            esc = ln.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+            lines.append(f"1 0 0 1 72 {720 - 14 * j} Tm ({esc}) Tj")
+        stream = ("BT /F1 12 Tf " + " ".join(lines) + " ET").encode()
+        comp = zlib.compress(stream)
+        objs.append(
+            f"{content_num} 0 obj<</Length {len(comp)}/Filter/FlateDecode>>stream\n".encode()
+            + comp
+            + b"\nendstream endobj\n"
+        )
+    return b"%PDF-1.4\n" + b"".join(objs) + b"trailer<</Root 1 0 R>>\n%%EOF"
+
+
+def page_text(rng, kw: str) -> str:
+    lines = [f"UNIT SPEC {kw}"]
+    for _ in range(int(rng.integers(14, 24))):
+        lines.append(" ".join(rng.choice(WORDS, rng.integers(4, 10)).tolist()))
+    lines.insert(int(rng.integers(1, len(lines))), f"rated torque of {kw} is {rng.integers(10, 990)} Nm")
+    return "\n".join(lines)
+
+
+def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
+    """Measure the ingest pipeline; returns the result dict. `model`
+    injects a prebuilt tower (bench.py reuse); None builds one."""
+    import jax
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.models.colqwen.config import ColQwenConfig
+    from morphik_core_tpu.models.colqwen.model import ColQwenModel, init_colqwen_params
+    from morphik_core_tpu.services_init import build_services
+
+    rng = np.random.default_rng(11)
+
+    # ---- corpus ----------------------------------------------------------
+    docs = []
+    for d in range(n_docs):
+        kws = [f"{rng.choice(WORDS).upper()}-{rng.integers(1000, 9999)}" for _ in range(pages_per_doc)]
+        docs.append(make_pdf([page_text(rng, kw) for kw in kws]))
+    print(f"corpus: {n_docs} docs x {pages_per_doc} pages "
+          f"({sum(map(len, docs))/1e6:.1f} MB pdf)", flush=True)
+
+    # ---- services with the production 3B-geometry int8 tower -------------
+    root = Path(tempfile.mkdtemp(prefix="bench_ingest_"))
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(root / "storage")},
+            "database": {"path": str(root / "db.sqlite")},
+            "vector_store": {"index_path": str(root / "index")},
+            "service": {"environment": "development"},
+        }
+    )
+    if model is None:
+        cfg = ColQwenConfig.tiny() if small else ColQwenConfig()
+        t0 = time.time()
+        params = jax.jit(lambda k: init_colqwen_params(k, cfg, dtype=jnp.bfloat16))(jax.random.PRNGKey(0))
+        jax.block_until_ready(params)
+        model = ColQwenModel(cfg, params, matmul_precision=settings.model.matmul_precision)
+        # int8 mode re-quantized the big matmul weights inside the
+        # constructor; dropping this reference frees their bf16
+        # originals (~6.6 GB at 3B) — keeping both OOMs the first
+        # ingest-embed step alongside FDE/store buffers (observed)
+        del params
+        print(f"model init ({settings.model.matmul_precision}): {time.time()-t0:.1f}s", flush=True)
+
+    services = build_services(settings, colqwen_model=model)
+    ing = services.ingestion_service
+    from morphik_core_tpu.api.auth import AuthContext
+
+    auth = AuthContext(entity_type="developer", entity_id="bench", permissions={"read", "write", "admin"})
+
+    # ---- A: e2e through the production job path --------------------------
+    async def run_all():
+        t_start = time.perf_counter()
+        phase_sums: dict[str, float] = {}
+        total_pages = 0
+        for d, pdf in enumerate(docs):
+            doc = await ing.ingest_file_content(pdf, f"doc{d}.pdf", {}, auth)
+            done = await ing.process_ingestion_job(doc.external_id, auth)
+            pt = done.system_metadata.get("phase_times", {})
+            for k, v in pt.items():
+                phase_sums[k] = phase_sums.get(k, 0.0) + v
+            total_pages += done.system_metadata.get("page_count") or 0
+        return time.perf_counter() - t_start, phase_sums, total_pages
+
+    async def _phase_a():
+        await services.initialize()
+        # warmup: one throwaway doc compiles the embed program for the bucket
+        await _warm(ing, auth, make_pdf([page_text(rng, "WARM-0000")]))
+        out = await run_all()
+        # shut down in the SAME loop the services started in (job-queue
+        # workers are bound to it; api/http.py round-3 lesson)
+        await services.shutdown()
+        return out
+
+    t_e2e, phase_sums, total_pages = asyncio.run(_phase_a())
+    e2e_pages_per_s = total_pages / t_e2e
+    print(f"A. e2e: {total_pages} pages in {t_e2e:.1f}s = {e2e_pages_per_s:.2f} pages/s", flush=True)
+    print(f"   phase sums: { {k: round(v, 1) for k, v in phase_sums.items()} }", flush=True)
+
+    # ---- B: stage isolation ---------------------------------------------
+    from PIL import Image
+
+    from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
+    from morphik_core_tpu.parser.pdf import rasterize_pdf
+    from morphik_core_tpu.utils.fast_ops import bytes_to_data_uri, data_uri_to_bytes
+
+    stage = {}
+    sample_docs = docs[: max(2, len(docs) // 5)]
+    t0 = time.perf_counter()
+    images = []
+    for pdf in sample_docs:
+        imgs, _ = rasterize_pdf(pdf, dpi=settings.pdf.colpali_pdf_dpi)
+        images.extend(imgs)
+    stage["raster_pages_per_s"] = len(images) / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    uris = []
+    for img in images:
+        buf = io.BytesIO()
+        img.convert("RGB").resize((min(img.width, 1024), int(img.height * min(1, 1024 / img.width)))).save(
+            buf, format="JPEG", quality=80
+        )
+        uris.append(bytes_to_data_uri(buf.getvalue(), "image/jpeg"))
+    stage["jpeg_encode_pages_per_s"] = len(images) / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    decoded = [Image.open(io.BytesIO(data_uri_to_bytes(u))) for u in uris]
+    for im in decoded:
+        im.load()
+    stage["jpeg_decode_pages_per_s"] = len(images) / (time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        prepped = list(
+            pool.map(
+                lambda im: preprocess_image_u8(
+                    im, min_pixels=settings.model.min_pixels, max_pixels=settings.model.max_pixels
+                ),
+                decoded,
+            )
+        )
+    stage["preprocess_pages_per_s"] = len(images) / (time.perf_counter() - t0)
+
+    # embed: production pipelined path over the whole decoded sample,
+    # repeated to amortize — this is the device-bound stage
+    emb_model = services.ingestion_service.colpali_embedding_model
+    emb_model.embed_images(decoded[: min(8, len(decoded))])  # compile
+    t0 = time.perf_counter()
+    embs = emb_model.embed_images(decoded)
+    stage["embed_pages_per_s"] = len(decoded) / (time.perf_counter() - t0)
+
+    # FDE + store (device FDE encode + WAL append + mmap write)
+    from morphik_core_tpu.models.schemas import DocumentChunk
+
+    store = services.ingestion_service.colpali_vector_store
+    chunks = [
+        DocumentChunk(document_id="bench-stage", chunk_number=i, content="", embedding=e)
+        for i, e in enumerate(embs)
+    ]
+    t0 = time.perf_counter()
+    asyncio.run(store.store_embeddings(chunks, app_id=None))
+    stage["fde_store_pages_per_s"] = len(chunks) / (time.perf_counter() - t0)
+
+    print("B. stages:", {k: round(v, 2) for k, v in stage.items()}, flush=True)
+
+    north_star = 10_000 / 60 / 8  # BASELINE.md: 10k pages/min on v5e-8, per chip
+    result = {
+        "metric": "ingest e2e throughput (production job path, sequential worker)",
+        "value": round(e2e_pages_per_s, 3),
+        "unit": "pages/s",
+        "vs_chip_north_star": round(e2e_pages_per_s / north_star, 3),
+        "pages": total_pages,
+        "docs": n_docs,
+        "phase_split_s": {k: round(v, 2) for k, v in phase_sums.items()},
+        "stage_isolation_pages_per_s": {k: round(v, 2) for k, v in stage.items()},
+        "backend": jax.default_backend(),
+        "small": small,
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=25)
+    ap.add_argument("--pages-per-doc", type=int, default=20)
+    ap.add_argument("--small", action="store_true", help="CPU + tiny model smoke")
+    ap.add_argument("--out", type=Path, default=Path(__file__).resolve().parent.parent / "INGEST_r04.json")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.small:
+        jax.config.update("jax_platforms", "cpu")
+        args.docs, args.pages_per_doc = 3, 4
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/morphik_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
+
+    result = run_bench(args.docs, args.pages_per_doc, args.small)
+    if not args.small:
+        args.out.write_text(json.dumps(result, indent=1))
+        print(f"wrote {args.out}")
+    return 0
+
+
+async def _warm(ing, auth, pdf: bytes):
+    doc = await ing.ingest_file_content(pdf, "warm.pdf", {}, auth)
+    await ing.process_ingestion_job(doc.external_id, auth)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
