@@ -226,7 +226,17 @@ async def run_eval(args) -> Dict:
             }
         )
         colqwen_model = None
-        if args.geometry == "fixture":
+        if args.checkpoint:
+            # real ColQwen2.5 weights (operator path — see
+            # scripts/eval_checkpoint.sh): keyword/text rows become the
+            # reference-comparable semantic metrics
+            from morphik_core_tpu.models.colqwen import ColQwenModel
+
+            settings.model.checkpoint_path = str(args.checkpoint)
+            colqwen_model = ColQwenModel.from_checkpoint(
+                args.checkpoint, matmul_precision=settings.model.matmul_precision
+            )
+        elif args.geometry == "fixture":
             # the committed tiny TRAINED checkpoint (scripts/
             # train_tiny_fixture.py): keyword-image and text rows become
             # real semantic metrics (well above chance) without the
@@ -250,6 +260,9 @@ async def run_eval(args) -> Dict:
             colqwen_model = ColQwenModel(
                 cfg3, params, matmul_precision=settings.model.matmul_precision
             )
+            # free the bf16 originals of the int8-quantized weights —
+            # holding both OOMs the 3B tower next to the eval's index
+            del params
         services = build_services(settings, colqwen_model=colqwen_model)
         await services.database.initialize()
         auth = AuthContext(
@@ -365,6 +378,9 @@ def main() -> int:
                     help="dev = tiny random tower; 3b = full geometry, random "
                          "weights; fixture = committed tiny TRAINED checkpoint")
     ap.add_argument("--fixture", type=Path, default=default_fixture)
+    ap.add_argument("--checkpoint", type=Path, default=None,
+                    help="local HF-format ColQwen2.5 dir — overrides --geometry "
+                         "with real weights (scripts/eval_checkpoint.sh)")
     args = ap.parse_args()
     if args.small:
         args.docs, args.pages, args.queries, args.templates = 5, 4, 8, 2

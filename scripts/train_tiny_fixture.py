@@ -5,23 +5,37 @@ Why this exists: this environment cannot download the released
 ColQwen2.5 weights, and random weights do perfect structural
 self-retrieval but CHANCE-level keyword/text matching (measured, round
 3) — so the committed eval had no semantic signal that could regress.
-This script trains, in-env, a tiny ColQwen-architecture checkpoint by
-contrastive alignment on synthetic rendered pages:
+This script trains, in-env, a tiny ColQwen-architecture checkpoint on
+synthetic rendered pages so that glyph/keyword matching works through
+the FULL production pipeline (reference exact rerank semantics:
+fast_multivector_store.py:553-557).
 
-  - page images (the production raster + preprocess path, dpi 150,
-    production max_pixels) containing planted "rated torque of <KW> is
-    <N> Nm" lines;
-  - keyword-image queries (the eval's own render_keyword style snippet);
-  - text queries through the byte-fallback tokenizer.
+Training design (round-4; plain InfoNCE from scratch collapses — see
+CLAUDE.md round-4 notes):
 
-Loss: bidirectional InfoNCE over the late-interaction MaxSim score
-matrix — the exact scoring the serving stack uses (reference exact
-rerank semantics: fast_multivector_store.py:553-557). Glyph/keyword
-matching is the goal, not language understanding; the model must
-generalize to UNSEEN keyword strings (eval keywords come from a
-different RNG stream).
+  - DENSE CODEBOOK SUPERVISION, not contrastive: each 28px llm-grid
+    unit gets a target = the ink-mass-weighted sum of fixed random
+    per-character codebook vectors for the characters overlapping that
+    cell (a local char-n-gram signature); blank cells target a
+    dedicated BLANK vector. Per-token regression has no uniform
+    saddle, and the char-level codebook generalizes to UNSEEN keyword
+    strings by construction.
+  - PRE-NORM REGRESSION with a learnable shared offset mu and
+    per-stream scale s:   prenorm_proj ~ mu + s * target.
+    The tiny tower's pre-norm outputs carry a shared direction ~30x
+    the content signal (measured); regressing pre-norm with a free mu
+    absorbs it with least-squares conditioning, where cosine losses
+    through the hard L2 norm leave content gradients ~0.
+  - At save, mu is FOLDED INTO proj_b (centering before L2-norm is
+    exactly a projection-bias shift), so the production forward serves
+    precisely what training optimized — no serving-path changes.
 
-Writes tests/fixtures/tiny_colqwen.npz (params + config marker).
+Three streams share the codebook: page images (production
+`_render_text_page` raster + preprocess path, dpi 150), keyword-image
+query snippets (the eval's own render style), and text queries through
+the byte-fallback tokenizer.
+
+Writes tests/fixtures/tiny_colqwen.npz (folded params).
 Run (TPU, ~10 min): python scripts/train_tiny_fixture.py
 CPU smoke: python scripts/train_tiny_fixture.py --steps 3 --cpu --pool 16
 """
@@ -42,43 +56,147 @@ VOCAB = (
     "motor nacelle orbit piston quartz rotor stator torque valve winding yoke zenith"
 ).split()
 
+# fixed per-character codebook (seeded): 26 letters + 10 digits + '-' +
+# BLANK. Targets are case-insensitive — pages render upper+lower.
+CB_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-"
+BLANK_ROW = len(CB_CHARS)
 
-def render_page(kw: str, val: int, rng) -> "PIL.Image.Image":
-    """One synthetic spec page through the production text renderer."""
-    from morphik_core_tpu.parser.pdf import _render_text_page
+# mirror of parser/pdf.py:_render_text_page layout (dpi 150): letter
+# page, DejaVuSans at dpi//8, margin dpi//2, line_h dpi//6, wrap at
+# max_chars. Kept in sync so char boxes match the production raster.
+DPI = 150
+PAGE_W, PAGE_H = int(8.5 * DPI), int(11 * DPI)
+MARGIN = DPI // 2
+LINE_H = max(12, DPI // 6)
+MAX_CHARS = max(20, (PAGE_W - 2 * MARGIN) // max(6, DPI // 14))
+FONT_SIZE = max(10, DPI // 8)
 
+
+def _page_font():
+    from PIL import ImageFont
+
+    try:
+        return ImageFont.truetype("DejaVuSans.ttf", size=FONT_SIZE)
+    except OSError:
+        return ImageFont.load_default()
+
+
+def page_text(kw: str, val: int, rng) -> str:
     lines = [f"UNIT SPEC {kw}", ""]
     for _ in range(int(rng.integers(8, 16))):
         lines.append(" ".join(rng.choice(VOCAB, rng.integers(3, 9)).tolist()))
     lines.insert(int(rng.integers(2, len(lines))), f"rated torque of {kw} is {val} Nm")
-    return _render_text_page("\n".join(lines), dpi=150)
+    return "\n".join(lines)
 
 
-def render_query_snippet(kw: str, rng) -> "PIL.Image.Image":
-    """The eval's keyword-image query: small white strip, black text."""
+def char_boxes_for_page(text: str, font, measure) -> list:
+    """Replicates _render_text_page's layout loop; returns
+    (char, x0, y0, x1, y1) boxes in original page pixels."""
+    boxes = []
+    y = MARGIN
+    for raw_line in (text or "(no extractable text)").split("\n"):
+        line = raw_line
+        while line and y < PAGE_H - MARGIN:
+            seg = line[:MAX_CHARS]
+            # cumulative prefix widths give per-char x extents
+            widths = [0.0]
+            for i in range(1, len(seg) + 1):
+                widths.append(measure(seg[:i], font))
+            for i, ch in enumerate(seg):
+                if not ch.isspace():
+                    boxes.append((ch, MARGIN + widths[i], y, MARGIN + widths[i + 1], y + FONT_SIZE))
+            line = line[MAX_CHARS:]
+            y += LINE_H
+        if y >= PAGE_H - MARGIN:
+            break
+        if not raw_line:
+            y += LINE_H // 2
+    return boxes
+
+
+def render_query_snippet(kw: str, rng):
+    """The eval's keyword-image query: small white strip, black text.
+    Returns (image, char boxes in snippet pixels)."""
     from PIL import Image, ImageDraw, ImageFont
 
     img = Image.new("RGB", (280, 40), "white")
     draw = ImageDraw.Draw(img)
     font = None
     if rng.random() < 0.5:
-        try:  # vary the font between the page font and PIL default for
-            # scale/shape robustness (page glyphs are ~10 px after resize)
-            from PIL import ImageFont as _IF
-
-            font = _IF.truetype("DejaVuSans.ttf", size=int(rng.integers(10, 15)))
+        try:
+            font = ImageFont.truetype("DejaVuSans.ttf", size=int(rng.integers(10, 15)))
         except OSError:
             font = None
-    draw.text((8, 12), f"rated torque of {kw}", fill="black", font=font)
-    return img
+    text = f"rated torque of {kw}"
+    x0, y0 = 8, 12
+    draw.text((x0, y0), text, fill="black", font=font)
+    widths = [0.0]
+    for i in range(1, len(text) + 1):
+        widths.append(draw.textlength(text[:i], font=font))
+    boxes = [
+        (ch, x0 + widths[i], y0, x0 + widths[i + 1], y0 + (font.size if font else 11))
+        for i, ch in enumerate(text)
+        if not ch.isspace()
+    ]
+    return img, boxes
+
+
+def unit_targets(boxes, hu: int, wu: int, sx: float, sy: float, codebook) -> tuple:
+    """(char boxes in orig pixels, grid, orig->resized scales) ->
+    per-unit (hu*wu, D) codebook targets + ink flags. Each char
+    contributes its vector to every 28px cell it overlaps, weighted by
+    the AREA FRACTION of its (resized) box in that cell."""
+    D = codebook.shape[1]
+    t = np.zeros((hu * wu, D), np.float32)
+    mass = np.zeros(hu * wu, np.float32)
+    for ch, x0, y0, x1, y1 in boxes:
+        ci = CB_CHARS.find(ch.upper())
+        if ci < 0:
+            continue
+        rx0, rx1, ry0, ry1 = x0 * sx, x1 * sx, y0 * sy, y1 * sy
+        area = max((rx1 - rx0) * (ry1 - ry0), 1e-6)
+        for r in range(max(int(ry0 // 28), 0), min(int(ry1 // 28) + 1, hu)):
+            oy = max(0.0, min(ry1, (r + 1) * 28) - max(ry0, r * 28))
+            if oy <= 0:
+                continue
+            for c in range(max(int(rx0 // 28), 0), min(int(rx1 // 28) + 1, wu)):
+                ox = max(0.0, min(rx1, (c + 1) * 28) - max(rx0, c * 28))
+                if ox <= 0:
+                    continue
+                w = (ox * oy) / area
+                t[r * wu + c] += w * codebook[ci]
+                mass[r * wu + c] += w
+    inked = mass > 0.05
+    t[~inked] = codebook[BLANK_ROW]
+    n = np.linalg.norm(t, axis=1, keepdims=True)
+    return t / np.maximum(n, 1e-6), inked.astype(np.float32)
+
+
+def text_targets(chars: str, n_ids: int, bucket: int, codebook) -> tuple:
+    """Byte-fallback tokenizer is 1 byte per token, so position i of the
+    encoded `chars` IS chars[i] (model.py:374-386). Alnum/'-' chars
+    target their codebook row; everything else (spaces, punctuation,
+    augmentation slots) targets BLANK at low weight."""
+    D = codebook.shape[1]
+    t = np.tile(codebook[BLANK_ROW][None], (bucket, 1)).astype(np.float32)
+    w = np.zeros(bucket, np.float32)
+    for i in range(min(n_ids, bucket)):
+        ch = chars[i].upper() if i < len(chars) else None
+        ci = CB_CHARS.find(ch) if ch else -1
+        if ci >= 0:
+            t[i] = codebook[ci]
+            w[i] = 1.0
+        else:
+            w[i] = 0.3
+    return t, w
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--pool", type=int, default=384, help="pregenerated page pool size")
-    ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=Path,
@@ -91,55 +209,93 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import optax
+    from PIL import ImageDraw, Image
 
     from morphik_core_tpu.models.colqwen.config import ColQwenConfig
     from morphik_core_tpu.models.colqwen.model import (
         ColQwenModel,
-        colqwen_image_forward,
-        colqwen_text_forward,
+        expand_patches_u8,
         init_colqwen_params,
     )
     from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
-    from morphik_core_tpu.models.colqwen.text import mrope_cos_sin, mrope_position_ids
-    from morphik_core_tpu.models.colqwen.vision import vision_rotary_cos_sin
+    from morphik_core_tpu.models.colqwen.text import mrope_cos_sin, mrope_position_ids, text_forward
+    from morphik_core_tpu.models.colqwen.vision import vision_forward, vision_rotary_cos_sin
+    from morphik_core_tpu.parser.pdf import _render_text_page
 
     cfg = ColQwenConfig.tiny()
+    D = cfg.embedding_dim
     rng = np.random.default_rng(args.seed)
     model_for_tok = ColQwenModel(cfg, init_colqwen_params(jax.random.PRNGKey(0), cfg))
+
+    cb_rng = np.random.default_rng(99)
+    codebook = cb_rng.normal(size=(len(CB_CHARS) + 1, D)).astype(np.float32)
+    codebook /= np.linalg.norm(codebook, axis=1, keepdims=True)
+
+    font = _page_font()
+    _measure_img = ImageDraw.Draw(Image.new("RGB", (8, 8)))
+
+    def measure(s, f):
+        return _measure_img.textlength(s, font=f)
 
     # ---- pregenerate the page pool (host) --------------------------------
     t0 = time.time()
     kws = [f"{rng.choice(VOCAB).upper()}-{rng.integers(1000, 9999)}" for _ in range(args.pool)]
-    pages, page_grid = [], None
-    for kw in kws:
-        img = render_page(kw, int(rng.integers(10, 990)), rng)
+
+    def build_page(kw, prng):
+        txt = page_text(kw, int(prng.integers(10, 990)), prng)
+        img = _render_text_page(txt, dpi=DPI)
         patches, grid = preprocess_image_u8(img)
+        hu, wu = grid
+        sx, sy = (wu * 28) / img.width, (hu * 28) / img.height
+        tg, ink = unit_targets(char_boxes_for_page(txt, font, measure), hu, wu, sx, sy, codebook)
+        return patches, grid, tg, ink
+
+    pages, page_tgts, page_inks, page_grid = [], [], [], None
+    for kw in kws:
+        patches, grid, tg, ink = build_page(kw, rng)
         if page_grid is None:
             page_grid = grid
         assert grid == page_grid, "all pages must share one grid bucket"
-        pages.append(patches)
-    pages = np.stack(pages)  # (P, S, 588) u8
+        pages.append(patches); page_tgts.append(tg); page_inks.append(ink)
+    pages = np.stack(pages)
+    page_tgts = np.stack(page_tgts)
+    page_inks = np.stack(page_inks)
     print(f"pool: {args.pool} pages, grid {page_grid}, {time.time()-t0:.0f}s", flush=True)
 
-    # query snippets share one grid too
-    snip_patches, snip_grid = [], None
+    def build_snip(kw, prng):
+        img, boxes = render_query_snippet(kw, prng)
+        patches, grid = preprocess_image_u8(img)
+        hu, wu = grid
+        sx, sy = (wu * 28) / img.width, (hu * 28) / img.height
+        tg, ink = unit_targets(boxes, hu, wu, sx, sy, codebook)
+        return patches, grid, tg, ink
+
+    snips, snip_tgts, snip_inks, snip_grid = [], [], [], None
     for kw in kws:
-        patches, grid = preprocess_image_u8(render_query_snippet(kw, rng))
+        patches, grid, tg, ink = build_snip(kw, rng)
         if snip_grid is None:
             snip_grid = grid
         assert grid == snip_grid
-        snip_patches.append(patches)
-    snips = np.stack(snip_patches)
+        snips.append(patches); snip_tgts.append(tg); snip_inks.append(ink)
+    snips = np.stack(snips)
+    snip_tgts = np.stack(snip_tgts)
+    snip_inks = np.stack(snip_inks)
 
-    # text queries (byte tokenizer), one bucket
+    # text queries (byte tokenizer): position i <-> char i of prefix+query
     T_BUCKET = 64
     txt_ids = np.zeros((args.pool, T_BUCKET), np.int32)
     txt_mask = np.zeros((args.pool, T_BUCKET), np.float32)
+    txt_tgts = np.zeros((args.pool, T_BUCKET, D), np.float32)
+    txt_w = np.zeros((args.pool, T_BUCKET), np.float32)
     for i, kw in enumerate(kws):
-        ids = model_for_tok.query_token_ids(f"What is the rated torque of {kw}?")
+        q = f"What is the rated torque of {kw}?"
+        ids = model_for_tok.query_token_ids(q)
+        chars = ColQwenModel.QUERY_PREFIX + q
         n = min(len(ids), T_BUCKET)
         txt_ids[i, :n] = ids[:n]
         txt_mask[i, :n] = 1.0
+        txt_tgts[i], txt_w[i] = text_targets(chars, len(ids), T_BUCKET, codebook)
+        txt_w[i, n:] = 0.0
 
     # ---- static per-grid tables ------------------------------------------
     def image_args(grid, batch):
@@ -150,77 +306,81 @@ def main() -> int:
         pos = mrope_position_ids(input_ids, cfg.image_token_id, [(1, hu, wu)] * batch)
         cos_t, sin_t = mrope_cos_sin(pos, cfg.text)
         cos_v, sin_v = vision_rotary_cos_sin(hu, wu, cfg.vision)
-        # loss masks score only the IMAGE-CONTENT positions — the chat-
-        # template tokens are identical across all pages/queries and
-        # drown the contrastive signal (round-4 collapse lesson)
-        img_mask = (ids == cfg.image_token_id).astype(np.float32)
+        img_pos = np.where(ids == cfg.image_token_id)[0]
         return dict(
             cos_v=jnp.asarray(cos_v), sin_v=jnp.asarray(sin_v),
             input_ids=jnp.asarray(input_ids), cos_t=jnp.asarray(cos_t),
             sin_t=jnp.asarray(sin_t), h_units=hu, w_units=wu,
-        ), jnp.asarray(np.tile(img_mask[None], (batch, 1)))
+        ), jnp.asarray(img_pos)
 
     B = args.batch
-    page_const, page_imask = image_args(page_grid, B)
-    snip_const, snip_imask = image_args(snip_grid, B)
+    page_const, page_pos = image_args(page_grid, B)
+    snip_const, snip_pos = image_args(snip_grid, B)
 
-    from morphik_core_tpu.models.colqwen.model import expand_patches_u8
+    def prenorm_image(params, u8, const):
+        """Mirror of model.colqwen_image_forward (model.py:161-189) minus
+        the final L2 norm: returns the raw projection so the loss can
+        regress `prenorm ~ mu + s*target` (mu folds into proj_b)."""
+        patches = expand_patches_u8(u8, jnp.float32)
+        vis = vision_forward(params["visual"], patches, const["cos_v"], const["sin_v"],
+                             const["h_units"], const["w_units"], cfg.vision)
+        ii = const["input_ids"]
+        embeds = params["text"]["embed"][ii]
+        is_img = (ii == cfg.image_token_id)[..., None]
+        idx = jnp.clip(jnp.cumsum(is_img.squeeze(-1).astype(jnp.int32), axis=1) - 1, 0, vis.shape[1] - 1)
+        embeds = jnp.where(is_img, jnp.take_along_axis(vis, idx[..., None], axis=1).astype(embeds.dtype), embeds)
+        hidden = text_forward(params["text"], embeds, const["cos_t"], const["sin_t"],
+                              jnp.ones(ii.shape, jnp.float32), cfg.text)
+        return (hidden @ params["proj_w"] + params["proj_b"]).astype(jnp.float32)
 
-    def embed_pages(params, u8):
-        return colqwen_image_forward(
-            params, cfg, expand_patches_u8(u8, jnp.float32), **page_const
-        )
+    def prenorm_text(params, ids, mask, cos_t, sin_t):
+        embeds = params["text"]["embed"][ids]
+        hidden = text_forward(params["text"], embeds, cos_t, sin_t, mask, cfg.text)
+        return (hidden @ params["proj_w"] + params["proj_b"]).astype(jnp.float32)
 
-    def embed_snips(params, u8):
-        return colqwen_image_forward(
-            params, cfg, expand_patches_u8(u8, jnp.float32), **snip_const
-        )
+    # remat: the full-attention blocks' (B, H, S, S) probs at S=3072
+    # dominate HBM in the backward pass (batch 16 OOM'd at 26.8/15.75 GB)
+    embed_pages = jax.checkpoint(lambda p, u8: prenorm_image(p, u8, page_const))
+    embed_snips = jax.checkpoint(lambda p, u8: prenorm_image(p, u8, snip_const))
 
-    def maxsim_matrix(q, qm, p, pm):
-        # (Bq,Tq,D)x(Bp,Tp,D) -> (Bq,Bp) MEAN-pooled late-interaction:
-        # logits live in [-1, 1] regardless of token counts, scaled by
-        # the learnable CLIP-style temperature below
-        sim = jnp.einsum("qtd,pkd->qptk", q, p)
-        sim = sim - 1e30 * (1.0 - pm)[None, :, None, :]
-        best = jnp.max(sim, axis=-1)
-        return jnp.sum(best * qm[:, None, :], axis=-1) / jnp.maximum(
-            jnp.sum(qm, axis=-1)[:, None], 1.0
-        )
+    def stream_loss(pre, tgt, ink, mu, s):
+        err = pre - mu - s * tgt
+        e2 = jnp.sum(err * err, -1)
+        li = jnp.sum(e2 * ink) / jnp.maximum(jnp.sum(ink), 1.0)
+        lb = jnp.sum(e2 * (1.0 - ink)) / jnp.maximum(jnp.sum(1.0 - ink), 1.0)
+        return li + 0.3 * lb, li
 
-    def loss_fn(tparams, page_u8, snip_u8, tids, tmask, tcos, tsin):
-        params, logit_scale = tparams
-        scale = jnp.exp(jnp.clip(logit_scale, 0.0, jnp.log(100.0)))
-        p = embed_pages(params, page_u8)  # (B, Sp, D) L2-normalized
-        qi = embed_snips(params, snip_u8)
-        qt = colqwen_text_forward(params, cfg, tids, tmask, tcos, tsin)
-        labels = jnp.arange(p.shape[0])
-
-        def nce(scores):
-            s = scores * scale
-            return 0.5 * (
-                optax.softmax_cross_entropy_with_integer_labels(s, labels).mean()
-                + optax.softmax_cross_entropy_with_integer_labels(s.T, labels).mean()
-            )
-
-        li = nce(maxsim_matrix(qi, snip_imask, p, page_imask))
-        lt = nce(maxsim_matrix(qt, tmask, p, page_imask))
-        return li + lt, (li, lt)
+    def loss_fn(tparams, page_u8, ptgt, pink, snip_u8, stgt, sink,
+                tids, tmask, ttgt, tw, tcos, tsin):
+        params, mu, log_s = tparams
+        s_page, s_snip, s_txt = jnp.exp(log_s)
+        pp = embed_pages(params, page_u8)[:, page_pos, :]
+        lp, lip = stream_loss(pp, ptgt, pink, mu, s_page)
+        sp = embed_snips(params, snip_u8)[:, snip_pos, :]
+        ls, lis = stream_loss(sp, stgt, sink, mu, s_snip)
+        tp = prenorm_text(params, tids, tmask, tcos, tsin)
+        terr = tp - mu - s_txt * ttgt
+        lt = jnp.sum(jnp.sum(terr * terr, -1) * tw) / jnp.maximum(jnp.sum(tw), 1.0)
+        return lp + ls + lt, (lip, lis, lt)
 
     params = init_colqwen_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
-    tparams = (params, jnp.asarray(np.log(10.0), jnp.float32))
-    opt = optax.adamw(
-        optax.warmup_cosine_decay_schedule(0.0, args.lr, 50, args.steps, args.lr * 0.05),
-        weight_decay=1e-4,
+    tparams = (params, jnp.zeros((D,), jnp.float32), jnp.zeros((3,), jnp.float32))
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(
+            optax.warmup_cosine_decay_schedule(
+                0.0, args.lr, min(50, max(1, args.steps // 10)), args.steps + 1, args.lr * 0.05
+            ),
+            weight_decay=1e-4,
+        ),
     )
     opt_state = opt.init(tparams)
 
     @jax.jit
-    def train_step(tparams, opt_state, page_u8, snip_u8, tids, tmask, tcos, tsin):
-        (loss, (li, lt)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            tparams, page_u8, snip_u8, tids, tmask, tcos, tsin
-        )
+    def train_step(tparams, opt_state, *batch_args):
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(tparams, *batch_args)
         updates, opt_state = opt.update(grads, opt_state, tparams)
-        return optax.apply_updates(tparams, updates), opt_state, loss, li, lt
+        return optax.apply_updates(tparams, updates), opt_state, loss, parts
 
     t0 = time.time()
     for step in range(args.steps):
@@ -228,40 +388,56 @@ def main() -> int:
         tb_ids, tb_mask = txt_ids[idx], txt_mask[idx]
         pos = mrope_position_ids(tb_ids, -1, [None] * B, attention_mask=tb_mask)
         tcos, tsin = mrope_cos_sin(pos, cfg.text)
-        tparams, opt_state, loss, li, lt = train_step(
-            tparams, opt_state, jnp.asarray(pages[idx]), jnp.asarray(snips[idx]),
-            jnp.asarray(tb_ids), jnp.asarray(tb_mask), jnp.asarray(tcos), jnp.asarray(tsin),
+        tparams, opt_state, loss, (lip, lis, lt) = train_step(
+            tparams, opt_state,
+            jnp.asarray(pages[idx]), jnp.asarray(page_tgts[idx]), jnp.asarray(page_inks[idx]),
+            jnp.asarray(snips[idx]), jnp.asarray(snip_tgts[idx]), jnp.asarray(snip_inks[idx]),
+            jnp.asarray(tb_ids), jnp.asarray(tb_mask), jnp.asarray(txt_tgts[idx]),
+            jnp.asarray(txt_w[idx]), jnp.asarray(tcos), jnp.asarray(tsin),
         )
-        if step % 50 == 0 or step == args.steps - 1:
-            print(f"step {step}: loss {float(loss):.4f} (img {float(li):.4f} txt {float(lt):.4f}) "
-                  f"scale {float(jnp.exp(tparams[1])):.1f} {time.time()-t0:.0f}s", flush=True)
-    params = tparams[0]
+        if step % 100 == 0 or step == args.steps - 1:
+            s = np.exp(np.asarray(tparams[2]))
+            print(f"step {step}: loss {float(loss):.4f} (page-ink {float(lip):.4f} "
+                  f"snip-ink {float(lis):.4f} txt {float(lt):.4f}) "
+                  f"s {s.round(3).tolist()} {time.time()-t0:.0f}s", flush=True)
 
-    # ---- held-out eval: UNSEEN keywords ----------------------------------
+    params, mu, _ = tparams
+    # fold the learned offset into the projection bias: the production
+    # forward then L2-normalizes (prenorm - mu), exactly what training
+    # centered (model.py:205-210)
+    params = dict(params)
+    params["proj_b"] = params["proj_b"] - mu
+
+    # ---- held-out eval: UNSEEN keywords through the PRODUCTION paths -----
     ev_rng = np.random.default_rng(args.seed + 1000)
     n_ev = 64
     ev_kws = [f"{ev_rng.choice(VOCAB).upper()}-{ev_rng.integers(1000, 9999)}" for _ in range(n_ev)]
+    model = ColQwenModel(cfg, params)
+    page_emb, snip_emb = [], []
     ev_pages = np.stack([
-        preprocess_image_u8(render_page(kw, int(ev_rng.integers(10, 990)), ev_rng))[0]
+        preprocess_image_u8(_render_text_page(page_text(kw, int(ev_rng.integers(10, 990)), ev_rng), dpi=DPI))[0]
         for kw in ev_kws
     ])
-    ev_snips = np.stack([
-        preprocess_image_u8(render_query_snippet(kw, ev_rng))[0] for kw in ev_kws
-    ])
-    pe = jax.jit(embed_pages)
-    se = jax.jit(embed_snips)
-    page_emb, snip_emb = [], []
-    for s in range(0, n_ev, B):
-        page_emb.append(np.asarray(pe(params, jnp.asarray(ev_pages[s:s + B]))))
-        snip_emb.append(np.asarray(se(params, jnp.asarray(ev_snips[s:s + B]))))
+    ev_snips = np.stack([preprocess_image_u8(render_query_snippet(kw, ev_rng)[0])[0] for kw in ev_kws])
+    for s0 in range(0, n_ev, B):
+        page_emb.append(model.embed_image_batch(ev_pages[s0:s0 + B], *page_grid))
+        snip_emb.append(model.embed_image_batch(ev_snips[s0:s0 + B], *snip_grid))
     page_emb = np.concatenate(page_emb)
     snip_emb = np.concatenate(snip_emb)
-    scores = np.einsum("qtd,pkd->qptk", snip_emb, page_emb).max(-1).sum(-1)
-    ranks = (-scores).argsort(1)
-    r1 = float((ranks[:, 0] == np.arange(n_ev)).mean())
-    r10 = float(np.mean([np.where(ranks[i] == i)[0][0] < 10 for i in range(n_ev)]))
-    print(f"held-out (unseen keywords, {n_ev} pages): recall@1 {r1:.3f} recall@10 {r10:.3f} "
-          f"(chance@10 {10/n_ev:.3f})", flush=True)
+
+    def recalls(q_emb, name):
+        scores = np.einsum("qtd,pkd->qptk", q_emb, page_emb).max(-1).sum(-1)
+        ranks = (-scores).argsort(1)
+        r1 = float((ranks[:, 0] == np.arange(n_ev)).mean())
+        r10 = float(np.mean([np.where(ranks[i] == i)[0][0] < 10 for i in range(n_ev)]))
+        print(f"held-out {name} ({n_ev} unseen keywords): recall@1 {r1:.3f} "
+              f"recall@10 {r10:.3f} (chance@10 {10/n_ev:.3f})", flush=True)
+        return r1, r10
+
+    recalls(snip_emb, "keyword-image")
+    q_txt = model.embed_queries([f"What is the rated torque of {kw}?" for kw in ev_kws])
+    recalls(np.stack([np.pad(q, ((0, 64 - q.shape[0]), (0, 0))) if q.shape[0] < 64 else q[:64]
+                      for q in q_txt]), "keyword-text")
 
     # ---- save -------------------------------------------------------------
     from morphik_core_tpu.models.colqwen.model import save_params_npz
