@@ -37,13 +37,14 @@ def _round_pow2(n: int, minimum: int = 8) -> int:
 
 
 def _token_tile(bucket: int) -> int:
-    """Largest kernel token tile (<=256) that DIVIDES the slot bucket —
-    the q8 kernel core takes pre-padded arrays and requires
-    N %% tile == 0 (no implicit padding)."""
-    for t in (256, 128, 64, 32, 16, 8):
-        if bucket % t == 0:
-            return t
-    return bucket  # bucket < 8 or odd: single-tile launch
+    """Largest MOSAIC-LEGAL kernel token tile that divides the slot
+    bucket (the q8 kernel core takes pre-padded arrays: N %% tile == 0,
+    no implicit padding). Pow-2 slot buckets always landed on a legal
+    tile by luck; `legal_token_tile` makes the guarantee explicit —
+    tile is a 128-multiple or the full bucket width."""
+    from morphik_core_tpu.ops.maxsim import legal_token_tile
+
+    return legal_token_tile(bucket)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

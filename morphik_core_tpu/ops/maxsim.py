@@ -40,6 +40,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def legal_token_tile(n_tokens: int) -> int:
+    """Largest legal token tile for the q8 kernel's pre-padded core over
+    a (C, n_tokens[, D]) array. Mosaic requires a block's LAST dim to be
+    a multiple of 128 or equal to the full array dim — a tile that merely
+    divides n_tokens (e.g. 8 into 24, or 16 into 80) fails lowering on
+    real TPU. So: the biggest 128-multiple that divides n_tokens, else
+    n_tokens itself (one full-width tile)."""
+    for t in (512, 384, 256, 128):
+        if n_tokens % t == 0:
+            return t
+    return n_tokens
+
+
 def pad_multivectors(
     mvs: Sequence[np.ndarray],
     token_bucket: Optional[int] = None,

@@ -160,16 +160,16 @@ def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
     (doubles as the validity mask). q8p/qsp: int8-quantized query
     multivector (quantize_query_q8 layout). Returns packed
     [scores (m,) | ids (m,)] — one device->host fetch."""
-    from morphik_core_tpu.ops.maxsim import _maxsim_pallas_q8, maxsim_scores_ref
+    from morphik_core_tpu.ops.maxsim import (
+        _maxsim_pallas_q8,
+        legal_token_tile,
+        maxsim_scores_ref,
+    )
 
     B = pblocks[0].shape[0]
     T = pblocks[0].shape[1]
     P_ = gi.shape[0]
-    token_tile = T
-    for t in (256, 128, 64, 32, 16, 8):
-        if T % t == 0:
-            token_tile = t
-            break
+    token_tile = legal_token_tile(T)
     total = jnp.zeros((P_,), jnp.float32)
     for b in range(len(pblocks)):
         sel = (gi // B) == b

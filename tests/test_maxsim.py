@@ -95,3 +95,21 @@ def test_bf16_inputs_close():
     )
     want = _numpy_maxsim(q, mvs)
     np.testing.assert_allclose(got, want, rtol=0.03, atol=0.5)
+
+
+def test_legal_token_tile_is_mosaic_legal():
+    """Regression: the pooled-tier tile picker chose any divisor down to
+    8 (e.g. 8 into bucket 24, 16 into 80) — Mosaic rejects a block whose
+    last dim is neither a 128-multiple nor the full array width, so the
+    fused pooled scan crashed on real TPU for non-lucky buckets (hit by
+    the trained tiny fixture, T=24). Every tile must divide the bucket
+    AND be a 128-multiple or the bucket itself."""
+    from morphik_core_tpu.ops.maxsim import legal_token_tile
+
+    for n in list(range(8, 1025, 8)) + [24, 40, 80, 136, 312]:
+        t = legal_token_tile(n)
+        assert n % t == 0, (n, t)
+        assert t % 128 == 0 or t == n, (n, t)
+    # big pow-2 buckets still get a bounded tile, not a full-width block
+    assert legal_token_tile(1024) == 512
+    assert legal_token_tile(384) == 384
