@@ -345,6 +345,8 @@ async def run_eval(args) -> Dict:
             txt_ranks.append(next((i + 1 for i, g in enumerate(got) if g == gold), None))
 
         checkpoint = settings.model.checkpoint_path
+        if not checkpoint and args.geometry == "fixture":
+            checkpoint = f"trained tiny fixture ({args.fixture.name})"
         return {
             "corpus": {"docs": args.docs, "pages_per_doc": args.pages,
                        "total_pages": n_pages_total, "templates": args.templates,

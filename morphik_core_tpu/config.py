@@ -224,6 +224,13 @@ class VectorStoreConfig(BaseModel):
     # to the 10.2 GB int8 FDE matrix on one v5e chip.
     pooled_tier_factor: int = 32
     pooled_tier_budget_mb: int = 6144
+    # k-means passes refining pooled vectors (both pooled paths) from
+    # their consecutive-mean init. Pure spatial pooling averages away a
+    # trained checkpoint's salient tokens — measured round 4: gold-page
+    # survival through the pooled stage at factor 32 is 17% (0 iters)
+    # vs ~50% refined, with the FDE-head union guard bounding the worst
+    # case either way. ~0.3 ms/row host-side at tier-build time; 0 = off.
+    pooled_refine_iters: int = 3
 
 
 class WorkerConfig(BaseModel):

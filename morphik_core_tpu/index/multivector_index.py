@@ -114,6 +114,7 @@ class MultiVectorIndex:
         rerank_prefilter_pooling: int = 0,  # 0/1 = off; p>1 = pooled first pass
         pooled_tier_factor: int = 0,  # 0 = off; p>1 = device-resident pooled tier
         pooled_tier_budget_mb: int = 6144,  # HBM budget gate for the tier
+        pooled_refine_iters: int = 3,  # k-means passes refining pooled vectors
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
@@ -209,6 +210,14 @@ class MultiVectorIndex:
         # blocks — mesh queries use the upload pooled prefilter instead.
         self.pooled_tier_factor = int(pooled_tier_factor)
         self.pooled_tier_budget_mb = int(pooled_tier_budget_mb)
+        # Pooled-vector fidelity (round 4, measured on a trained
+        # checkpoint): consecutive-mean-only pooling averages away the
+        # salient tokens of semantically structured pages; a few k-means
+        # refinement passes (~0.3 ms/row host-side at ingest/build time)
+        # triple the pooled stage's gold-survival rate at factor 32.
+        # Both pooled paths (device tier + upload prefilter) share this
+        # so their vectors stay bit-identical.
+        self.pooled_refine_iters = int(pooled_refine_iters)
         self._pooled_blocks: List[Any] = []  # (B, T, D) int8 per block
         self._pooled_scales: List[Any] = []  # (B, T) f32 (0 = padded token)
         self._pooled_rows = 0
@@ -537,7 +546,10 @@ class MultiVectorIndex:
             for j, r in enumerate(range(start, stop)):
                 if not self._alive[r]:
                     continue  # tombstones are never gathered; skip the IO
-                pv = pool_multivector(np.asarray(self._mv_row(r), np.float32), p)
+                pv = pool_multivector(
+                    np.asarray(self._mv_row(r), np.float32), p,
+                    refine_iters=self.pooled_refine_iters,
+                )
                 n = min(pv.shape[0], bucket)
                 dense[j, :n] = pv[:n]
             qq, ss = quantize_rows_int8(dense)
@@ -583,7 +595,9 @@ class MultiVectorIndex:
         MaxSim rescore against the device tier -> top-m survivors. The
         only per-query uploads are the (already device-resident) encoded
         query + the tiny int8 query multivector; the fetch is one packed
-        (2m,) array. Survivor rows return best-pooled-first."""
+        (2m,) array. The first m//2 survivor slots hold the ANN (FDE)
+        head set — the union guard (`_pooled_stage`) — the rest
+        best-pooled-first; the exact rerank downstream re-sorts all."""
         from morphik_core_tpu.ops.maxsim import default_use_pallas, quantize_query_q8
         from morphik_core_tpu.parallel.search import (
             scan_blocks_topk_pooled,
@@ -605,6 +619,7 @@ class MultiVectorIndex:
         q8p, qsp = quantize_query_q8(q)
         use_pallas = self.use_pallas if self.use_pallas is not None else default_use_pallas()
         m_pad = min(_round_capacity(m, minimum=16), pool_size)
+        guard = m // 2  # union safety floor: FDE-head half always survives
         if self.ann_dtype == "int8":
             q_dev, qs_dev = qe
             packed = scan_blocks_topk_q_pooled(
@@ -613,14 +628,14 @@ class MultiVectorIndex:
                 masks, codes, allowed, q_dev, qs_dev,
                 tuple(self._pooled_blocks), tuple(self._pooled_scales),
                 jnp.asarray(q8p), jnp.asarray(qsp),
-                kb, pool_size, m_pad, use_pallas,
+                kb, pool_size, m_pad, use_pallas, guard=guard,
             )
         else:
             packed = scan_blocks_topk_pooled(
                 tuple(self._dev_blocks), masks, codes, allowed, jnp.asarray(qe),
                 tuple(self._pooled_blocks), tuple(self._pooled_scales),
                 jnp.asarray(q8p), jnp.asarray(qsp),
-                kb, pool_size, m_pad, use_pallas,
+                kb, pool_size, m_pad, use_pallas, guard=guard,
             )
         packed = np.asarray(packed)
         half = packed.shape[0] // 2
@@ -926,16 +941,24 @@ class MultiVectorIndex:
 
     def _pooled_prefilter(self, pool: List[int], q: np.ndarray, m: int, factor: int) -> List[int]:
         """Rank `pool` by MaxSim over token-POOLED int8 candidates and
-        return the top `m` rows (order preserved by score). A cold pool
-        uploads 1/factor of the full-token bytes; with the HBM cache
-        enabled, pooled rows get their own small cache tier
-        (token_bucket/factor int8 slots), so REPEATED queries run the
-        pooled pass with zero bulk transfer. The survivors then get the
+        return `m` survivor rows. A cold pool uploads 1/factor of the
+        full-token bytes; with the HBM cache enabled, pooled rows get
+        their own small cache tier (token_bucket/factor int8 slots), so
+        REPEATED queries run the pooled pass with zero bulk transfer.
+
+        Union guard (round 4): `pool` arrives in ANN (FDE) score order,
+        and pooled vectors are lossy — the first m//2 rows survive
+        unconditionally, only the remaining slots are chosen by pooled
+        score (same safety floor as the fused device tier,
+        parallel/search.py::_pooled_stage). The survivors then get the
         exact full-token rerank."""
         from morphik_core_tpu.ops.pooling import pool_multivector, pooled_token_count
 
         def fetch_pooled(r: int) -> np.ndarray:
-            return pool_multivector(np.asarray(self._mv_row(r), np.float32), factor)
+            return pool_multivector(
+                np.asarray(self._mv_row(r), np.float32), factor,
+                refine_iters=self.pooled_refine_iters,
+            )
 
         scores = None
         if self._cache_slots > 0 and len(pool) <= self._cache_slots:
@@ -960,8 +983,10 @@ class MultiVectorIndex:
             scores = np.asarray(
                 maxsim_scores_q8(q, d8, ds, dmask, use_pallas=self.use_pallas)
             )
-        order = np.argsort(-scores)[: min(m, len(pool))]
-        return [pool[i] for i in order]
+        m = min(m, len(pool))
+        g = m // 2  # FDE-head half survives regardless of pooled score
+        order = [i for i in np.argsort(-scores) if i >= g]
+        return pool[:g] + [pool[i] for i in order[: m - g]]
 
     def _pool_scores_cached(self, pool: List[int], q: np.ndarray) -> Optional[np.ndarray]:
         """MaxSim scores via the HBM candidate cache; None -> fall back

@@ -149,7 +149,7 @@ def scan_blocks_topk_q(blocks, scales, masks, codes, allowed, qq, q_scale, k: in
 
 
 def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
-                  use_pallas: bool, interpret: bool):
+                  use_pallas: bool, interpret: bool, guard: int = 0):
     """Rescore the ANN pool (vm scores, gi global row ids) by MaxSim over
     the device-resident POOLED int8 tier and keep the top `m`.
 
@@ -159,7 +159,18 @@ def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
     tuple of (B, T) f32 per-token scales with 0 marking padded tokens
     (doubles as the validity mask). q8p/qsp: int8-quantized query
     multivector (quantize_query_q8 layout). Returns packed
-    [scores (m,) | ids (m,)] — one device->host fetch."""
+    [scores (m,) | ids (m,)] — one device->host fetch.
+
+    `guard` > 0 is the UNION safety floor (round 4): the first `guard`
+    pool entries — the ANN (FDE) ordering's head, since vm/gi arrive
+    top_k-sorted — survive unconditionally via a finite score bonus, and
+    only the remaining m-guard slots are chosen by pooled score. Pooled
+    token vectors are lossy; on a trained checkpoint a pure
+    pooled-score cut measurably DROPS gold pages the FDE ordering had
+    already ranked top-10 (round-4 probe: survivor recall 0.33 pooled-
+    only vs 1.00 for the union at factor 32). The exact full-token
+    rerank downstream re-sorts survivors, so the bonus never affects
+    final scores."""
     from morphik_core_tpu.ops.maxsim import (
         _maxsim_pallas_q8,
         legal_token_tile,
@@ -190,6 +201,10 @@ def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
         # to exactly 0, so summing across blocks keeps one real score
         total = total + s
     valid = jnp.isfinite(vm) & (jnp.arange(P_) < n_valid)
+    if guard > 0:
+        # union guard: FDE-head rows outrank every pooled-only score
+        # (pooled MaxSim is bounded by the query token count << 1e6)
+        total = total + jnp.where(jnp.arange(P_) < guard, 1e6, 0.0)
     total = jnp.where(valid, total, -jnp.inf)
     m = min(m, P_)
     vals, pos = jax.lax.top_k(total, m)
@@ -197,34 +212,42 @@ def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "pool", "m", "use_pallas", "interpret")
+    jax.jit, static_argnames=("k", "pool", "m", "use_pallas", "interpret", "guard")
 )
 def scan_blocks_topk_q_pooled(
     blocks, scales, masks, codes, allowed, qq, q_scale,
     pblocks, pscales, q8p, qsp,
     k: int, pool: int, m: int, use_pallas: bool = True, interpret: bool = False,
+    guard: int = 0,
 ):
     """int8 ANN scan + device pooled-tier rescore in ONE compiled
     program: one dispatch, one tiny fetch, zero candidate upload.
     `pool` is the true candidate count; the scan internally pads it to
-    the kernel's candidate-tile multiple and masks the padding."""
+    the kernel's candidate-tile multiple and masks the padding.
+    `guard` forces the FDE-head of the pool to survive (see
+    `_pooled_stage`)."""
     pool8 = -(-pool // 8) * 8
     vm, gi = _scan_body_q(blocks, scales, masks, codes, allowed, qq, q_scale, k, pool8)
-    return _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m, pool, use_pallas, interpret)
+    return _pooled_stage(
+        vm, gi, pblocks, pscales, q8p, qsp, m, pool, use_pallas, interpret, guard
+    )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "pool", "m", "use_pallas", "interpret")
+    jax.jit, static_argnames=("k", "pool", "m", "use_pallas", "interpret", "guard")
 )
 def scan_blocks_topk_pooled(
     blocks, masks, codes, allowed, q,
     pblocks, pscales, q8p, qsp,
     k: int, pool: int, m: int, use_pallas: bool = True, interpret: bool = False,
+    guard: int = 0,
 ):
     """float/bf16-ANN twin of `scan_blocks_topk_q_pooled`."""
     pool8 = -(-pool // 8) * 8
     vm, gi = _scan_body(blocks, masks, codes, allowed, q, k, pool8)
-    return _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m, pool, use_pallas, interpret)
+    return _pooled_stage(
+        vm, gi, pblocks, pscales, q8p, qsp, m, pool, use_pallas, interpret, guard
+    )
 
 
 # --------------------------------------------------------- mesh blocked path

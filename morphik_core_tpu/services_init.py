@@ -246,6 +246,7 @@ def build_services(
             rerank_prefilter_pooling=settings.vector_store.rerank_prefilter_pooling,
             pooled_tier_factor=settings.vector_store.pooled_tier_factor,
             pooled_tier_budget_mb=settings.vector_store.pooled_tier_budget_mb,
+            pooled_refine_iters=settings.vector_store.pooled_refine_iters,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

@@ -62,6 +62,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         rerank_prefilter_pooling: int = 0,
         pooled_tier_factor: int = 0,
         pooled_tier_budget_mb: int = 6144,
+        pooled_refine_iters: int = 3,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -83,6 +84,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.rerank_prefilter_pooling = rerank_prefilter_pooling
         self.pooled_tier_factor = pooled_tier_factor
         self.pooled_tier_budget_mb = pooled_tier_budget_mb
+        self.pooled_refine_iters = pooled_refine_iters
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -115,6 +117,7 @@ class TPUMultiVectorStore(BaseVectorStore):
                     rerank_prefilter_pooling=self.rerank_prefilter_pooling,
                     pooled_tier_factor=self.pooled_tier_factor,
                     pooled_tier_budget_mb=self.pooled_tier_budget_mb,
+                    pooled_refine_iters=self.pooled_refine_iters,
                 )
         return self._indexes[ns]
 

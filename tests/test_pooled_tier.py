@@ -147,7 +147,75 @@ def test_tier_persistence_roundtrip(tmp_path):
     assert idx2.last_timing["pooled_tier"] is True
     assert res[0][0].document_id == "doc12"
 
-def test_fused_kernel_interpret_matches_ref():
+def test_pooled_stage_union_guard():
+    """Union safety floor (round 4): pooled vectors are lossy, so the
+    fused rescore must keep the ANN (FDE) head unconditionally. Build an
+    adversarial tier where the FDE-top row's pooled vector ANTI-matches
+    the query: without the guard it is dropped, with guard it survives
+    in the FDE-head slots."""
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.ops.maxsim import quantize_query_q8
+    from morphik_core_tpu.parallel.search import (
+        quantize_rows_int8,
+        scan_blocks_topk_q_pooled,
+    )
+
+    rng = np.random.default_rng(7)
+    B, D, T, dim = 64, 64, 8, 32
+    qmv = rng.standard_normal((4, dim)).astype(np.float32)
+    qmv /= np.linalg.norm(qmv, axis=1, keepdims=True)
+    # FDE scores: descending by row id -> ANN pool head = rows 0,1,2...
+    fde = np.linspace(1.0, 0.1, B)[:, None].astype(np.float32) * np.ones(
+        (B, D), np.float32
+    )
+    qv = np.ones(D, np.float32)
+    f8, fs = quantize_rows_int8(fde)
+    q8v, qsv = quantize_rows_int8(qv[None])
+    # pooled tier: row 0 anti-matches the query, all other rows match it
+    p = np.tile(qmv.mean(0), (B, T, 1)).astype(np.float32)
+    p[0] = -p[0]
+    p8 = np.clip(np.round(p * 127), -127, 127).astype(np.int8)
+    ps = np.full((B, T), 1.0 / 127, np.float32)
+    q8p, qsp = quantize_query_q8(qmv)
+    args = (
+        (jnp.asarray(f8),), (jnp.asarray(fs),),
+        (jnp.asarray(np.ones(B, np.float32)),),
+        (jnp.asarray(np.zeros(B, np.int32)),),
+        jnp.asarray(np.ones(8, np.float32)),
+        jnp.asarray(q8v[0]), jnp.asarray(qsv[0]),
+        (jnp.asarray(p8),), (jnp.asarray(ps),),
+        jnp.asarray(q8p), jnp.asarray(qsp),
+    )
+    m = 8
+    no_guard = np.asarray(
+        scan_blocks_topk_q_pooled(*args, 32, 32, m, use_pallas=False, guard=0)
+    )
+    guarded = np.asarray(
+        scan_blocks_topk_q_pooled(*args, 32, 32, m, use_pallas=False, guard=m // 2)
+    )
+    assert 0 not in no_guard[m:].astype(np.int64)  # pooled cut drops the FDE-top row
+    gids = guarded[m:].astype(np.int64)
+    # the first m//2 slots are exactly the FDE-head SET (ordered by
+    # pooled score within the head; the exact rerank re-sorts anyway)
+    assert set(gids[: m // 2]) == {0, 1, 2, 3}
+    assert np.isfinite(guarded[:m]).all()  # caller's validity filter keeps them
+
+
+def test_prefilter_union_guard():
+    """Host upload-path twin of the fused guard: `_pooled_prefilter` must
+    return the FDE-head half of the pool verbatim before any
+    pooled-score picks, with no duplicate rows."""
+    rng = np.random.default_rng(8)
+    concepts, mvs, topics = _corpus(rng, 40)
+    idx = MultiVectorIndex(CFG, rerank_prefilter_pooling=4)
+    _fill(idx, mvs)
+    q = concepts[topics[3]].astype(np.float32)
+    pool = list(range(24))
+    out = idx._pooled_prefilter(pool, q, 10, 4)
+    assert out[:5] == pool[:5]  # guard half, FDE order preserved
+    assert len(out) == 10 and len(set(out)) == 10
+    assert all(r in pool for r in out)
     """Run the fused scan+pooled-rescore program with the Pallas q8
     kernel in interpret mode and check it matches the XLA reference
     path bit-for-bit on the survivor set (validates the kernel's tile

@@ -21,6 +21,47 @@ def test_pool_shapes_and_norms():
     assert pool_multivector(mv, 1) is mv
 
 
+def test_pool_refine_shapes_and_norms():
+    """k-means refinement keeps count/norm/dtype semantics identical to
+    the consecutive-mean path (round 4, pooled-fidelity fix)."""
+    rng = np.random.default_rng(2)
+    mv = rng.standard_normal((37, 16)).astype(np.float32)
+    mv /= np.linalg.norm(mv, axis=-1, keepdims=True)
+    base = pool_multivector(mv, 4)
+    ref = pool_multivector(mv, 4, refine_iters=3)
+    assert ref.shape == base.shape == (10, 16)
+    assert ref.dtype == mv.dtype
+    np.testing.assert_allclose(np.linalg.norm(ref, axis=-1), 1.0, atol=1e-5)
+    assert pool_multivector(mv, 1, refine_iters=3) is mv
+
+
+def test_pool_refine_preserves_salient_tokens():
+    """Adversarial layout for spatial pooling: a salient direction is
+    interleaved token-by-token with background, so every consecutive
+    group averages it half away. k-means reassignment must recover a
+    centroid near the salient direction (this is the measured failure
+    mode on trained checkpoints — CLAUDE.md round-4 notes)."""
+    rng = np.random.default_rng(3)
+    d = 32
+    sal = rng.standard_normal(d).astype(np.float32)
+    bg = rng.standard_normal(d).astype(np.float32)
+    sal /= np.linalg.norm(sal)
+    bg -= (bg @ sal) * sal  # orthogonal background
+    bg /= np.linalg.norm(bg)
+    mv = np.empty((64, d), np.float32)
+    for i in range(64):
+        base = sal if i % 2 == 0 else bg
+        t = base + 0.05 * rng.standard_normal(d).astype(np.float32)
+        mv[i] = t / np.linalg.norm(t)
+    plain = pool_multivector(mv, 8)
+    refined = pool_multivector(mv, 8, refine_iters=3)
+    best_plain = float((plain @ sal).max())
+    best_ref = float((refined @ sal).max())
+    assert best_plain < 0.85  # consecutive-mean dilutes the salient token
+    assert best_ref > 0.95, f"refined max-sim {best_ref} (plain {best_plain})"
+    assert best_ref > best_plain + 0.1
+
+
 def test_pooled_store_retrieval_quality(tmp_path):
     """At factor 2, self-similarity retrieval over pooled stores still
     ranks the right page first, with half the stored tokens."""
