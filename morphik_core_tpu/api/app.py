@@ -818,18 +818,35 @@ def build_app(services: Services) -> Router:
 
     @router.post("/models/custom")
     async def add_custom_model(req: Request) -> Response:
+        """Custom model rows are ALWAYS stored under provider="custom"
+        (the model's own provider stays inside config_data), mirroring
+        the reference split (routes/models.py:142-167) — api-key rows
+        own the provider-named slots, so saving an openai key can never
+        overwrite an openai-backed custom model (round-4 review)."""
         auth = await auth_of(req)
         body = req.json()
         cid = await services.database.store_model_config(
-            auth.user_id or auth.entity_id, auth.app_id, body.get("provider", "custom"), body
+            auth.user_id or auth.entity_id, auth.app_id, "custom", body
         )
         return Response.json({"id": cid})
 
     @router.get("/models/custom")
     async def list_custom_models(req: Request) -> Response:
+        """Only provider="custom" rows — api-key rows (which hold secret
+        material) are served sanitized by GET /api-keys instead. Any
+        key-shaped field that made it into a model config is redacted."""
         auth = await auth_of(req)
         configs = await services.database.get_model_configs(auth.user_id or auth.entity_id, auth.app_id)
-        return Response.json(configs)
+        out = []
+        for c in configs:
+            if c["provider"] != "custom":
+                continue  # provider-named rows are API-key records
+            data = dict(c.get("config_data") or {})
+            for secret in ("apiKey", "api_key", "token", "authorization"):
+                if data.get(secret):
+                    data[secret] = "***"
+            out.append({**c, "config_data": data})
+        return Response.json(out)
 
     @router.delete("/models/custom/{config_id}")
     async def delete_custom_model(req: Request) -> Response:

@@ -229,7 +229,8 @@ class VectorStoreConfig(BaseModel):
     # trained checkpoint's salient tokens — measured round 4: gold-page
     # survival through the pooled stage at factor 32 is 17% (0 iters)
     # vs ~50% refined, with the FDE-head union guard bounding the worst
-    # case either way. ~0.3 ms/row host-side at tier-build time; 0 = off.
+    # case either way. ~0.3 ms/row host-side, paid ONCE at ingest and
+    # persisted in the index's pooled.bin side-store; 0 = off.
     pooled_refine_iters: int = 3
 
 

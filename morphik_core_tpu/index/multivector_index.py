@@ -157,6 +157,20 @@ class MultiVectorIndex:
         self._mv_pending: List[np.ndarray] = []
         self._wal_buffer: List[dict] = []  # ops since last flush, in event order
         self._mv_file_tokens = 0  # tokens already in mv.bin
+        # --- pooled side-store (pooled.bin): per-row TIER-factor pooled
+        # vectors, computed once at INGEST time and persisted, so the
+        # device pooled tier never replays the k-means refinement over
+        # the corpus inside a query (round-4 review: at 1M rows that was
+        # ~5 min of host work under the lock on the first query after a
+        # restart). Offsets are derived from records (no WAL change);
+        # validity is gated on the header's pooled meta matching the
+        # configured (factor, refine_iters) — a mismatch or a legacy
+        # index disables the store until the next compaction rewrites it.
+        self._pooled_pending: List[np.ndarray] = []
+        self._pooled_off: List[int] = []  # per-row token offset (-1 = pending)
+        self._pooled_mm: Optional[np.memmap] = None
+        self._pooled_file_tokens = 0
+        self._pooled_store_ok = pooled_tier_factor > 1
 
         # --- device state (single-chip blocked path). The active block
         # size grows pow-2 with the corpus (compiled-program reuse, no
@@ -301,6 +315,12 @@ class MultiVectorIndex:
                 self.records.append(rec)
                 self._mv_off.append(-1)
                 self._mv_pending.append(mv)
+                if self._pooled_store_ok:
+                    # pay the pooling (+ k-means refine) here, at ingest —
+                    # ~0.3 ms/row vs ~40 ms/page embed — NOT inside the
+                    # first query's tier build
+                    self._pooled_pending.append(self._pool_row(mv))
+                    self._pooled_off.append(-1)
                 self._fde_pending.append(np.asarray(fv, dtype=np.float32))
                 self._alive[row] = True
                 self._id_to_row[sid] = row
@@ -503,7 +523,14 @@ class MultiVectorIndex:
         from morphik_core_tpu.ops.pooling import pooled_token_count
 
         p = self.pooled_tier_factor
-        n = pooled_token_count(max(self._max_tokens, 1), p)
+        mt = max(self._max_tokens, 1)
+        # pooled_token_count is NON-monotonic in row length: rows with
+        # n <= factor stay unpooled (n tokens each), so the widest pooled
+        # row is not necessarily the longest. Cover both regimes, or
+        # short rows get silently truncated to the bucket in
+        # _pooled_block_host and diverge from the upload prefilter
+        # (round-4 review finding).
+        n = max(pooled_token_count(mt, p), min(mt, p))
         return max(8, -(-n // 8) * 8)
 
     def tier_bytes_estimate(self) -> int:
@@ -527,29 +554,56 @@ class MultiVectorIndex:
             return False
         return self.tier_bytes_estimate() <= self.pooled_tier_budget_mb * (1 << 20)
 
+    def _pool_row(self, mv: np.ndarray) -> np.ndarray:
+        """Tier-factor pooled vector of one multivector row, in
+        store_dtype (the pooled.bin on-disk representation)."""
+        from morphik_core_tpu.ops.pooling import pool_multivector
+
+        pv = pool_multivector(
+            np.asarray(mv, np.float32), self.pooled_tier_factor,
+            refine_iters=self.pooled_refine_iters,
+        )
+        return np.ascontiguousarray(pv, dtype=self.store_dtype)
+
+    def _pooled_row(self, row: int) -> np.ndarray:
+        """Per-row pooled vector (tier factor), f32. Served from the
+        persisted side-store / pending tail when available; computed on
+        the fly otherwise (legacy index, config change — the next
+        compaction rewrites pooled.bin and re-enables the store)."""
+        if self._pooled_store_ok:
+            if row >= self._persisted:
+                return np.asarray(
+                    self._pooled_pending[row - self._persisted], np.float32
+                )
+            off = self._pooled_off[row] if row < len(self._pooled_off) else -1
+            if off >= 0 and self._pooled_mm is not None:
+                from morphik_core_tpu.ops.pooling import pooled_token_count
+
+                n = pooled_token_count(
+                    self.records[row].n_tokens, self.pooled_tier_factor
+                )
+                return np.asarray(self._pooled_mm[off : off + n], np.float32)
+        return np.asarray(self._pool_row(self._mv_row(row)), np.float32)
+
     def _pooled_block_host(self, b: int, bucket: int):
         """Host payload for pooled block b: per-token int8 + scales with
         scale 0 marking padded tokens (doubles as the validity mask).
         Builds in bounded row chunks — a 64k-row block would otherwise
-        materialize ~2 GB of f32 temporaries."""
-        from morphik_core_tpu.ops.pooling import pool_multivector
-
+        materialize ~2 GB of f32 temporaries. Pooled vectors come from
+        the persisted side-store (computed at ingest), so this is a
+        read+quantize pass, not a k-means replay."""
         B = self._active_block
         lo, hi = b * B, min((b + 1) * B, self._count)
         q8 = np.zeros((B, bucket, self._dim), np.int8)
         sc = np.zeros((B, bucket), np.float32)
         CHUNK = 2048
-        p = self.pooled_tier_factor
         for start in range(lo, hi, CHUNK):
             stop = min(start + CHUNK, hi)
             dense = np.zeros((stop - start, bucket, self._dim), np.float32)
             for j, r in enumerate(range(start, stop)):
                 if not self._alive[r]:
                     continue  # tombstones are never gathered; skip the IO
-                pv = pool_multivector(
-                    np.asarray(self._mv_row(r), np.float32), p,
-                    refine_iters=self.pooled_refine_iters,
-                )
+                pv = self._pooled_row(r)
                 n = min(pv.shape[0], bucket)
                 dense[j, :n] = pv[:n]
             qq, ss = quantize_rows_int8(dense)
@@ -561,8 +615,10 @@ class MultiVectorIndex:
 
     def _ensure_pooled_blocks(self) -> None:
         """Tail-incremental twin of _ensure_device_blocks for the pooled
-        tier. A bucket change (a longer row arrived) rebuilds the tier
-        from scratch at the new geometry."""
+        tier. A bucket change (a longer row arrived) REPACKS the tier at
+        the new geometry — pooled vectors come from the persisted
+        side-store, so that's a read+quantize+upload pass, never a
+        k-means replay over the corpus."""
         self._sync_block_size()
         bucket = self._tier_bucket()
         if bucket != self._pooled_bucket:
@@ -955,6 +1011,8 @@ class MultiVectorIndex:
         from morphik_core_tpu.ops.pooling import pool_multivector, pooled_token_count
 
         def fetch_pooled(r: int) -> np.ndarray:
+            if factor == self.pooled_tier_factor:
+                return self._pooled_row(r)  # persisted at ingest — no k-means
             return pool_multivector(
                 np.asarray(self._mv_row(r), np.float32), factor,
                 refine_iters=self.pooled_refine_iters,
@@ -1033,6 +1091,12 @@ class MultiVectorIndex:
         return {
             "format": FORMAT_VERSION,
             "store_dtype": self.store_dtype.name,
+            # pooled.bin provenance: derived data, so a mismatch only
+            # disables the side-store (next compaction regenerates it)
+            "pooled": {
+                "factor": self.pooled_tier_factor,
+                "refine_iters": self.pooled_refine_iters,
+            },
             "fde": {
                 "dimension": self.fde_config.dimension,
                 "num_repetitions": self.fde_config.num_repetitions,
@@ -1080,6 +1144,17 @@ class MultiVectorIndex:
                 with open(self.path / "mv.bin", "ab") as fh:
                     fh.write(b"".join(bufs))
                 self._mv_file_tokens = off
+            new_pooled_offs: List[int] = []
+            if self._pooled_store_ok and self._pooled_pending:
+                off = self._pooled_file_tokens
+                bufs = []
+                for pv in self._pooled_pending:
+                    new_pooled_offs.append(off)
+                    off += pv.shape[0]
+                    bufs.append(pv.tobytes())
+                with open(self.path / "pooled.bin", "ab") as fh:
+                    fh.write(b"".join(bufs))
+                self._pooled_file_tokens = off
             # 2) WAL lines (adds get their mv offsets in append order)
             it = iter(new_offs)
             lines = []
@@ -1094,9 +1169,12 @@ class MultiVectorIndex:
             # 3) promote pending -> persisted
             for i, off in enumerate(new_offs):
                 self._mv_off[self._persisted + i] = off
+            for i, off in enumerate(new_pooled_offs):
+                self._pooled_off[self._persisted + i] = off
             self._persisted = self._count
             self._fde_pending.clear()
             self._mv_pending.clear()
+            self._pooled_pending.clear()
             self._wal_buffer.clear()
             self._open_mmaps()
 
@@ -1109,6 +1187,12 @@ class MultiVectorIndex:
         if self._mv_file_tokens and mv_p.exists():
             self._mv_mm = np.memmap(
                 mv_p, dtype=self.store_dtype, mode="r", shape=(self._mv_file_tokens, self._dim)
+            )
+        pooled_p = self.path / "pooled.bin"
+        if self._pooled_store_ok and self._pooled_file_tokens and pooled_p.exists():
+            self._pooled_mm = np.memmap(
+                pooled_p, dtype=self.store_dtype, mode="r",
+                shape=(self._pooled_file_tokens, self._dim),
             )
 
     def _load(self) -> None:
@@ -1202,7 +1286,50 @@ class MultiVectorIndex:
             with open(self.path / "mv.bin", "r+b") as fh:
                 fh.truncate(used_tokens * self.store_dtype.itemsize * self._dim)
         self._mv_file_tokens = used_tokens
+        self._load_pooled_store(hdr)
         self._open_mmaps()
+
+    def _load_pooled_store(self, hdr: dict) -> None:
+        """Validate pooled.bin against the header's pooled meta and the
+        replayed records; a mismatch (legacy index, factor/refine config
+        change, short file) DISABLES the side-store — pooled rows are
+        then computed on the fly until the next compaction rewrites the
+        file under the current config. Derived data: never a load error."""
+        from morphik_core_tpu.ops.pooling import pooled_token_count
+
+        if self.pooled_tier_factor <= 1:
+            self._pooled_store_ok = False
+            return
+        meta = hdr.get("pooled") or {}
+        if (
+            meta.get("factor") != self.pooled_tier_factor
+            or meta.get("refine_iters") != self.pooled_refine_iters
+        ):
+            self._pooled_store_ok = False
+            return
+        pooled_p = self.path / "pooled.bin"
+        on_disk = (
+            pooled_p.stat().st_size // (self.store_dtype.itemsize * self._dim)
+            if pooled_p.exists() else 0
+        )
+        offs: List[int] = []
+        off = 0
+        for r in range(self._count):
+            offs.append(off)
+            off += pooled_token_count(self.records[r].n_tokens, self.pooled_tier_factor)
+        if on_disk < off:
+            # rows were persisted without pooled data (older build /
+            # crash between pooled append and WAL fsync is impossible —
+            # pooled.bin is appended before the WAL — but a pre-pooled
+            # index upgraded in place lands here)
+            self._pooled_store_ok = False
+            return
+        if on_disk > off:  # orphan bytes from a crashed append
+            with open(pooled_p, "r+b") as fh:
+                fh.truncate(off * self.store_dtype.itemsize * self._dim)
+        self._pooled_off = offs
+        self._pooled_file_tokens = off
+        self._pooled_store_ok = True
 
     def _load_legacy(self) -> None:
         """Migrate the round-1 snapshot layout (meta.json + fde.npy +
@@ -1278,7 +1405,7 @@ class MultiVectorIndex:
         ):
             self.compact()
 
-    _COMPACT_FILES = ("header.json", "records.jsonl", "fde.bin", "mv.bin")
+    _COMPACT_FILES = ("header.json", "records.jsonl", "fde.bin", "mv.bin", "pooled.bin")
 
     COMPACT_BATCH_ROWS = 4096  # streaming-copy granularity (bounds RSS)
 
@@ -1341,12 +1468,15 @@ class MultiVectorIndex:
         kept = 0
         with open(tmp / "header.json", "w") as fh:
             json.dump(self._header(), fh)
+        write_pooled = self.pooled_tier_factor > 1
+        pooled_f = open(tmp / "pooled.bin", "wb") if write_pooled else None
         with open(tmp / "fde.bin", "wb") as fde_f, open(tmp / "mv.bin", "wb") as mv_f, open(
             tmp / "records.jsonl", "w"
         ) as wal_f:
             off_tokens = 0
             batch_fde: List[np.ndarray] = []
             batch_mv: List[bytes] = []
+            batch_pooled: List[bytes] = []
             batch_lines: List[str] = []
 
             def flush_batch() -> None:
@@ -1354,9 +1484,12 @@ class MultiVectorIndex:
                     fde_f.write(np.stack(batch_fde).tobytes())
                 if batch_mv:
                     mv_f.write(b"".join(batch_mv))
+                if pooled_f is not None and batch_pooled:
+                    pooled_f.write(b"".join(batch_pooled))
                 wal_f.write("".join(line + "\n" for line in batch_lines))
                 batch_fde.clear()
                 batch_mv.clear()
+                batch_pooled.clear()
                 batch_lines.clear()
 
             for r in range(self._count):
@@ -1366,6 +1499,15 @@ class MultiVectorIndex:
                 mv = np.ascontiguousarray(self._mv_row(r), dtype=self.store_dtype)
                 batch_fde.append(np.asarray(self._fde_rows(r, r + 1)[0], np.float32))
                 batch_mv.append(mv.tobytes())
+                if write_pooled:
+                    # stream-copy from the live side-store when valid,
+                    # (re)compute otherwise — compaction is the heal
+                    # path that re-enables a disabled pooled store
+                    pv = (
+                        self._pooled_row(r).astype(self.store_dtype)
+                        if self._pooled_store_ok else self._pool_row(mv)
+                    )
+                    batch_pooled.append(np.ascontiguousarray(pv).tobytes())
                 batch_lines.append(
                     json.dumps(
                         {
@@ -1387,9 +1529,12 @@ class MultiVectorIndex:
             flush_batch()
             # side files durable BEFORE the COMMIT marker: recovery
             # replays the swap assuming their contents are complete
-            for f in (fde_f, mv_f, wal_f):
+            durable = [fde_f, mv_f, wal_f] + ([pooled_f] if pooled_f else [])
+            for f in durable:
                 f.flush()
                 os.fsync(f.fileno())
+        if pooled_f is not None:
+            pooled_f.close()
         # COMMIT marker, made DURABLE before any rename — a crash must
         # never see replaced files without the marker (recover_compact
         # would discard tmp and leave a mixed old/new live dir)
@@ -1408,6 +1553,10 @@ class MultiVectorIndex:
             src = tmp / name
             if src.exists():
                 os.replace(src, path / name)
+            elif name == "pooled.bin":
+                # a tier-off compaction must not leave a stale pooled.bin
+                # behind (its offsets no longer match the renumbered rows)
+                (path / name).unlink(missing_ok=True)
         _fsync_dir(path)
         # legacy snapshot files are superseded
         (path / "meta.json").unlink(missing_ok=True)
@@ -1451,6 +1600,11 @@ class MultiVectorIndex:
         self._mv_pending = []
         self._wal_buffer = []
         self._mv_file_tokens = 0
+        self._pooled_pending = []
+        self._pooled_off = []
+        self._pooled_mm = None
+        self._pooled_file_tokens = 0
+        self._pooled_store_ok = self.pooled_tier_factor > 1
         self._max_tokens = 0
         self._reset_device_state()
         self._invalidate_all_caches()  # row ids were renumbered
@@ -1490,6 +1644,13 @@ class MultiVectorIndex:
         self._mv_file_tokens = 0
         self._fde_mm = None
         self._mv_mm = None
+        self._pooled_mm = None
+        self._pooled_file_tokens = 0
+        self._pooled_store_ok = self.pooled_tier_factor > 1
+        self._pooled_off = [-1] * self._count if self._pooled_store_ok else []
+        self._pooled_pending = (
+            [self._pool_row(mv) for mv in mv_pending] if self._pooled_store_ok else []
+        )
         alive = np.zeros(max(1024, 2 * max(self._count, 1)), dtype=bool)
         alive[: self._count] = True
         self._alive = alive

@@ -197,8 +197,13 @@ def _pooled_stage(vm, gi, pblocks, pscales, q8p, qsp, m: int, n_valid: int,
             deq_d = g8.astype(jnp.float32) * gs[:, :, None]
             deq_q = q8p.astype(jnp.float32) * qsp[0][:, None]
             s = maxsim_scores_ref(deq_q, deq_d, gmask)
-        # rows outside block b are fully masked -> the kernel maps them
-        # to exactly 0, so summing across blocks keeps one real score
+            # the ref path scores a fully-masked candidate ~-nq*1e30
+            # (per-token max over -1e30 fills), NOT the kernel's exact 0
+            # — clamp it, or with 2+ blocks the garbage swamps every
+            # real score (and the union-guard bonus) in the sum below
+            s = jnp.where(gmask.sum(axis=-1) > 0, s, 0.0)
+        # rows outside block b are fully masked -> both paths now map
+        # them to exactly 0, so summing across blocks keeps one real score
         total = total + s
     valid = jnp.isfinite(vm) & (jnp.arange(P_) < n_valid)
     if guard > 0:

@@ -22,7 +22,6 @@ from typing import Any, Awaitable, Callable, Dict, List, Optional, Tuple
 from morphik_core_tpu.config import Settings, get_settings
 from morphik_core_tpu.models.schemas import Chunk
 from morphik_core_tpu.parser.office import docx_to_text, pptx_to_slides, xlsx_to_markdown
-from morphik_core_tpu.parser.pdf import extract_pages_text
 from morphik_core_tpu.parser.text_splitter import RecursiveCharacterTextSplitter
 from morphik_core_tpu.parser.xml_chunker import XMLChunker
 from morphik_core_tpu.storage.content_types import DOCX, PPTX, XLSX, detect_content_type
@@ -135,15 +134,18 @@ class MorphikParser:
                     f"## Slide {i + 1}\n{s}" for i, s in enumerate(slides)
                 )
             if ctype == "application/pdf":
-                pages = extract_pages_text(file)
-                # no parse endpoint / layout model needed for born-digital
-                # PDFs: recover table grids geometrically from the text-
+                # ONE parse+inflate pass yields both page text and the
+                # positioned blocks table detection needs. No parse
+                # endpoint / layout model needed for born-digital PDFs:
+                # recover table grids geometrically from the text-
                 # positioning operators and merge them as markdown so the
                 # splitter produces searchable table chunks (reference
                 # TableFormer merge, morphik_parser.py:552-582)
-                from morphik_core_tpu.parser.table_detect import detect_pdf_tables
+                from morphik_core_tpu.parser.pdf import extract_pages_text_and_blocks
+                from morphik_core_tpu.parser.table_detect import detect_tables_from_blocks
 
-                per_page_tables = detect_pdf_tables(file)
+                pages, page_blocks = extract_pages_text_and_blocks(file)
+                per_page_tables = [detect_tables_from_blocks(b) for b in page_blocks]
                 n_tables = 0
                 parts = []
                 for i, pg in enumerate(pages):

@@ -150,8 +150,12 @@ def _extract_text_from_content(content: bytes) -> str:
     return re.sub(r"\n{3,}", "\n\n", text).strip()
 
 
-def extract_pages_text(data: bytes) -> List[str]:
-    """PDF bytes -> per-page extracted text (may be empty strings)."""
+def _page_content_streams(data: bytes) -> List[bytes]:
+    """PDF bytes -> per-page decompressed content streams (b"" for
+    contentless pages). The parse + inflate here is the expensive part
+    of text/block extraction — callers that need both (ingest: page text
+    AND table geometry) should pay it once via
+    `extract_pages_text_and_blocks`."""
     objs = _parse_objects(data)
     pages: List[Tuple[int, bytes]] = []
     for num, body in objs.items():
@@ -159,7 +163,7 @@ def extract_pages_text(data: bytes) -> List[str]:
         if re.search(rb"/Type\s*/Page\b(?!s)", head):
             pages.append((num, body))
     pages.sort(key=lambda t: t[0])
-    out = []
+    out: List[bytes] = []
     for _, body in pages:
         content = b""
         for ref in _refs(body, rb"/Contents"):
@@ -167,8 +171,27 @@ def extract_pages_text(data: bytes) -> List[str]:
                 s = _stream_of(objs[ref])
                 if s:
                     content += s + b"\n"
-        out.append(_extract_text_from_content(content) if content else "")
+        out.append(content)
     return out
+
+
+def extract_pages_text(data: bytes) -> List[str]:
+    """PDF bytes -> per-page extracted text (may be empty strings)."""
+    return [
+        _extract_text_from_content(c) if c else ""
+        for c in _page_content_streams(data)
+    ]
+
+
+def extract_pages_text_and_blocks(data: bytes):
+    """One parse+inflate pass -> (per-page text, per-page positioned
+    blocks). The ingest hot path needs both; calling extract_pages_text
+    and extract_pages_blocks separately doubles the PDF parse cost
+    (round-4 review)."""
+    streams = _page_content_streams(data)
+    texts = [_extract_text_from_content(c) if c else "" for c in streams]
+    blocks = [_blocks_from_content(c) if c else [] for c in streams]
+    return texts, blocks
 
 
 def page_count(data: bytes) -> int:
@@ -356,20 +379,7 @@ def extract_pages_blocks(data: bytes) -> List[List[TextBlock]]:
     the reference gets bboxes from DoclingV2's layout model,
     v2_document_service.py:395-472 — here from the PDF's own
     text-positioning operators)."""
-    objs = _parse_objects(data)
-    pages: List[Tuple[int, bytes]] = []
-    for num, body in objs.items():
-        head = body.split(b"stream", 1)[0]
-        if re.search(rb"/Type\s*/Page\b(?!s)", head):
-            pages.append((num, body))
-    pages.sort(key=lambda t: t[0])
-    out: List[List[TextBlock]] = []
-    for _, body in pages:
-        content = b""
-        for ref in _refs(body, rb"/Contents"):
-            if ref in objs:
-                s = _stream_of(objs[ref])
-                if s:
-                    content += s + b"\n"
-        out.append(_blocks_from_content(content) if content else [])
-    return out
+    return [
+        _blocks_from_content(c) if c else []
+        for c in _page_content_streams(data)
+    ]

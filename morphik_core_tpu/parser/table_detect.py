@@ -124,7 +124,10 @@ def detect_tables_from_blocks(
     for r in rows:
         yc = (r[0].bbox[1] + r[0].bbox[3]) / 2
         adjacent = prev_y is None or (prev_y - yc) <= 2.5 * max(row_h, 1.0)
-        if len(r) >= min_cols and (adjacent or not run):
+        if len(r) >= min_cols:
+            # a vertical gap CLOSES the open run but the current row
+            # still STARTS the next one — otherwise the second of two
+            # stacked tables loses its header row (round-4 review)
             if not adjacent:
                 flush_run()
             run.append(r)

@@ -345,6 +345,39 @@ def test_api_keys_crud(server):
     run(go())
 
 
+def test_custom_models_isolated_from_api_keys(server):
+    """Custom models live under provider="custom" rows; api-key rows own
+    the provider-named slots (reference routes/models.py:142-167).
+    Saving a key for a provider a custom model uses must NOT overwrite
+    the model, and /models/custom must never leak key material
+    (round-4 review findings)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/models/custom", json={
+                "provider": "openai", "name": "my-gpt", "model": "gpt-4o-mini",
+                "api_base": "https://proxy.internal/v1"})
+            assert r.status_code == 200
+            mid = r.json()["id"]
+            # key save for the SAME provider must not clobber the model
+            r = await c.post("/api-keys", json={"provider": "openai",
+                                                "api_key": "sk-collision"})
+            assert r.status_code == 200
+            r = await c.get("/models/custom")
+            models = r.json()
+            mine = [m for m in models if m["id"] == mid]
+            assert mine and mine[0]["config_data"]["name"] == "my-gpt"
+            assert mine[0]["config_data"]["model"] == "gpt-4o-mini"
+            # key rows are absent and no secret material appears anywhere
+            assert all(m["provider"] == "custom" for m in models)
+            assert "sk-collision" not in r.text
+            r = await c.get("/api-keys")
+            assert r.json()["openai"]["configured"] is True
+
+    run(go())
+
+
 def test_health_components(server):
     base, _ = server
 

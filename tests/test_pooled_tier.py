@@ -216,6 +216,150 @@ def test_prefilter_union_guard():
     assert out[:5] == pool[:5]  # guard half, FDE order preserved
     assert len(out) == 10 and len(set(out)) == 10
     assert all(r in pool for r in out)
+
+
+def test_pooled_side_store_roundtrip_no_repool(tmp_path, monkeypatch):
+    """pooled.bin: per-row pooled vectors are computed at INGEST and
+    persisted, so a reloaded index builds its device tier WITHOUT
+    re-running pool_multivector over the corpus (round-4 review: at 1M
+    rows the lazy k-means replay stalled the first query ~minutes)."""
+    import morphik_core_tpu.ops.pooling as pooling_mod
+
+    rng = np.random.default_rng(11)
+    concepts, mvs, topics = _corpus(rng, 60)
+    idx = _mk(tier=True, path=tmp_path / "ix")
+    _fill(idx, mvs)
+    idx.save()
+    assert (tmp_path / "ix" / "pooled.bin").exists()
+
+    idx2 = _mk(tier=True, path=tmp_path / "ix")
+    assert idx2._pooled_store_ok
+
+    def boom(*a, **k):
+        raise AssertionError("pool_multivector must not run on reload")
+
+    monkeypatch.setattr(pooling_mod, "pool_multivector", boom)
+    res = idx2.query(concepts[topics[17]], k=3, return_timing=True)
+    assert idx2.last_timing["pooled_tier"] is True
+    assert res[0][0].document_id == "doc17"
+
+
+def test_pooled_side_store_config_change_disables_then_heals(tmp_path):
+    """Changing (factor, refine_iters) invalidates pooled.bin: the store
+    is DISABLED (queries compute pooled rows on the fly, still correct)
+    and the next compaction rewrites it under the current config."""
+    rng = np.random.default_rng(12)
+    concepts, mvs, topics = _corpus(rng, 40)
+    idx = MultiVectorIndex(CFG, pooled_tier_factor=2, pooled_tier_budget_mb=64,
+                           rerank_prefilter_pooling=2, pooled_refine_iters=3,
+                           path=tmp_path / "ix")
+    _fill(idx, mvs)
+    idx.save()
+    # reload with different refine config -> side-store rejected
+    idx2 = MultiVectorIndex(CFG, pooled_tier_factor=2, pooled_tier_budget_mb=64,
+                            rerank_prefilter_pooling=2, pooled_refine_iters=0,
+                            path=tmp_path / "ix")
+    assert not idx2._pooled_store_ok
+    res = idx2.query(concepts[topics[9]], k=3, return_timing=True)
+    assert idx2.last_timing["pooled_tier"] is True  # tier still serves
+    assert res[0][0].document_id == "doc9"
+    # compaction heals: pooled.bin rewritten under the live config
+    idx2.delete_document("doc0")
+    idx2.compact()
+    assert idx2._pooled_store_ok
+    assert idx2.query(concepts[topics[9]], k=3)[0][0].document_id == "doc9"
+    # and a fresh load under the same config accepts it
+    idx3 = MultiVectorIndex(CFG, pooled_tier_factor=2, pooled_tier_budget_mb=64,
+                            rerank_prefilter_pooling=2, pooled_refine_iters=0,
+                            path=tmp_path / "ix")
+    assert idx3._pooled_store_ok
+    assert idx3.query(concepts[topics[9]], k=3)[0][0].document_id == "doc9"
+
+
+def test_tier_short_rows_not_truncated():
+    """A short row (n_tokens <= factor) stays UNPOOLED, so it can be
+    WIDER than ceil(max_tokens/factor): the tier bucket must cover it or
+    its tokens are silently truncated and tier-on/tier-off disagree
+    (round-4 review finding)."""
+    rng = np.random.default_rng(10)
+    d = 32
+    # long rows: 100 tokens of shared background; factor 16 pools to 7
+    bg = rng.standard_normal((100, d)).astype(np.float32)
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    mvs = [
+        (bg + 0.05 * rng.standard_normal((100, d))).astype(np.float32)
+        for _ in range(60)
+    ]
+    mvs = [m / np.linalg.norm(m, axis=1, keepdims=True) for m in mvs]
+    # one 14-token row whose distinctive content lives in its TAIL tokens
+    # (the part truncation would cut)
+    sig = rng.standard_normal((14, d)).astype(np.float32)
+    sig /= np.linalg.norm(sig, axis=1, keepdims=True)
+    mvs.append(sig)
+    tier = MultiVectorIndex(CFG, pooled_tier_factor=16, pooled_tier_budget_mb=64,
+                            rerank_prefilter_pooling=16)
+    flat = MultiVectorIndex(CFG)
+    _fill(tier, mvs)
+    _fill(flat, mvs)
+    assert tier._tier_bucket() >= 14
+    q = sig[8:]  # tail-token query
+    rt = tier.query(q, k=3, return_timing=True)
+    assert tier.last_timing["pooled_tier"] is True
+    rf = flat.query(q, k=3)
+    assert rt[0][0].document_id == rf[0][0].document_id == "doc60"
+
+
+def test_multiblock_ref_path_matches_kernel():
+    """2+ pooled blocks on the NON-Pallas path: rows fully masked in the
+    other block must contribute exactly 0 to the cross-block score sum
+    (the ref scorer returns ~-nq*1e30 for fully-masked candidates —
+    regression for the round-4 review finding that this swamped every
+    real score and the union guard on CPU deployments)."""
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.ops.maxsim import quantize_query_q8
+    from morphik_core_tpu.parallel.search import (
+        quantize_rows_int8,
+        scan_blocks_topk_q_pooled,
+    )
+
+    rng = np.random.default_rng(9)
+    B, D, T, dim = 32, 64, 8, 32
+    fde = rng.standard_normal((2 * B, D)).astype(np.float32)
+    f8a, fsa = quantize_rows_int8(fde[:B])
+    f8b, fsb = quantize_rows_int8(fde[B:])
+    p8 = rng.integers(-127, 128, (2 * B, T, dim)).astype(np.int8)
+    ps = np.abs(rng.standard_normal((2 * B, T))).astype(np.float32) + 0.1
+    qv = rng.standard_normal(D).astype(np.float32)
+    q8v, qsv = quantize_rows_int8(qv[None])
+    qmv = rng.standard_normal((4, dim)).astype(np.float32)
+    q8p, qsp = quantize_query_q8(qmv)
+    ones = np.ones(2 * B, np.float32)
+    args = (
+        (jnp.asarray(f8a), jnp.asarray(f8b)), (jnp.asarray(fsa), jnp.asarray(fsb)),
+        (jnp.asarray(ones[:B]), jnp.asarray(ones[B:])),
+        (jnp.asarray(np.zeros(B, np.int32)), jnp.asarray(np.zeros(B, np.int32))),
+        jnp.asarray(np.ones(8, np.float32)),
+        jnp.asarray(q8v[0]), jnp.asarray(qsv[0]),
+        (jnp.asarray(p8[:B]), jnp.asarray(p8[B:])),
+        (jnp.asarray(ps[:B]), jnp.asarray(ps[B:])),
+        jnp.asarray(q8p), jnp.asarray(qsp),
+    )
+    m = 8
+    ref = np.asarray(
+        scan_blocks_topk_q_pooled(*args, 32, 24, m, use_pallas=False, guard=4)
+    )
+    ker = np.asarray(
+        scan_blocks_topk_q_pooled(
+            *args, 32, 24, m, use_pallas=True, interpret=True, guard=4
+        )
+    )
+    assert np.isfinite(ref[:m]).all() and (ref[:m] > -1e20).all()
+    np.testing.assert_array_equal(ref[m:], ker[m:])
+    np.testing.assert_allclose(ref[:m], ker[:m], rtol=1e-4, atol=1e-4)
+
+
+def test_fused_kernel_interpret_matches_ref():
     """Run the fused scan+pooled-rescore program with the Pallas q8
     kernel in interpret mode and check it matches the XLA reference
     path bit-for-bit on the survivor set (validates the kernel's tile

@@ -50,6 +50,24 @@ def test_detects_simple_grid():
     assert "| Americas | 2,441 | 35% |" in md
 
 
+def test_two_stacked_tables_both_detected():
+    """A vertical gap between two grids must close the first run AND
+    start the second with its header row intact (round-4 review: the
+    gap row was dropped, losing table B's header or all of table B)."""
+    second = [
+        (72, 400, "Quarter"), (200, 400, "Units"),
+        (72, 384, "Q1"), (200, 384, "512"),
+        (72, 368, "Q2"), (200, 368, "634"),
+    ]
+    pdf = make_positioned_pdf(TABLE_CELLS + second)
+    tables = detect_pdf_tables(pdf)
+    assert len(tables) == 1 and len(tables[0]) == 2
+    a, b = tables[0]
+    assert "| Region | Revenue | Margin |" in a
+    assert "| Quarter | Units |" in b  # header row survives the gap
+    assert "| Q1 | 512 |" in b and "| Q2 | 634 |" in b
+
+
 def test_prose_is_not_a_table():
     # multi-cell-looking two-column prose: long lines must NOT match
     left = "This is a long paragraph line of flowing prose text that continues"
