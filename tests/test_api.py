@@ -693,7 +693,9 @@ def test_console_served(server):
                    "viewercard", "/ingest'", "disconnect",
                    # round-4: model-config + API-key panels
                    'data-tab="models"', "/models/custom", "/models/available",
-                   "/api-keys", "custmodels", "akrows"):
+                   "/api-keys", "custmodels", "akrows",
+                   # round-4: filterable telemetry logs panel
+                   'data-tab="logs"', "lgrows", "since_hours", "op_type"):
         assert marker in body, marker
 
 
