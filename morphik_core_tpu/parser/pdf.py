@@ -288,13 +288,17 @@ _POS_OP_RE = re.compile(
 
 class TextBlock:
     """A positioned run of text: bbox = (x0, y0, x1, y1) in PDF points,
-    origin bottom-left (PDF user space)."""
+    origin bottom-left (PDF user space). `size` is the font size (Tf
+    operand) active when the block started — the layout-role classifier
+    (parser/layout.py) keys heading/title detection on it."""
 
-    __slots__ = ("text", "bbox")
+    __slots__ = ("text", "bbox", "size")
 
-    def __init__(self, text: str, bbox: Tuple[float, float, float, float]):
+    def __init__(self, text: str, bbox: Tuple[float, float, float, float],
+                 size: float = 12.0):
         self.text = text
         self.bbox = bbox
+        self.size = size
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"TextBlock({self.text[:20]!r}, {self.bbox})"
@@ -310,18 +314,20 @@ def _blocks_from_content(content: bytes) -> List[TextBlock]:
     leading = 14.0
     cur_text: List[str] = []
     cur_x0 = cur_y0 = cur_x1 = cur_y1 = 0.0
+    cur_size = 12.0
 
     def flush():
         nonlocal cur_text
         t = "".join(cur_text).strip()
         if t:
-            blocks.append(TextBlock(t, (cur_x0, cur_y0, cur_x1, cur_y1)))
+            blocks.append(TextBlock(t, (cur_x0, cur_y0, cur_x1, cur_y1), size=cur_size))
         cur_text = []
 
     def begin_at(nx, ny):
-        nonlocal cur_x0, cur_y0, cur_x1, cur_y1
+        nonlocal cur_x0, cur_y0, cur_x1, cur_y1, cur_size
         cur_x0, cur_y0 = nx, ny - 0.2 * font_size
         cur_x1, cur_y1 = nx, ny + font_size
+        cur_size = font_size
 
     def add_text(t: str):
         nonlocal cur_x1

@@ -43,18 +43,23 @@ class V2DocumentService:
     @staticmethod
     def _page_xml(page_no: int, text: str, blocks=None) -> str:
         """Page-XML chunk. With positioned `blocks` (TextBlock list from
-        extract_pages_blocks), each paragraph carries a bbox attribute —
-        the contract the reference gets from DoclingV2's layout model
-        (v2_document_service.py:395-472)."""
+        extract_pages_blocks), each item carries a bbox attribute AND a
+        layout role tag — t/h/title/r/f/li, the tag contract the
+        reference gets from DoclingV2's layout model
+        (v2_document_service.py:395-472, docling_v2.py:154-181) — here
+        classified geometrically from font size + position
+        (parser/layout.py)."""
         if blocks:
+            from morphik_core_tpu.parser.layout import classify_blocks
+
             body = "".join(
-                f'<para bbox="{b.bbox[0]:.1f},{b.bbox[1]:.1f},{b.bbox[2]:.1f},{b.bbox[3]:.1f}">'
-                f"{escape(b.text)}</para>"
-                for b in blocks
+                f'<{tag} bbox="{b.bbox[0]:.1f},{b.bbox[1]:.1f},{b.bbox[2]:.1f},{b.bbox[3]:.1f}">'
+                f"{escape(b.text)}</{tag}>"
+                for tag, b in classify_blocks(blocks, first_page=page_no == 0)
             )
             return f'<page n="{page_no}">{body}</page>'
         paras = [p.strip() for p in text.split("\n\n") if p.strip()]
-        body = "".join(f"<para>{escape(p)}</para>" for p in paras) or f"<para>{escape(text)}</para>"
+        body = "".join(f"<t>{escape(p)}</t>" for p in paras) or f"<t>{escape(text)}</t>"
         return f'<page n="{page_no}">{body}</page>'
 
     async def ingest_document(
