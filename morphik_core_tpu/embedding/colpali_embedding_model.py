@@ -29,6 +29,7 @@ import numpy as np
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from morphik_core_tpu.config import Settings, get_settings
 from morphik_core_tpu.embedding.base_embedding_model import BaseEmbeddingModel
@@ -81,6 +82,15 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         self.min_pixels = self.settings.model.min_pixels
         self.max_pixels = self.settings.model.max_pixels
         self.last_metrics: Dict[str, float] = {}
+        # Fused ingest FDE (round 4): when services wire the store's
+        # FDEConfig here, image FDE vectors are computed ON DEVICE right
+        # after the tower forward — the multivector is already resident,
+        # so the store skips re-uploading it for encode_documents.
+        # Through the ~50 MB/s relay that re-upload (~1.3 MB/page f32)
+        # was the dominant fde_store cost (INGEST_r04.json: 8 pages/s).
+        # The fetch instead adds fde_dim f32 = 40 KB/page.
+        self.fde_config = None
+        self.last_fde: List[Optional[np.ndarray]] = []
         logger.info(
             "ColpaliEmbeddingModel ready in %.2fs (dim=%d, batch=%d, backend=%s)",
             time.time() - t0,
@@ -136,20 +146,38 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
 
         model_start = time.perf_counter()
         out: List[Optional[np.ndarray]] = [None] * len(images)
+        out_fde: List[Optional[np.ndarray]] = [None] * len(images)
         # Two-phase: dispatch every batch first (jax runs async), fetch
         # after — device compute of batch k overlaps host prep of k+1.
+        # With fde_config set, the document FDE encode is dispatched on
+        # the still-resident device multivector (tokens inside a grid
+        # bucket are all valid, so the mask is ones) — no host roundtrip.
         pending = []
         for (hu, wu), items in buckets.items():
             for s in range(0, len(items), self.batch_size):
                 batch = items[s : s + self.batch_size]
                 arr = np.stack([p for _, p in batch])
                 dev, nvalid = self.model.embed_image_batch(arr, hu, wu, as_device=True)
-                pending.append((batch, dev, nvalid))
-        for batch, dev, nvalid in pending:
+                fde_dev = None
+                if self.fde_config is not None:
+                    from morphik_core_tpu.ops.fde import fde_document_batch
+
+                    fde_dev = fde_document_batch(
+                        dev, jnp.ones(dev.shape[:2], jnp.float32), self.fde_config
+                    )
+                pending.append((batch, dev, nvalid, fde_dev))
+        for batch, dev, nvalid, fde_dev in pending:
             embs = np.asarray(dev, dtype=np.float32)[:nvalid]
+            fdes = (
+                np.asarray(fde_dev, dtype=np.float32)[:nvalid]
+                if fde_dev is not None else None
+            )
             for j, (i, _) in enumerate(batch):
                 out[i] = embs[j]
+                if fdes is not None:
+                    out_fde[i] = fdes[j]
         model_s = time.perf_counter() - model_start
+        self.last_fde = out_fde
         self.last_metrics.update(
             image_preprocess_s=prep_s, image_model_s=model_s, image_count=len(images), buckets=len(buckets)
         )
@@ -186,14 +214,20 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 text_items.append((i, chunk.content))
 
         results: List[Optional[np.ndarray]] = [None] * len(chunks)
+        fde_out: List[Optional[np.ndarray]] = [None] * len(chunks)
         if image_items:
             embs = self.embed_images([im for _, im in image_items])
-            for (i, _), e in zip(image_items, embs):
+            for k, ((i, _), e) in enumerate(zip(image_items, embs)):
                 results[i] = e
+                if k < len(self.last_fde):
+                    fde_out[i] = self.last_fde[k]
         if text_items:
             embs = self.embed_texts([t for _, t in text_items])
             for (i, _), e in zip(text_items, embs):
                 results[i] = e
+        # chunk-aligned fused FDE vectors (None where not computed);
+        # consumed by IngestionService -> store_embeddings(fde_vectors=)
+        self.last_fde = fde_out
         self.last_metrics["total_s"] = time.perf_counter() - job_start
         return results  # type: ignore[return-value]
 

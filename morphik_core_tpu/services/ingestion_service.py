@@ -428,11 +428,17 @@ class IngestionService:
             for s in range(0, len(colpali_chunks), batch):
                 sub = colpali_chunks[s : s + batch]
                 embs = await self.colpali_embedding_model.embed_for_ingestion(sub)
+                # fused ingest FDE: device-computed rows from the embed
+                # step (None-padded where unavailable, e.g. text chunks)
+                fde = list(getattr(self.colpali_embedding_model, "last_fde", []) or [])
                 doc_chunks = [
                     c.to_document_chunk(doc.external_id, s + j, e)
                     for j, (c, e) in enumerate(zip(sub, embs))
                 ]
-                ok, ids, metrics = await self.colpali_vector_store.store_embeddings(doc_chunks, app_id=auth.app_id)
+                ok, ids, metrics = await self.colpali_vector_store.store_embeddings(
+                    doc_chunks, app_id=auth.app_id,
+                    fde_vectors=fde if len(fde) == len(doc_chunks) else None,
+                )
                 chunk_ids.extend(ids)
         doc.chunk_ids = chunk_ids
 

@@ -226,6 +226,15 @@ def build_services(
             projection_dimension=settings.vector_store.fde_projection_dimension,
             seed=settings.vector_store.fde_seed,
         )
+        # fused ingest FDE: the in-process tower computes document FDE on
+        # device right after the forward (skips re-uploading multivectors
+        # for encode). Only valid when stored multivectors aren't pooled
+        # (pooling rewrites the rows the FDE must describe).
+        if (
+            settings.morphik.colpali_mode == "local"
+            and settings.vector_store.multivector_pooling <= 1
+        ):
+            colpali_embedding_model.fde_config = fde_cfg
         colpali_vector_store = TPUMultiVectorStore(
             storage=storage,
             fde_config=fde_cfg,

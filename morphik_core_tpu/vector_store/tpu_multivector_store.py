@@ -144,8 +144,16 @@ class TPUMultiVectorStore(BaseVectorStore):
         return bytes_to_data_uri(data, f"image/{ext}")
 
     async def store_embeddings(
-        self, chunks: List[DocumentChunk], app_id: Optional[str] = None
+        self,
+        chunks: List[DocumentChunk],
+        app_id: Optional[str] = None,
+        fde_vectors: Optional[List[Optional[np.ndarray]]] = None,
     ) -> Tuple[bool, List[str], Dict[str, Any]]:
+        """`fde_vectors` (chunk-aligned, None entries allowed) carries
+        document FDE rows the embedding step already computed ON DEVICE
+        (fused ingest FDE, colpali_embedding_model.embed_images) — when
+        complete and no stored-token pooling rewrites the multivector,
+        the index skips its own encode_documents upload+dispatch."""
         if not chunks:
             return True, [], {}
         index = self._ns(app_id)
@@ -181,7 +189,16 @@ class TPUMultiVectorStore(BaseVectorStore):
         metrics["chunk_payload_upload_s"] = time.perf_counter() - t0
 
         t1 = time.perf_counter()
-        ids = index.store(mvs, records)
+        fde = None
+        if (
+            fde_vectors is not None
+            and len(fde_vectors) == len(chunks)
+            and all(v is not None for v in fde_vectors)
+            and self.pooling_factor <= 1  # pooled stores change the mv
+        ):
+            fde = np.stack([np.asarray(v, np.float32) for v in fde_vectors])
+            metrics["fde_precomputed"] = True
+        ids = index.store(mvs, records, fde_vectors=fde)
         metrics["vector_store_write_s"] = time.perf_counter() - t1
         self.last_store_metrics = metrics
         return True, ids, metrics

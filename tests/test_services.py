@@ -482,3 +482,79 @@ def _loop_lifecycle():
         _LOOP.run_until_complete(asyncio.sleep(0.05))
     finally:
         _LOOP.close()
+
+
+def test_fused_ingest_fde_matches_store_encode(tmp_path):
+    """Fused ingest FDE (round 4): the device-side FDE computed in the
+    embed step must match the store's own encode_documents bit-for-bit
+    at f32, and a store fed fde_vectors must answer queries identically
+    to one that encodes for itself (ingest skips the multivector
+    re-upload through the relay — INGEST_r04.json fde_store stage)."""
+    import asyncio
+
+    import numpy as np
+    from PIL import Image, ImageDraw
+
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.embedding.colpali_embedding_model import ColpaliEmbeddingModel
+    from morphik_core_tpu.models.schemas import DocumentChunk
+    from morphik_core_tpu.ops.fde import FDEConfig
+    from morphik_core_tpu.vector_store.tpu_multivector_store import TPUMultiVectorStore
+
+    emb = ColpaliEmbeddingModel(Settings())
+    cfg = FDEConfig(dimension=emb.embedding_dim, num_repetitions=4,
+                    num_simhash_projections=3, projection_dimension=8)
+    emb.fde_config = cfg
+
+    def page(i):
+        img = Image.new("RGB", (448, 336), (255, 255, 255))
+        d = ImageDraw.Draw(img)
+        d.rectangle([20 + 30 * i, 40, 120 + 30 * i, 140], fill=(i * 40 % 255, 80, 200))
+        d.text((30, 200), f"page {i}", fill=(0, 0, 0))
+        return img
+
+    import io as _io
+
+    def chunk(i):
+        buf = _io.BytesIO()
+        page(i).save(buf, format="PNG")
+        from morphik_core_tpu.models.schemas import Chunk
+
+        return Chunk(content="", metadata={"is_image": True, "_image_bytes": buf.getvalue()})
+
+    loop = asyncio.new_event_loop()
+    chunks = [chunk(i) for i in range(3)]
+    embs = loop.run_until_complete(emb.embed_for_ingestion(chunks))
+    fused = emb.last_fde
+    assert all(f is not None for f in fused)
+
+    # parity with the store-side batched encode
+    from morphik_core_tpu.index import MultiVectorIndex
+
+    idx = MultiVectorIndex(cfg)
+    ref = idx.encode_documents([np.asarray(e, np.float32) for e in embs])
+    np.testing.assert_allclose(np.stack(fused), ref, rtol=1e-5, atol=1e-5)
+
+    # e2e: precomputed-FDE store answers exactly like a self-encoding one
+    def doc_chunks():
+        return [
+            DocumentChunk(document_id=f"d{i}", chunk_number=0, content="",
+                          embedding=np.asarray(e, np.float32),
+                          metadata={"is_image": True})
+            for i, e in enumerate(embs)
+        ]
+
+    sa = TPUMultiVectorStore(fde_config=cfg)
+    sb = TPUMultiVectorStore(fde_config=cfg)
+    ok, _, ma = loop.run_until_complete(
+        sa.store_embeddings(doc_chunks(), fde_vectors=list(fused))
+    )
+    assert ok and ma.get("fde_precomputed") is True
+    ok, _, mb = loop.run_until_complete(sb.store_embeddings(doc_chunks()))
+    assert ok and "fde_precomputed" not in mb
+    for i, e in enumerate(embs):
+        ra = loop.run_until_complete(sa.query_similar(np.asarray(e), k=2))
+        rb = loop.run_until_complete(sb.query_similar(np.asarray(e), k=2))
+        assert [r.document_id for r in ra] == [r.document_id for r in rb]
+        assert ra[0].document_id == f"d{i}"
+    loop.close()
