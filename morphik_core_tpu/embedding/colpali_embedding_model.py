@@ -193,10 +193,21 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
 
     # ------------------------------------------------------------------
 
+    async def embed_for_ingestion_with_fde(
+        self, chunks: Union[Chunk, List[Chunk]]
+    ) -> Tuple[List[np.ndarray], List[Optional[np.ndarray]]]:
+        """embed_for_ingestion + the chunk-aligned fused FDE rows as an
+        explicit return value (the `last_fde` attribute is a
+        compatibility mirror; concurrent/pipelined callers must use THIS
+        method — the attribute would race)."""
+        embs = await self.embed_for_ingestion(chunks)
+        return embs, list(self.last_fde)
+
     async def embed_for_ingestion(self, chunks: Union[Chunk, List[Chunk]]) -> List[np.ndarray]:
         if isinstance(chunks, Chunk):
             chunks = [chunks]
         if not chunks:
+            self.last_fde = []
             return []
         self.last_metrics = {}
         job_start = time.perf_counter()

@@ -425,12 +425,17 @@ class IngestionService:
         if use_colpali and self.colpali_vector_store is not None and self.colpali_embedding_model is not None:
             colpali_chunks = image_chunks if image_chunks else text_chunks
             batch = self.settings.worker.colpali_store_batch_size
+            embed_with_fde = getattr(
+                self.colpali_embedding_model, "embed_for_ingestion_with_fde", None
+            )
             for s in range(0, len(colpali_chunks), batch):
                 sub = colpali_chunks[s : s + batch]
-                embs = await self.colpali_embedding_model.embed_for_ingestion(sub)
-                # fused ingest FDE: device-computed rows from the embed
-                # step (None-padded where unavailable, e.g. text chunks)
-                fde = list(getattr(self.colpali_embedding_model, "last_fde", []) or [])
+                if embed_with_fde is not None:
+                    # fused ingest FDE: device-computed rows from the
+                    # embed step (None where unavailable, e.g. text)
+                    embs, fde = await embed_with_fde(sub)
+                else:
+                    embs, fde = await self.colpali_embedding_model.embed_for_ingestion(sub), []
                 doc_chunks = [
                     c.to_document_chunk(doc.external_id, s + j, e)
                     for j, (c, e) in enumerate(zip(sub, embs))
