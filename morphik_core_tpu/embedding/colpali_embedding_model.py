@@ -199,16 +199,25 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         """embed_for_ingestion + the chunk-aligned fused FDE rows as an
         explicit return value (the `last_fde` attribute is a
         compatibility mirror; concurrent/pipelined callers must use THIS
-        method — the attribute would race)."""
-        embs = await self.embed_for_ingestion(chunks)
-        return embs, list(self.last_fde)
+        method or the sync core — the attribute would race)."""
+        return self.embed_for_ingestion_sync(chunks)
 
     async def embed_for_ingestion(self, chunks: Union[Chunk, List[Chunk]]) -> List[np.ndarray]:
+        return self.embed_for_ingestion_sync(chunks)[0]
+
+    def embed_for_ingestion_sync(
+        self, chunks: Union[Chunk, List[Chunk]]
+    ) -> Tuple[List[np.ndarray], List[Optional[np.ndarray]]]:
+        """Synchronous core of the ingest embed (the async wrappers do no
+        awaiting — the body is CPU/device-bound). The ingestion service
+        runs THIS in a worker thread so the embed of batch k+1 overlaps
+        the host-side store of batch k (one embed in flight at a time;
+        numpy/PIL/jax release the GIL through the heavy parts)."""
         if isinstance(chunks, Chunk):
             chunks = [chunks]
         if not chunks:
             self.last_fde = []
-            return []
+            return [], []
         self.last_metrics = {}
         job_start = time.perf_counter()
 
@@ -240,7 +249,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         # consumed by IngestionService -> store_embeddings(fde_vectors=)
         self.last_fde = fde_out
         self.last_metrics["total_s"] = time.perf_counter() - job_start
-        return results  # type: ignore[return-value]
+        return results, fde_out  # type: ignore[return-value]
 
     async def embed_for_query(self, query: Union[str, Image.Image]) -> np.ndarray:
         """Text query or PIL image query -> (n_tokens, dim) f32."""

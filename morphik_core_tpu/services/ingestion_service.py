@@ -16,6 +16,8 @@ stays text; blank pages skipped.
 
 from __future__ import annotations
 
+import asyncio
+import contextlib
 import io
 import logging
 import time
@@ -425,26 +427,43 @@ class IngestionService:
         if use_colpali and self.colpali_vector_store is not None and self.colpali_embedding_model is not None:
             colpali_chunks = image_chunks if image_chunks else text_chunks
             batch = self.settings.worker.colpali_store_batch_size
-            embed_with_fde = getattr(
-                self.colpali_embedding_model, "embed_for_ingestion_with_fde", None
+            embed_sync = getattr(
+                self.colpali_embedding_model, "embed_for_ingestion_sync", None
             )
-            for s in range(0, len(colpali_chunks), batch):
+            starts = list(range(0, len(colpali_chunks), batch))
+
+            async def _embed(s: int):
                 sub = colpali_chunks[s : s + batch]
-                if embed_with_fde is not None:
-                    # fused ingest FDE: device-computed rows from the
-                    # embed step (None where unavailable, e.g. text)
-                    embs, fde = await embed_with_fde(sub)
-                else:
-                    embs, fde = await self.colpali_embedding_model.embed_for_ingestion(sub), []
-                doc_chunks = [
-                    c.to_document_chunk(doc.external_id, s + j, e)
-                    for j, (c, e) in enumerate(zip(sub, embs))
-                ]
-                ok, ids, metrics = await self.colpali_vector_store.store_embeddings(
-                    doc_chunks, app_id=auth.app_id,
-                    fde_vectors=fde if len(fde) == len(doc_chunks) else None,
-                )
-                chunk_ids.extend(ids)
+                if embed_sync is not None:
+                    # worker thread: embed of batch k+1 overlaps the
+                    # host-side store of batch k (fused FDE included)
+                    return await asyncio.to_thread(embed_sync, sub)
+                return await self.colpali_embedding_model.embed_for_ingestion(sub), []
+
+            nxt = asyncio.ensure_future(_embed(starts[0])) if starts else None
+            try:
+                for bi, s in enumerate(starts):
+                    embs, fde = await nxt
+                    nxt = (
+                        asyncio.ensure_future(_embed(starts[bi + 1]))
+                        if bi + 1 < len(starts) else None
+                    )
+                    sub = colpali_chunks[s : s + batch]
+                    doc_chunks = [
+                        c.to_document_chunk(doc.external_id, s + j, e)
+                        for j, (c, e) in enumerate(zip(sub, embs))
+                    ]
+                    ok, ids, metrics = await self.colpali_vector_store.store_embeddings(
+                        doc_chunks, app_id=auth.app_id,
+                        fde_vectors=fde if len(fde) == len(doc_chunks) else None,
+                    )
+                    chunk_ids.extend(ids)
+            except BaseException:
+                if nxt is not None and not nxt.done():
+                    nxt.cancel()
+                    with contextlib.suppress(BaseException):
+                        await nxt
+                raise
         doc.chunk_ids = chunk_ids
 
     # -------------------------------------------------------------- update

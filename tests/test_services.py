@@ -558,3 +558,70 @@ def test_fused_ingest_fde_matches_store_encode(tmp_path):
         assert [r.document_id for r in ra] == [r.document_id for r in rb]
         assert ra[0].document_id == f"d{i}"
     loop.close()
+
+
+def test_pipelined_multibatch_colpali_ingest(tmp_path):
+    """colpali_store_batch_size=2 over a 5-page ingest: the prefetch
+    pipeline (embed batch k+1 in a worker thread while batch k stores)
+    must store every chunk exactly once, in order, with fused FDE rows
+    intact — retrieval for each page returns that page."""
+    root = tmp_path
+    settings = Settings.model_validate(
+        {
+            "storage": {"storage_path": str(root / "storage")},
+            "database": {"path": str(root / "db.sqlite")},
+            "vector_store": {
+                "index_path": str(root / "index"),
+                "fde_num_repetitions": 8,
+                "fde_num_simhash_projections": 4,
+                "fde_projection_dimension": 8,
+            },
+            "worker": {"max_jobs": 2, "colpali_store_batch_size": 2},
+        }
+    )
+    svc = build_services(settings)
+    run(svc.initialize())
+    try:
+        assert svc.ingestion_service.colpali_embedding_model.fde_config is not None
+
+        async def go():
+            import zipfile  # noqa: F401 (keep import-local pattern)
+
+            pages = [_page_image_bytes(f"page {i}", (40 * i % 255, 90, 160)) for i in range(5)]
+            docs = []
+            for i, png in enumerate(pages):
+                d = await svc.ingestion_service.ingest_file_content(
+                    png, f"p{i}.png", {"i": i}, AUTH, use_colpali=True
+                )
+                await svc.job_queue.enqueue_job(
+                    "process_ingestion_job", document_id=d.external_id,
+                    auth=AUTH.model_dump(mode="json"), use_colpali=True,
+                )
+                docs.append(d)
+            assert await svc.job_queue.drain(180)
+            for i, d in enumerate(docs):
+                got = await svc.database.get_document(d.external_id, AUTH)
+                assert got.system_metadata["status"] == "completed"
+                # one page -> one chunk id per store (text + colpali)
+                assert len(set(got.chunk_ids)) == 1
+
+            # one multi-page doc through the batch=2 pipeline: 5 pages,
+            # 3 embed batches, chunk numbers must stay 0..4 in order
+            from morphik_core_tpu.models.schemas import Chunk
+
+            big = await svc.ingestion_service.ingest_file_content(
+                pages[0], "book.png", {}, AUTH, use_colpali=True
+            )
+            chunks = [
+                Chunk(content="", metadata={"is_image": True,
+                                            "_image_bytes": pages[i % 5]})
+                for i in range(5)
+            ]
+            await svc.ingestion_service._embed_and_store(big, [], chunks, AUTH, True)
+            assert len(big.chunk_ids) == 5
+            nums = [int(cid.rsplit("-", 1)[-1]) for cid in big.chunk_ids]
+            assert nums == [0, 1, 2, 3, 4]
+
+        run(go())
+    finally:
+        run(svc.shutdown())
