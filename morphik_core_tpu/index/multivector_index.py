@@ -235,6 +235,12 @@ class MultiVectorIndex:
         self._pooled_blocks: List[Any] = []  # (B, T, D) int8 per block
         self._pooled_scales: List[Any] = []  # (B, T) f32 (0 = padded token)
         self._pooled_rows = 0
+        # mesh twin: row-sharded pooled tier (tail-incremental like
+        # _mesh_blocks); the fused mesh program rescores each device's
+        # local ANN candidates against its local pooled shard
+        self._mesh_pooled_blocks: List[Any] = []
+        self._mesh_pooled_scales: List[Any] = []
+        self._mesh_pooled_rows = 0
         self._pooled_bucket = 0
         self._max_tokens = 0
 
@@ -422,6 +428,9 @@ class MultiVectorIndex:
             self._pooled_blocks = []
             self._pooled_scales = []
             self._pooled_rows = 0
+            self._mesh_pooled_blocks = []
+            self._mesh_pooled_scales = []
+            self._mesh_pooled_rows = 0
 
     def _block_host_arrays(self, b: int):
         """Host-side payload for block b (padded to B rows). int8 path
@@ -543,16 +552,21 @@ class MultiVectorIndex:
         return n_blocks * B * bucket * (self._dim + 4)
 
     def _tier_active(self) -> bool:
-        """Device pooled tier serves the prefilter when configured, on a
-        single chip, and within the HBM byte budget. Over budget (or
-        under a mesh) the query falls back to the upload pooled pass —
-        re-checked per query, so a compaction that shrinks the corpus
-        re-enables the tier automatically."""
-        if self.pooled_tier_factor <= 1 or self.mesh is not None:
+        """Device pooled tier serves the prefilter when configured and
+        within the HBM byte budget. Under a mesh the tier is row-sharded
+        (each chip holds 1/ndev of it, so the budget gates the PER-CHIP
+        share) and the fused mesh program is int8-ANN-only — float mesh
+        indexes fall back to the upload pooled pass. Re-checked per
+        query, so a compaction that shrinks the corpus re-enables the
+        tier automatically."""
+        if self.pooled_tier_factor <= 1 or self._count == 0:
             return False
-        if self._count == 0:
-            return False
-        return self.tier_bytes_estimate() <= self.pooled_tier_budget_mb * (1 << 20)
+        est = self.tier_bytes_estimate()
+        if self.mesh is not None:
+            if self.ann_dtype != "int8":
+                return False
+            est = est // self._mesh_ndev()
+        return est <= self.pooled_tier_budget_mb * (1 << 20)
 
     def _pool_row(self, mv: np.ndarray) -> np.ndarray:
         """Tier-factor pooled vector of one multivector row, in
@@ -638,6 +652,85 @@ class MultiVectorIndex:
             self._pooled_blocks.append(jnp.asarray(q8))
             self._pooled_scales.append(jnp.asarray(sc))
         self._pooled_rows = self._count
+
+    def _ensure_mesh_pooled_blocks(self) -> None:
+        """Row-sharded twin of _ensure_pooled_blocks: each pooled block
+        is one device_put over the mesh data axis (tail-incremental —
+        only blocks past the high-water mark re-upload). Pooled vectors
+        come from the persisted side-store, never a k-means replay."""
+        from morphik_core_tpu.parallel.search import shard_rows, shard_rows3
+
+        self._sync_block_size()
+        bucket = self._tier_bucket()
+        # separate bucket watermark from the single-chip tier: queries
+        # can alternate paths (tests), and a mesh-only index never runs
+        # _ensure_pooled_blocks to advance _pooled_bucket
+        if bucket != getattr(self, "_mesh_pooled_bucket", 0):
+            self._mesh_pooled_blocks = []
+            self._mesh_pooled_scales = []
+            self._mesh_pooled_rows = 0
+            self._mesh_pooled_bucket = bucket
+        if self._mesh_pooled_rows == self._count and self._mesh_pooled_blocks:
+            return
+        B = self._active_block
+        first_dirty = self._mesh_pooled_rows // B
+        n_blocks = -(-self._count // B)
+        del self._mesh_pooled_blocks[first_dirty:]
+        del self._mesh_pooled_scales[first_dirty:]
+        for b in range(first_dirty, n_blocks):
+            q8, sc = self._pooled_block_host(b, bucket)
+            self._mesh_pooled_blocks.append(jax.device_put(q8, shard_rows3(self.mesh)))
+            self._mesh_pooled_scales.append(jax.device_put(sc, shard_rows(self.mesh)))
+        self._mesh_pooled_rows = self._count
+
+    def _mesh_pooled_topm(
+        self,
+        qe,
+        q: np.ndarray,
+        doc_ids: Optional[Sequence[str]],
+        pool_size: int,
+        m: int,
+    ) -> List[int]:
+        """Mesh twin of _ann_pooled_topm: sharded fused ANN + pooled
+        rescore, one replicated fetch. Pool semantics (global FDE
+        top-pool, union guard, pooled top-m) match the single-chip path
+        exactly — parity is regression-tested on the virtual mesh."""
+        from morphik_core_tpu.ops.maxsim import quantize_query_q8
+        from morphik_core_tpu.parallel.search import make_mesh_block_search_pooled
+
+        self._ensure_mesh_blocks(with_codes=doc_ids is not None)
+        self._ensure_mesh_pooled_blocks()
+        allowed = self._allowed_vec(doc_ids)
+        n_blocks = len(self._mesh_blocks)
+        mesh_codes = (
+            tuple(self._mesh_code_blocks)
+            if doc_ids is not None
+            else self._mesh_zero_codes(n_blocks)
+        )
+        pool_pad = min(_round_capacity(pool_size, minimum=16), self._active_block)
+        m_pad = min(_round_capacity(m, minimum=16), pool_pad)
+        guard = m // 2
+        q8p, qsp = quantize_query_q8(q)
+        search = make_mesh_block_search_pooled(
+            self.mesh, n_blocks, pool_pad, m_pad, guard, True
+        )
+        qq, qs = qe
+        packed = np.asarray(
+            search(
+                qq, qs, allowed,
+                tuple(b[0] for b in self._mesh_blocks),
+                tuple(b[1] for b in self._mesh_blocks),
+                tuple(self._mesh_mask_blocks),
+                mesh_codes,
+                tuple(self._mesh_pooled_blocks),
+                tuple(self._mesh_pooled_scales),
+                jnp.asarray(q8p), jnp.asarray(qsp),
+            )
+        )
+        half = packed.shape[0] // 2
+        vals, gids = packed[:half], packed[half:].astype(np.int64)
+        out = [int(g) for g, s in zip(gids, vals) if np.isfinite(s) and g < self._count]
+        return out[:m]
 
     def _ann_pooled_topm(
         self,
@@ -930,7 +1023,11 @@ class MultiVectorIndex:
             if tier:
                 # fused path: ANN scan + device pooled-tier rescore in one
                 # program — zero candidate upload for the prefilter pass
-                pool = self._ann_pooled_topm(qe, q, doc_ids, pool_size, rescore_n)
+                # (row-sharded twin under a mesh)
+                if self.mesh is not None:
+                    pool = self._mesh_pooled_topm(qe, q, doc_ids, pool_size, rescore_n)
+                else:
+                    pool = self._ann_pooled_topm(qe, q, doc_ids, pool_size, rescore_n)
             else:
                 pool = self._ann_pool(qe, doc_ids, pool_size)
             t2 = time.perf_counter()
@@ -1630,6 +1727,9 @@ class MultiVectorIndex:
         self._pooled_scales = []
         self._pooled_rows = 0
         self._pooled_bucket = 0
+        self._mesh_pooled_blocks = []
+        self._mesh_pooled_scales = []
+        self._mesh_pooled_rows = 0
 
     def _reset_state(self, records, fde_pending, mv_pending, id_to_row, doc_rows) -> None:
         self.records = records

@@ -62,6 +62,11 @@ def shard_rows(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis, None))
 
 
+def shard_rows3(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Row-sharded (rows, tokens, dim) arrays — the mesh pooled tier."""
+    return NamedSharding(mesh, P(axis, None, None))
+
+
 def shard_vec(mesh: Mesh, axis: str = "data") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
@@ -338,6 +343,100 @@ def make_mesh_block_search(
         kernel_f,
         mesh=mesh,
         in_specs=(P(), P(), block_spec, vec_spec, vec_spec),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def make_mesh_block_search_pooled(
+    mesh: Mesh, n_blocks: int, pool: int, m: int, guard: int,
+    quantized: bool, axis: str = "data"
+):
+    """Mesh twin of the fused single-chip scan_blocks_topk_q_pooled:
+    sharded int8 ANN scan + pooled-tier rescore + union guard in ONE
+    compiled program, one tiny replicated fetch, zero candidate upload.
+
+    Each device scans its local row shard of every FDE block, takes its
+    local FDE top-`pool`, and rescores exactly those candidates against
+    its LOCAL shard of the pooled tier — the candidates are local rows
+    by construction, so the pooled gather never crosses ICI. One
+    all-gather of (fde score, pooled score, global id) triples merges
+    the per-device lists; the replicated tail takes the GLOBAL FDE
+    top-`pool` (identical pool semantics to the single-chip path), then
+    keeps the FDE-head `guard` unconditionally plus the best m-guard by
+    pooled score (`_pooled_stage` union guard — pooled vectors are
+    lossy). Survivors get the exact full-token rerank on the host path.
+
+    Returns a jitted fn:
+      quantized: (qq, qs, allowed, blocks_q8, scales, masks, codes,
+                  pblocks, pscales, q8p, qsp)
+    -> replicated packed [scores (m,) | global ids (m,)]."""
+    block_spec = tuple(P(axis, None) for _ in range(n_blocks))
+    vec_spec = tuple(P(axis) for _ in range(n_blocks))
+    p3_spec = tuple(P(axis, None, None) for _ in range(n_blocks))
+    p2_spec = tuple(P(axis, None) for _ in range(n_blocks))
+
+    def _pooled_local(pblk, pscl, idx, q8p, qsp):
+        """MaxSim of the query multivector against local pooled rows
+        `idx` of one block shard (XLA path — fully-masked rows map to
+        exactly 0, matching the single-chip kernel semantics)."""
+        g8 = pblk[idx]  # (P, T, D) int8
+        gs = pscl[idx]  # (P, T) f32, 0 = padded token
+        deq_d = g8.astype(jnp.float32) * gs[:, :, None]
+        deq_q = q8p.astype(jnp.float32) * qsp[0][:, None]  # (Q, D)
+        sims = jnp.einsum("qd,ptd->pqt", deq_q, deq_d)
+        sims = jnp.where(gs[:, None, :] > 0, sims, -jnp.inf)
+        s = jnp.max(sims, axis=-1)  # (P, Q)
+        s = jnp.where(jnp.isfinite(s), s, 0.0).sum(axis=-1)  # (P,)
+        has_tok = (gs > 0).any(axis=-1)
+        return jnp.where(has_tok, s, 0.0)
+
+    def kernel(qq, qs, allowed, blocks, scales, masks, codes, pblocks, pscales, q8p, qsp):
+        di = jax.lax.axis_index(axis)
+        ndev = jax.lax.axis_size(axis)
+        vs, gis, ps = [], [], []
+        for b in range(n_blocks):
+            fq = blocks[b]
+            s32 = jax.lax.dot_general(
+                fq, qq, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            scores = s32.astype(jnp.float32) * scales[b] * qs
+            gate = masks[b] * allowed[codes[b]]
+            scores = jnp.where(gate > 0, scores, -jnp.inf)
+            n_local = fq.shape[0]
+            kb = min(pool, n_local)
+            v, i = jax.lax.top_k(scores, kb)
+            vs.append(v)
+            gis.append(i + b * n_local * ndev + di * n_local)
+            ps.append(_pooled_local(pblocks[b], pscales[b], i, q8p, qsp))
+        v = jnp.concatenate(vs)
+        gi = jnp.concatenate(gis)
+        p = jnp.concatenate(ps)
+        kd = min(pool, v.shape[0])
+        v, sel = jax.lax.top_k(v, kd)  # local FDE top-pool
+        gi, p = gi[sel], p[sel]
+        # one all-gather of the per-device candidate triples over ICI
+        v_all = jax.lax.all_gather(v, axis).reshape(-1)
+        i_all = jax.lax.all_gather(gi, axis).reshape(-1)
+        p_all = jax.lax.all_gather(p, axis).reshape(-1)
+        kp = min(pool, v_all.shape[0])
+        vm, sel = jax.lax.top_k(v_all, kp)  # GLOBAL FDE pool
+        im, pm = i_all[sel], p_all[sel]
+        total = pm
+        if guard > 0:
+            total = total + jnp.where(jnp.arange(kp) < guard, 1e6, 0.0)
+        total = jnp.where(jnp.isfinite(vm), total, -jnp.inf)
+        mm = min(m, kp)
+        vals, pos = jax.lax.top_k(total, mm)
+        return jnp.concatenate([vals, im[pos].astype(jnp.float32)])
+
+    fn = jax.shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), block_spec, vec_spec, vec_spec, vec_spec,
+                  p3_spec, p2_spec, P(), P()),
         out_specs=P(),
         check_vma=False,
     )

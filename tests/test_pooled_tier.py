@@ -402,3 +402,57 @@ def test_fused_kernel_interpret_matches_ref():
     )
     np.testing.assert_array_equal(ref[8:], ker[8:])  # same survivor ids
     np.testing.assert_allclose(ref[:8], ker[:8], rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_pooled_tier_matches_single(mesh8):
+    """Row-sharded pooled tier (round 4): the fused mesh program (sharded
+    int8 ANN + local pooled rescore + union guard, one replicated fetch)
+    must return the same final ranking as the single-chip fused path —
+    same global-FDE-pool semantics, same guard."""
+    rng = np.random.default_rng(13)
+    concepts, mvs, topics = _corpus(rng, 96)
+    single = _mk(tier=True)
+    meshed = MultiVectorIndex(
+        CFG, mesh=mesh8, pooled_tier_factor=2, pooled_tier_budget_mb=64,
+        rerank_prefilter_pooling=2, prefilter_cap=75,
+    )
+    _fill(single, mvs)
+    _fill(meshed, mvs)
+    assert single._tier_active() and meshed._tier_active()
+    for t in (5, 41, 77):
+        q = concepts[topics[t]] + 0.05 * rng.standard_normal((3, 32)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        rs = single.query(q, k=5, return_timing=True)
+        assert single.last_timing["pooled_tier"] is True
+        rm = meshed.query(q, k=5, return_timing=True)
+        assert meshed.last_timing["pooled_tier"] is True
+        assert [r.document_id for r, _ in rs] == [r.document_id for r, _ in rm]
+        np.testing.assert_allclose(
+            [s for _, s in rs], [s for _, s in rm], rtol=1e-5, atol=1e-5
+        )
+        assert rs[0][0].document_id == f"doc{t}"
+
+
+def test_mesh_pooled_tier_filtered_and_tail_refresh(mesh8):
+    """Filtered queries gate inside the fused mesh program; an ingest
+    re-uploads only tail pooled blocks (tail-incremental)."""
+    rng = np.random.default_rng(14)
+    concepts, mvs, topics = _corpus(rng, 60)
+    idx = MultiVectorIndex(
+        CFG, mesh=mesh8, pooled_tier_factor=2, pooled_tier_budget_mb=64,
+        rerank_prefilter_pooling=2,
+    )
+    _fill(idx, mvs)
+    q = concepts[topics[7]]
+    allowed = [f"doc{i}" for i in range(0, 60, 3)]
+    res = idx.query(q, k=8, doc_ids=allowed, return_timing=True)
+    assert idx.last_timing["pooled_tier"] is True
+    assert res and all(r.document_id in allowed for r, _ in res)
+    # tail refresh: new rows appear without a full tier rebuild
+    n_before = len(idx._mesh_pooled_blocks)
+    rows_before = idx._mesh_pooled_rows
+    idx.store([mvs[3]], [IndexRecord(document_id="newdoc", chunk_number=0)])
+    res = idx.query(concepts[topics[3]], k=4)
+    assert "newdoc" in {r.document_id for r, _ in res}
+    assert idx._mesh_pooled_rows == rows_before + 1
+    assert len(idx._mesh_pooled_blocks) >= n_before
