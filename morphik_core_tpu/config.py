@@ -87,6 +87,12 @@ class ModelConfig(BaseModel):
     # -0.006 vs f32; evaluations/fidelity_eval.py defines the gate).
     # Set "bf16" to serve at parity precision instead.
     matmul_precision: Literal["bf16", "int8"] = "int8"
+    # QK^T attention contraction precision. int8 quantizes q/k per
+    # token/head and accumulates int32 on the MXU (the score matmul is
+    # the biggest bf16 block left in the int8 step — PROFILE_r04
+    # attention share 57 ms of 306 ms). Opt-in pending an on-chip A/B +
+    # fidelity gate; PV stays bf16 either way.
+    attention_precision: Literal["bf16", "int8"] = "bf16"
     # Qwen2-VL style image token budget per page.
     min_pixels: int = 4 * 28 * 28
     max_pixels: int = 768 * 28 * 28

@@ -56,6 +56,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
             self.model = ColQwenModel.from_checkpoint(
                 self.settings.model.checkpoint_path, mesh=mesh,
                 matmul_precision=self.settings.model.matmul_precision,
+                attention_precision=self.settings.model.attention_precision,
             )
         else:
             # Random weights serve garbage embeddings with HTTP 200 — only
@@ -77,6 +78,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 # dev mode mirrors the configured serving precision so
                 # the int8 path is what tests/evals exercise by default
                 matmul_precision=self.settings.model.matmul_precision,
+                attention_precision=self.settings.model.attention_precision,
             )
         self.batch_size = max(1, int(self.settings.tpu.embed_batch_size))
         self.min_pixels = self.settings.model.min_pixels

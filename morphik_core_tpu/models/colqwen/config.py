@@ -29,6 +29,9 @@ class VisionConfig:
     out_hidden_size: int = 2048
     fullatt_block_indexes: Tuple[int, ...] = (7, 15, 23, 31)
     rms_norm_eps: float = 1e-6
+    # int8 QK^T contraction (per-token/head scales, int32 MXU accumulate);
+    # set via ColQwenModel(attention_precision="int8"), fidelity-gated
+    qk_int8: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -60,6 +63,7 @@ class TextConfig:
     rope_theta: float = 1000000.0
     mrope_section: Tuple[int, ...] = (16, 24, 24)
     tie_word_embeddings: bool = True
+    qk_int8: bool = False  # see VisionConfig.qk_int8
 
     @property
     def head_dim(self) -> int:

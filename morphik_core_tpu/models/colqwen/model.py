@@ -230,6 +230,7 @@ class ColQwenModel:
         query_buckets: Sequence[int] = (32, 64, 128, 256),
         mesh=None,
         matmul_precision: str = "bf16",  # "bf16" (parity default) | "int8" (W8A8 serving)
+        attention_precision: str = "bf16",  # "bf16" | "int8" (QK^T int8, fidelity-gated)
     ):
         """`mesh`: optional jax.sharding.Mesh ("data", "model"). When set,
         the text decoder is tensor-parallel over "model", image batches
@@ -237,6 +238,17 @@ class ColQwenModel:
         the data axis), and XLA inserts the ICI collectives — the
         TPU-native replacement for the reference's GPU-endpoint fan-out
         (SURVEY.md §5 'distributed communication backend')."""
+        if attention_precision == "int8":
+            import dataclasses as _dc
+
+            cfg = _dc.replace(
+                cfg,
+                vision=_dc.replace(cfg.vision, qk_int8=True),
+                text=_dc.replace(cfg.text, qk_int8=True),
+            )
+        elif attention_precision != "bf16":
+            raise ValueError(f"unknown attention_precision {attention_precision!r}")
+        self.attention_precision = attention_precision
         self.cfg = cfg
         self.mesh = mesh
         self.matmul_precision = matmul_precision

@@ -159,7 +159,7 @@ def _decoder_block(x, layer, cos, sin, bias, cfg: TextConfig):
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
     q, k = apply_rotary(q, k, cos[:, :, None, :], sin[:, :, None, :])
-    o = attention(q, k, v, bias=bias)
+    o = attention(q, k, v, bias=bias, qk_int8=cfg.qk_int8)
     x = res + linear(o.reshape(b, s, nh * hd), layer["o_w"])
 
     y = rms_norm(x, layer["post_ln"], cfg.rms_norm_eps)

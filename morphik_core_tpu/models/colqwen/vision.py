@@ -179,13 +179,13 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
 
     def full_attn(args):
         q, k, v = args
-        return attention(q, k, v)
+        return attention(q, k, v, qk_int8=cfg.qk_int8)
 
     def window_attn(args):
         q, k, v = args
         def to_win(t):
             return t.reshape(b * s // win, win, nh, hd)
-        o = attention(to_win(q), to_win(k), to_win(v))
+        o = attention(to_win(q), to_win(k), to_win(v), qk_int8=cfg.qk_int8)
         return o.reshape(b, s, nh, hd)
 
     if isinstance(is_full, bool):  # static (unrolled int8 path): no cond HLO

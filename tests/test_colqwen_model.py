@@ -158,3 +158,72 @@ def test_u8_patch_path_matches_f32(model):
     out_f = model.embed_image_batch(pf[None], hu, wu)
     out_u = model.embed_image_batch(pu[None], hu, wu)
     np.testing.assert_allclose(out_u, out_f, atol=2e-3)
+
+
+def test_attention_qk_int8_close_to_bf16():
+    """int8 QK^T (per-token/head scales, int32 accumulate) must track
+    the float score path closely — logit error ~0.5% relative stays
+    inside softmax tolerance (round-4 attention-precision lever)."""
+    import jax.numpy as jnp
+
+    from morphik_core_tpu.models.colqwen.layers import attention
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 24, 4, 16)).astype(np.float32)
+    k = rng.standard_normal((2, 24, 2, 16)).astype(np.float32)  # GQA repeat
+    v = rng.standard_normal((2, 24, 2, 16)).astype(np.float32)
+    ref = np.asarray(attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    q8 = np.asarray(
+        attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), qk_int8=True)
+    )
+    assert q8.shape == ref.shape
+    err = np.abs(q8 - ref).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.05, f"int8 QK^T diverged: max rel err {err:.4f}"
+    # bias path (text tower) too
+    bias = np.zeros((1, 1, 24, 24), np.float32)
+    bias[..., 12:] = -1e30  # mask the tail keys
+    rb = np.asarray(attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              bias=jnp.asarray(bias)))
+    qb = np.asarray(attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                              bias=jnp.asarray(bias), qk_int8=True))
+    err = np.abs(qb - rb).max() / (np.abs(rb).max() + 1e-9)
+    assert err < 0.05
+
+
+def test_model_attention_precision_int8_ranking_parity():
+    """A tiny tower with attention_precision='int8' must produce
+    embeddings whose self-retrieval ranking matches the bf16-attention
+    twin (same weights) — the fidelity property the serving gate
+    checks at 3B geometry."""
+    cfg = ColQwenConfig.tiny()
+    key = jax.random.PRNGKey(3)
+    m_ref = ColQwenModel.init_random(key, cfg)
+    m_q8 = ColQwenModel.init_random(key, cfg, attention_precision="int8")
+    assert m_q8.cfg.vision.qk_int8 and m_q8.cfg.text.qk_int8
+
+    imgs = []
+    for i in range(4):
+        im = Image.new("RGB", (448, 336), (255, 255, 255))
+        px = im.load()
+        for x in range(0, 448, 8 + i):
+            for y in range(0, 336, 6 + i):
+                px[x, y] = (20 * i, 120, 220)
+        imgs.append(im)
+    embs_ref, embs_q8 = [], []
+    for im in imgs:
+        patches, (hu, wu) = preprocess_image(im)
+        embs_ref.append(np.asarray(m_ref.embed_image_batch(patches[None], hu, wu)[0]))
+        embs_q8.append(np.asarray(m_q8.embed_image_batch(patches[None], hu, wu)[0]))
+    # token-level drift bounded
+    for a, b in zip(embs_ref, embs_q8):
+        num = float((a * b).sum())
+        den = float(np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert num / den > 0.99, "attention-int8 embeddings diverged"
+
+    def maxsim(qm, dm):
+        return float(np.einsum("qd,td->qt", qm, dm).max(axis=1).sum())
+
+    for qi in range(4):
+        s_ref = [maxsim(embs_ref[qi], d) for d in embs_ref]
+        s_q8 = [maxsim(embs_q8[qi], d) for d in embs_q8]
+        assert int(np.argmax(s_ref)) == int(np.argmax(s_q8)) == qi
