@@ -85,14 +85,15 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         self.max_pixels = self.settings.model.max_pixels
         self.last_metrics: Dict[str, float] = {}
         # Fused ingest FDE (round 4): when services wire the store's
-        # FDEConfig here, image FDE vectors are computed ON DEVICE right
-        # after the tower forward — the multivector is already resident,
-        # so the store skips re-uploading it for encode_documents.
-        # Through the ~50 MB/s relay that re-upload (~1.3 MB/page f32)
-        # was the dominant fde_store cost (INGEST_r04.json: 8 pages/s).
-        # The fetch instead adds fde_dim f32 = 40 KB/page.
+        # FDEConfig here, the INGEST path (embed_images(with_fde=True))
+        # computes image FDE vectors ON DEVICE right after the tower
+        # forward — the multivector is already resident, so the store
+        # skips re-uploading it for encode_documents. Through the
+        # ~50 MB/s relay that re-upload (~1.3 MB/page f32) was the
+        # dominant fde_store cost (INGEST_r04.json: 8 pages/s). The
+        # fetch instead adds fde_dim f32 = 40 KB/page. Query-time embeds
+        # never compute FDE; results flow through return values only.
         self.fde_config = None
-        self.last_fde: List[Optional[np.ndarray]] = []
         logger.info(
             "ColpaliEmbeddingModel ready in %.2fs (dim=%d, batch=%d, backend=%s)",
             time.time() - t0,
@@ -117,12 +118,18 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         chunk.metadata.pop("_image_bytes", None)
         return img
 
-    def embed_images(self, images: List[Image.Image]) -> List[np.ndarray]:
+    def embed_images(self, images: List[Image.Image], with_fde: bool = False):
         """Preprocess -> bucket-group -> batched TPU forward. Order-preserving.
         Preprocessing (resize + uint8 patch reshape; normalization happens
         on device — the transfer-diet path, preprocess_image_u8) runs in a
         thread pool — PIL/numpy release the GIL, and a single-threaded
-        prep loop can't feed the chip at the 10k pages/min target."""
+        prep loop can't feed the chip at the 10k pages/min target.
+
+        with_fde=True (ingest path only) additionally returns per-image
+        document FDE rows computed on device (fused ingest FDE) and the
+        return becomes (embs, fdes). Query-time callers leave it False —
+        a query must not pay the FDE dispatch+fetch, and results flow
+        through return values only (no racy instance state)."""
         prep_start = time.perf_counter()
         buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray]]] = {}
         if len(images) > 1:
@@ -154,6 +161,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         # With fde_config set, the document FDE encode is dispatched on
         # the still-resident device multivector (tokens inside a grid
         # bucket are all valid, so the mask is ones) — no host roundtrip.
+        fuse_fde = with_fde and self.fde_config is not None
         pending = []
         for (hu, wu), items in buckets.items():
             for s in range(0, len(items), self.batch_size):
@@ -161,7 +169,7 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 arr = np.stack([p for _, p in batch])
                 dev, nvalid = self.model.embed_image_batch(arr, hu, wu, as_device=True)
                 fde_dev = None
-                if self.fde_config is not None:
+                if fuse_fde:
                     from morphik_core_tpu.ops.fde import fde_document_batch
 
                     fde_dev = fde_document_batch(
@@ -179,10 +187,11 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 if fdes is not None:
                     out_fde[i] = fdes[j]
         model_s = time.perf_counter() - model_start
-        self.last_fde = out_fde
         self.last_metrics.update(
             image_preprocess_s=prep_s, image_model_s=model_s, image_count=len(images), buckets=len(buckets)
         )
+        if with_fde:
+            return out, out_fde
         return out  # type: ignore[return-value]
 
     def embed_texts(self, texts: List[str]) -> List[np.ndarray]:
@@ -199,9 +208,10 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         self, chunks: Union[Chunk, List[Chunk]]
     ) -> Tuple[List[np.ndarray], List[Optional[np.ndarray]]]:
         """embed_for_ingestion + the chunk-aligned fused FDE rows as an
-        explicit return value (the `last_fde` attribute is a
-        compatibility mirror; concurrent/pipelined callers must use THIS
-        method or the sync core — the attribute would race)."""
+        explicit return value. FDE rows flow through return values only
+        (never instance state) — the ingest pipeline runs this in a
+        worker thread while queries keep using the same model, and any
+        shared attribute would race (round-4 review)."""
         return self.embed_for_ingestion_sync(chunks)
 
     async def embed_for_ingestion(self, chunks: Union[Chunk, List[Chunk]]) -> List[np.ndarray]:
@@ -218,7 +228,6 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         if isinstance(chunks, Chunk):
             chunks = [chunks]
         if not chunks:
-            self.last_fde = []
             return [], []
         self.last_metrics = {}
         job_start = time.perf_counter()
@@ -238,18 +247,16 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         results: List[Optional[np.ndarray]] = [None] * len(chunks)
         fde_out: List[Optional[np.ndarray]] = [None] * len(chunks)
         if image_items:
-            embs = self.embed_images([im for _, im in image_items])
-            for k, ((i, _), e) in enumerate(zip(image_items, embs)):
+            embs, fdes = self.embed_images(
+                [im for _, im in image_items], with_fde=True
+            )
+            for (i, _), e, f in zip(image_items, embs, fdes):
                 results[i] = e
-                if k < len(self.last_fde):
-                    fde_out[i] = self.last_fde[k]
+                fde_out[i] = f
         if text_items:
             embs = self.embed_texts([t for _, t in text_items])
             for (i, _), e in zip(text_items, embs):
                 results[i] = e
-        # chunk-aligned fused FDE vectors (None where not computed);
-        # consumed by IngestionService -> store_embeddings(fde_vectors=)
-        self.last_fde = fde_out
         self.last_metrics["total_s"] = time.perf_counter() - job_start
         return results, fde_out  # type: ignore[return-value]
 

@@ -708,11 +708,12 @@ class MultiVectorIndex:
             else self._mesh_zero_codes(n_blocks)
         )
         pool_pad = min(_round_capacity(pool_size, minimum=16), self._active_block)
-        m_pad = min(_round_capacity(m, minimum=16), pool_pad)
+        pool_true = min(pool_size, pool_pad)
+        m_pad = min(_round_capacity(m, minimum=16), pool_true)
         guard = m // 2
         q8p, qsp = quantize_query_q8(q)
         search = make_mesh_block_search_pooled(
-            self.mesh, n_blocks, pool_pad, m_pad, guard, True
+            self.mesh, n_blocks, pool_pad, pool_true, m_pad, guard
         )
         qq, qs = qe
         packed = np.asarray(

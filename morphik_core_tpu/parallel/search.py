@@ -351,8 +351,8 @@ def make_mesh_block_search(
 
 @functools.lru_cache(maxsize=64)
 def make_mesh_block_search_pooled(
-    mesh: Mesh, n_blocks: int, pool: int, m: int, guard: int,
-    quantized: bool, axis: str = "data"
+    mesh: Mesh, n_blocks: int, pool: int, pool_true: int, m: int, guard: int,
+    axis: str = "data"
 ):
     """Mesh twin of the fused single-chip scan_blocks_topk_q_pooled:
     sharded int8 ANN scan + pooled-tier rescore + union guard in ONE
@@ -364,14 +364,18 @@ def make_mesh_block_search_pooled(
     by construction, so the pooled gather never crosses ICI. One
     all-gather of (fde score, pooled score, global id) triples merges
     the per-device lists; the replicated tail takes the GLOBAL FDE
-    top-`pool` (identical pool semantics to the single-chip path), then
-    keeps the FDE-head `guard` unconditionally plus the best m-guard by
-    pooled score (`_pooled_stage` union guard — pooled vectors are
-    lossy). Survivors get the exact full-token rerank on the host path.
+    top-`pool_true` — the EXACT configured pool, so candidates ranked
+    past it can never displace in-pool rows (identical pool semantics
+    to the single-chip `_pooled_stage(n_valid=pool)`; `pool` is the
+    padded per-device top-k width) — then keeps the FDE-head `guard`
+    unconditionally plus the best m-guard by pooled score (union guard
+    — pooled vectors are lossy). Survivors get the exact full-token
+    rerank on the host path. int8-ANN blocks only (the index gates the
+    mesh tier on ann_dtype=="int8").
 
     Returns a jitted fn:
-      quantized: (qq, qs, allowed, blocks_q8, scales, masks, codes,
-                  pblocks, pscales, q8p, qsp)
+      (qq, qs, allowed, blocks_q8, scales, masks, codes,
+       pblocks, pscales, q8p, qsp)
     -> replicated packed [scores (m,) | global ids (m,)]."""
     block_spec = tuple(P(axis, None) for _ in range(n_blocks))
     vec_spec = tuple(P(axis) for _ in range(n_blocks))
@@ -421,7 +425,7 @@ def make_mesh_block_search_pooled(
         v_all = jax.lax.all_gather(v, axis).reshape(-1)
         i_all = jax.lax.all_gather(gi, axis).reshape(-1)
         p_all = jax.lax.all_gather(p, axis).reshape(-1)
-        kp = min(pool, v_all.shape[0])
+        kp = min(pool_true, v_all.shape[0])  # EXACT configured pool
         vm, sel = jax.lax.top_k(v_all, kp)  # GLOBAL FDE pool
         im, pm = i_all[sel], p_all[sel]
         total = pm

@@ -16,7 +16,7 @@ Docling finds no layout.
 from __future__ import annotations
 
 import re
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 from morphik_core_tpu.parser.pdf import TextBlock
 
@@ -27,7 +27,8 @@ _FOOTER_RE = re.compile(r"^\s*(?:page\s+)?\d{1,4}(?:\s*(?:/|of)\s*\d{1,4})?\s*$"
 
 HEADING_SIZE_RATIO = 1.25  # block size vs page median to count as heading
 TITLE_SIZE_RATIO = 1.6
-EDGE_BAND = 0.07  # top/bottom fraction of the page for header/footer roles
+EDGE_BAND = 0.07  # top/bottom fraction of the CONTENT extent for r/f roles
+MIN_EXTENT_PT = 300.0  # below this vertical spread, r/f roles are off
 MAX_HEADING_CHARS = 120
 
 
@@ -37,16 +38,30 @@ def _median(vals: Sequence[float]) -> float:
 
 
 def classify_blocks(
-    blocks: Sequence[TextBlock], page_height: float = 792.0, first_page: bool = False
+    blocks: Sequence[TextBlock], page_height: Optional[float] = None,
+    first_page: bool = False,
 ) -> List[Tuple[str, TextBlock]]:
     """-> [(tag, block)] in input order. Tags mirror the reference's
-    docling_v2 label_to_tag contract: t/h/title/r/f/li."""
+    docling_v2 label_to_tag contract: t/h/title/r/f/li.
+
+    Header/footer bands are computed from the page's CONTENT extent
+    (min/max block y), not a paper-size constant — the hand-rolled
+    parser doesn't surface MediaBox, and a hard-coded 792 pt band
+    misclassifies A4/landscape pages (round-4 review). Pass
+    `page_height` to extend the extent when the caller knows it. Pages
+    with too little vertical spread get no r/f roles at all."""
     if not blocks:
         return []
     body_sizes = [b.size for b in blocks if len(b.text) >= 40] or [b.size for b in blocks]
     med = max(_median(body_sizes), 1.0)
-    top_y = page_height * (1.0 - EDGE_BAND)
-    bot_y = page_height * EDGE_BAND
+    y_lo = min(b.bbox[1] for b in blocks)
+    y_hi = max(b.bbox[3] for b in blocks)
+    if page_height:
+        y_lo, y_hi = min(y_lo, 0.0), max(y_hi, page_height)
+    extent = y_hi - y_lo
+    edges_on = extent >= MIN_EXTENT_PT
+    top_y = y_hi - EDGE_BAND * extent
+    bot_y = y_lo + EDGE_BAND * extent
     out: List[Tuple[str, TextBlock]] = []
     seen_title = False
     for b in blocks:
@@ -54,16 +69,16 @@ def classify_blocks(
         yc = (b.bbox[1] + b.bbox[3]) / 2
         short = len(text) <= MAX_HEADING_CHARS and "\n" not in text
         tag = "t"
-        if yc <= bot_y and (len(text) <= 60 or _FOOTER_RE.match(text)):
+        if edges_on and yc <= bot_y and (len(text) <= 60 or _FOOTER_RE.match(text)):
             tag = "f"
-        elif _FOOTER_RE.match(text) and yc >= top_y:
+        elif edges_on and _FOOTER_RE.match(text) and yc >= top_y:
             tag = "r"
         elif short and b.size >= TITLE_SIZE_RATIO * med and first_page and not seen_title:
             tag = "title"
             seen_title = True
         elif short and b.size >= HEADING_SIZE_RATIO * med:
             tag = "h"
-        elif yc >= top_y and len(text) <= 60 and b.size <= med:
+        elif edges_on and yc >= top_y and len(text) <= 60 and b.size <= med:
             tag = "r"
         elif _LIST_RE.match(text):
             tag = "li"

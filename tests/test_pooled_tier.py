@@ -456,3 +456,29 @@ def test_mesh_pooled_tier_filtered_and_tail_refresh(mesh8):
     assert "newdoc" in {r.document_id for r, _ in res}
     assert idx._mesh_pooled_rows == rows_before + 1
     assert len(idx._mesh_pooled_blocks) >= n_before
+
+
+def test_mesh_pool_cut_is_exact_not_padded(mesh8):
+    """The mesh global FDE pool must cut at the EXACT configured pool
+    size, not the pow-2-padded kernel width — otherwise FDE-rank-301..
+    512 rows with high pooled scores displace in-pool survivors and
+    mesh/single-chip deployments diverge (round-4 review). Corpus is
+    much larger than the pool so the cut genuinely bites."""
+    rng = np.random.default_rng(15)
+    concepts, mvs, topics = _corpus(rng, 200)
+    kw = dict(pooled_tier_factor=2, pooled_tier_budget_mb=64,
+              rerank_prefilter_pooling=2, prefilter_cap=40)
+    single = MultiVectorIndex(CFG, **kw)
+    meshed = MultiVectorIndex(CFG, mesh=mesh8, **kw)
+    _fill(single, mvs)
+    _fill(meshed, mvs)
+    for t in (11, 99, 180):
+        q = concepts[topics[t]].astype(np.float32)
+        qe_s = single._encode_query(q)
+        qe_m = meshed._encode_query(q)
+        surv_s = single._ann_pooled_topm(qe_s, q, None, 40, 16)
+        surv_m = meshed._mesh_pooled_topm(qe_m, q, None, 40, 16)
+        assert set(surv_s) == set(surv_m), f"survivor sets diverged for doc{t}"
+        rs = [r.document_id for r, _ in single.query(q, k=5)]
+        rm = [r.document_id for r, _ in meshed.query(q, k=5)]
+        assert rs == rm

@@ -524,9 +524,11 @@ def test_fused_ingest_fde_matches_store_encode(tmp_path):
 
     loop = asyncio.new_event_loop()
     chunks = [chunk(i) for i in range(3)]
-    embs = loop.run_until_complete(emb.embed_for_ingestion(chunks))
-    fused = emb.last_fde
+    embs, fused = loop.run_until_complete(emb.embed_for_ingestion_with_fde(chunks))
     assert all(f is not None for f in fused)
+    # query-time embeds must NOT pay the FDE dispatch (round-4 review)
+    q_only = emb.embed_images([page(0)])
+    assert isinstance(q_only, list) and q_only[0].ndim == 2
 
     # parity with the store-side batched encode
     from morphik_core_tpu.index import MultiVectorIndex
