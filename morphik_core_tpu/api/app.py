@@ -424,6 +424,7 @@ def build_app(services: Services) -> Router:
     # ----------------------------------------------------------- documents
 
     @router.post("/documents")
+    @router.post("/documents/list_docs")  # reference alias (routes/documents.py:47-48)
     async def list_documents(req: Request) -> Response:
         auth = await auth_of(req)
         body = req.json() if req.body else {}
@@ -817,6 +818,7 @@ def build_app(services: Services) -> Router:
         )
 
     @router.post("/models/custom")
+    @router.post("/models")  # reference path (routes/models.py:70 save_model)
     async def add_custom_model(req: Request) -> Response:
         """Custom model rows are ALWAYS stored under provider="custom"
         (the model's own provider stays inside config_data), mirroring
@@ -849,6 +851,7 @@ def build_app(services: Services) -> Router:
         return Response.json(out)
 
     @router.delete("/models/custom/{config_id}")
+    @router.delete("/models/{config_id}")  # reference path (routes/models.py:176)
     async def delete_custom_model(req: Request) -> Response:
         auth = await auth_of(req)
         ok = await services.database.delete_model_config(
@@ -1007,12 +1010,18 @@ def build_app(services: Services) -> Router:
         return Response.json({"uri": uri, "app_id": app_id, "token_version": version})
 
     @router.post("/apps/rename")
+    @router.patch("/apps/rename")  # reference verb (core/api.py:1584)
     async def rename_app(req: Request) -> Response:
         auth = await auth_of(req)
         _require_write(auth)
-        body = req.json()
-        app_id = body.get("app_id") or auth.app_id
-        new_name = body.get("new_name") or body.get("name")
+        try:
+            body = req.json()
+        except Exception:  # noqa: BLE001 — reference PATCH uses query params
+            body = {}
+        app_id = body.get("app_id") or req.query.get("app_id") or auth.app_id
+        new_name = (
+            body.get("new_name") or body.get("name") or req.query.get("new_name")
+        )
         if not app_id or not new_name:
             raise HTTPError(422, "app_id and new_name are required")
         ok = await services.user_service.rename_app(

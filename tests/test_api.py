@@ -766,3 +766,35 @@ def _loop_lifecycle():
         _LOOP.run_until_complete(asyncio.sleep(0.05))
     finally:
         _LOOP.close()
+
+
+def test_reference_route_aliases(server):
+    """Reference-surface aliases: POST /documents/list_docs, POST
+    /models, DELETE /models/{id}, PATCH /apps/rename (query params) all
+    behave like their canonical twins (reference routes/documents.py:48,
+    routes/models.py:70,176, core/api.py:1584)."""
+    base, _ = server
+
+    async def go():
+        async with _client(base) as c:
+            r = await c.post("/documents/list_docs", json={"limit": 5})
+            assert r.status_code == 200 and isinstance(r.json(), list)
+            r = await c.post("/models", json={"provider": "openai",
+                                              "name": "alias-model", "model": "gpt-x"})
+            assert r.status_code == 200
+            mid = r.json()["id"]
+            r = await c.get("/models/custom")
+            assert any(m["id"] == mid for m in r.json())
+            r = await c.request("DELETE", f"/models/{mid}")
+            assert r.status_code == 200 and r.json()["success"] is True
+            r = await c.get("/models/custom")
+            assert all(m["id"] != mid for m in r.json())
+            # PATCH rename via query params (reference signature)
+            r = await c.post("/cloud/generate_uri", json={"name": "alias_app"})
+            app_id = r.json()["app_id"]
+            r = await c.request(
+                "PATCH", f"/apps/rename?app_id={app_id}&new_name=alias_app_two"
+            )
+            assert r.status_code == 200 and r.json()["name"] == "alias_app_two"
+
+    run(go())
