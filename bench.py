@@ -58,6 +58,28 @@ def main() -> None:
         h_units, w_units, batch = 20, 28, 8
         embed_iters = 4
 
+    # the int8 measurement mirrors the SHIPPED serving config, including
+    # attention precision (model.attention_precision, round 4); bf16
+    # parity row always runs the plain-attention tower
+    try:
+        from morphik_core_tpu.config import load_settings as _ls
+
+        _attn = _ls(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "morphik_tpu.toml")
+        ).model.attention_precision
+    except Exception:  # noqa: BLE001
+        _attn = "bf16"
+    if _attn == "int8":
+        import dataclasses as _dc
+
+        cfg_int8 = _dc.replace(
+            cfg,
+            vision=_dc.replace(cfg.vision, qk_int8=True),
+            text=_dc.replace(cfg.text, qk_int8=True),
+        )
+    else:
+        cfg_int8 = cfg
+
     # Host<->device round-trips on this setup go through a relay with a
     # large RTT, so each stage is timed as N data-chained iterations
     # inside ONE jit (single fetch), minus the measured RTT.
@@ -149,7 +171,24 @@ def main() -> None:
 
     qparams = jax.jit(quantize_colqwen_params)(params)
     jax.block_until_ready(qparams)
-    gq_n, gq_2n = chained_embed(embed_iters), chained_embed(2 * embed_iters)
+    if cfg_int8 is not cfg:
+        fwd_q8 = jax.jit(functools.partial(
+            colqwen_image_forward, cfg=cfg_int8, h_units=h_units, w_units=w_units
+        ))
+
+        def chained_embed_q8(n):
+            @jax.jit
+            def g(prm, a):
+                def body(i, acc):
+                    out = fwd_q8(prm, patches=a["patches"] + acc * 1e-30,
+                                 **{k: v for k, v in a.items() if k != "patches"})
+                    return acc + jnp.sum(out.astype(jnp.float32))
+                return jax.lax.fori_loop(0, n, body, 0.0)
+            return g
+
+        gq_n, gq_2n = chained_embed_q8(embed_iters), chained_embed_q8(2 * embed_iters)
+    else:
+        gq_n, gq_2n = chained_embed(embed_iters), chained_embed(2 * embed_iters)
     float(gq_n(qparams, args)); float(gq_2n(qparams, args))
     q_steps = []
     for _ in range(3):
@@ -556,6 +595,7 @@ def main() -> None:
                     "backend": backend,
                     "grid": [h_units, w_units],
                     "batch": batch,
+                    "attention_precision": _attn,
                     "embed_step_ms": round(step_s * 1e3, 2),
                     "bf16_pages_per_s": round(pages_per_s, 3),
                     "int8_pages_per_s": round(int8_pages_per_s, 3),
