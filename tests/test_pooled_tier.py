@@ -482,3 +482,24 @@ def test_mesh_pool_cut_is_exact_not_padded(mesh8):
         rs = [r.document_id for r, _ in single.query(q, k=5)]
         rm = [r.document_id for r, _ in meshed.query(q, k=5)]
         assert rs == rm
+
+
+def test_pooled_side_store_orphan_truncation(tmp_path):
+    """A crash between the pooled.bin append and the WAL fsync leaves
+    orphan bytes; reload must truncate them (derived offsets) and keep
+    the store valid."""
+    rng = np.random.default_rng(16)
+    concepts, mvs, topics = _corpus(rng, 30)
+    idx = _mk(tier=True, path=tmp_path / "ix")
+    _fill(idx, mvs)
+    idx.save()
+    p = tmp_path / "ix" / "pooled.bin"
+    good = p.stat().st_size
+    with open(p, "ab") as fh:
+        fh.write(b"\x00" * 4096)  # orphan bytes from a crashed append
+    idx2 = _mk(tier=True, path=tmp_path / "ix")
+    assert idx2._pooled_store_ok
+    assert p.stat().st_size == good  # orphans truncated on load
+    res = idx2.query(concepts[topics[8]], k=3, return_timing=True)
+    assert idx2.last_timing["pooled_tier"] is True
+    assert res[0][0].document_id == "doc8"
