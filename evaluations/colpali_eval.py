@@ -188,18 +188,20 @@ def perturb(img, rung: str, rng):
     raise ValueError(rung)
 
 
-# easy -> hard; identity pins the sanity row at 1.0, wreck stays near
-# the floor. Round-4 calibration (tiny tower, 120-page template corpus):
-# noise:60 / jpeg:4 / occ:0.25 all 1.0 (saturated); blur 2/4/6 and
-# rescale 6/8 all <=0.07 (floored); occ 0.45/0.65 = 0.87/0.77 (in
-# band). The sweep below spans that transition: the blur sigma-sweep
-# covers (0, 2) and occlusion (0.4, 0.7), so >=4 rungs sit in recall@1
-# (0.2, 0.97) at either geometry (3B shifts everything up).
+# easy -> hard; identity pins the sanity row near the top, wreck stays
+# near the floor. Round-4 calibration on the TRAINED fixture at 440
+# distractor-heavy pages (the shipped default run): identity 0.90,
+# jpeg:4 0.50 (in band); blur 1/1.5/2 = 0.18/0.05/0.03, occ 0.45/0.65 =
+# 0.13/0.03, rescale:5 = 0.0 (all floored — the trained tower is far
+# less perturbation-tolerant than random weights, which match on global
+# layout statistics). The sweep below shifts every floored family one
+# notch lighter so most rungs sit in recall@1 (0.2, 0.9) and can
+# measurably REGRESS; 3B real-weight runs shift everything up.
 RUNGS = (
-    "identity", "blur:1", "blur:1.5", "blur:2", "jpeg:4",
-    "rescale:5", "occ:0.45", "occ:0.65", "wreck",
+    "identity", "blur:0.5", "blur:1", "jpeg:4",
+    "rescale:2", "rescale:3", "occ:0.25", "occ:0.45", "wreck",
 )
-RUNGS_SMALL = ("identity", "blur:1.5", "occ:0.65")
+RUNGS_SMALL = ("identity", "blur:1", "occ:0.45")
 
 
 # --------------------------------------------------------------- harness
@@ -333,11 +335,27 @@ async def run_eval(args) -> Dict:
             ImageDraw.Draw(img).text((8, 12), f"rated torque of {kw}", fill="black")
             return img
 
-        kw_ranks, txt_ranks = [], []
+        def render_keyword_page(kw: str):
+            # page-GEOMETRY keyword query: the production text-page raster
+            # renders only the fact lines (same scale/positions as gold
+            # pages, none of the template filler) — retrieval must match
+            # the keyword GLYPHS among near-duplicate distractors. This is
+            # the semantic row the trained tiny fixture can pass (the
+            # 280x40 crop above needs cross-scale generalization a 16-dim
+            # tower doesn't have; it stays as the real-checkpoint metric).
+            from morphik_core_tpu.parser.pdf import _render_text_page
+
+            return _render_text_page(
+                f"UNIT SPEC {kw}\n\nrated torque of {kw}", dpi=150
+            )
+
+        kw_ranks, kwp_ranks, txt_ranks = [], [], []
         for f in probe_facts[: max(10, len(probe_facts) // 2)]:
             gold = (name_to_id[f["doc"]], f["page"])
             got = await retrieve_image(render_keyword(f["keyword"]))
             kw_ranks.append(next((i + 1 for i, g in enumerate(got) if g == gold), None))
+            got = await retrieve_image(render_keyword_page(f["keyword"]))
+            kwp_ranks.append(next((i + 1 for i, g in enumerate(got) if g == gold), None))
             chunks = await services.document_service.retrieve_chunks(
                 f["question"], auth, k=10, use_colpali=True
             )
@@ -358,6 +376,7 @@ async def run_eval(args) -> Dict:
             "visual_ladder": by_rung,
             "visual_ladder_s": round(visual_s, 1),
             "keyword_image_queries": metrics(kw_ranks, len(kw_ranks)),
+            "keyword_page_queries": metrics(kwp_ranks, len(kwp_ranks)),
             "text_queries": metrics(txt_ranks, len(txt_ranks)),
             "chance_recall_at_10": round(10 / n_pages_total, 4),
         }
