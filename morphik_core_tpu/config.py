@@ -238,6 +238,14 @@ class VectorStoreConfig(BaseModel):
     # case either way. ~0.3 ms/row host-side, paid ONCE at ingest and
     # persisted in the index's pooled.bin side-store; 0 = off.
     pooled_refine_iters: int = 3
+    # Cosine threshold for deduping near-identical query tokens in the
+    # CANDIDATE-SELECTION stages (FDE ANN + pooled rescore; the exact
+    # rerank always uses the full query — returned scores unchanged).
+    # Page-like image queries carry ~800 near-identical blank tokens
+    # that drown the FDE query sum (measured round 4: keyword-page FDE
+    # recall at chance without dedup, 2x with). Applied only to queries
+    # with > 64 tokens; 0 = off.
+    query_token_dedup: float = 0.98
 
 
 class WorkerConfig(BaseModel):

@@ -115,6 +115,7 @@ class MultiVectorIndex:
         pooled_tier_factor: int = 0,  # 0 = off; p>1 = device-resident pooled tier
         pooled_tier_budget_mb: int = 6144,  # HBM budget gate for the tier
         pooled_refine_iters: int = 3,  # k-means passes refining pooled vectors
+        query_token_dedup: float = 0.98,  # cosine thr for ANN-stage dedup; 0 = off
     ):
         self.fde_config = fde_config or FDEConfig()
         self.mesh = mesh
@@ -232,6 +233,17 @@ class MultiVectorIndex:
         # Both pooled paths (device tier + upload prefilter) share this
         # so their vectors stay bit-identical.
         self.pooled_refine_iters = int(pooled_refine_iters)
+        # Query-token dedup for the CANDIDATE-SELECTION stages (round 4,
+        # measured): a page-like image query carries ~800 near-identical
+        # blank tokens that drown its few discriminative tokens in the
+        # FDE query sum (keyword-page probe: FDE recall@28% = chance;
+        # dedup@0.98 keeps ~55/845 tokens and doubles it) and dilute the
+        # pooled rescore the same way. Applied ONLY to FDE encode + the
+        # pooled stages — the exact rerank uses the FULL query, so
+        # returned scores are unchanged; selection recall and ANN/pooled
+        # latency improve. Gated to queries > 64 tokens (text queries
+        # and crops are already dense).
+        self.query_token_dedup = float(query_token_dedup)
         self._pooled_blocks: List[Any] = []  # (B, T, D) int8 per block
         self._pooled_scales: List[Any] = []  # (B, T) f32 (0 = padded token)
         self._pooled_rows = 0
@@ -887,6 +899,24 @@ class MultiVectorIndex:
             )
         return (self._mesh_zeros_cache,) * n_blocks
 
+    def _dedup_query_tokens(self, q: np.ndarray) -> np.ndarray:
+        """Greedy cosine dedup of query tokens for the selection stages
+        (FDE ANN + pooled rescore). Keeps the first representative of
+        each near-duplicate cluster in token order. O(n * kept) host
+        numpy — ~60 reps from an 845-token page query in <1 ms."""
+        thr = self.query_token_dedup
+        if thr <= 0 or q.shape[0] <= 64:
+            return q
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-9)
+        kept: List[int] = []
+        reps = np.empty_like(qn)
+        for i in range(qn.shape[0]):
+            if kept and float((reps[: len(kept)] @ qn[i]).max()) >= thr:
+                continue
+            reps[len(kept)] = qn[i]
+            kept.append(i)
+        return q[kept]
+
     def _encode_query(self, q: np.ndarray):
         """FDE-encode one query multivector. For the int8 ANN path the
         encode + quantize run fused ON DEVICE and the result never
@@ -1001,7 +1031,12 @@ class MultiVectorIndex:
             if self._count == 0 or k <= 0:
                 return []
             q = np.asarray(query_embedding, dtype=np.float32)
-            qe = self._encode_query(q)
+            # selection stages see the DEDUPED query (FDE encode + pooled
+            # rescores); the exact rerank below keeps the full q, so the
+            # returned scores are unchanged — dedup only improves which
+            # candidates reach it (and shrinks the selection compute)
+            q_sel = self._dedup_query_tokens(q)
+            qe = self._encode_query(q_sel)
             t1 = time.perf_counter()
 
             pool_size = min(self.prefilter_multiplier * k, self.prefilter_cap)
@@ -1026,9 +1061,9 @@ class MultiVectorIndex:
                 # program — zero candidate upload for the prefilter pass
                 # (row-sharded twin under a mesh)
                 if self.mesh is not None:
-                    pool = self._mesh_pooled_topm(qe, q, doc_ids, pool_size, rescore_n)
+                    pool = self._mesh_pooled_topm(qe, q_sel, doc_ids, pool_size, rescore_n)
                 else:
-                    pool = self._ann_pooled_topm(qe, q, doc_ids, pool_size, rescore_n)
+                    pool = self._ann_pooled_topm(qe, q_sel, doc_ids, pool_size, rescore_n)
             else:
                 pool = self._ann_pool(qe, doc_ids, pool_size)
             t2 = time.perf_counter()
@@ -1053,7 +1088,7 @@ class MultiVectorIndex:
             )
             p = self.rerank_prefilter_pooling
             if not tier and not resident and p > 1 and len(pool) > rescore_n:
-                pool = self._pooled_prefilter(pool, q, rescore_n, p)
+                pool = self._pooled_prefilter(pool, q_sel, rescore_n, p)
             if self._cache_slots > 0:
                 rescores = self._pool_scores_cached(pool, q)
             if rescores is None:

@@ -256,6 +256,7 @@ def build_services(
             pooled_tier_factor=settings.vector_store.pooled_tier_factor,
             pooled_tier_budget_mb=settings.vector_store.pooled_tier_budget_mb,
             pooled_refine_iters=settings.vector_store.pooled_refine_iters,
+            query_token_dedup=settings.vector_store.query_token_dedup,
         )
 
     vector_store = TextVectorStore(path=storage_root / "text_index")

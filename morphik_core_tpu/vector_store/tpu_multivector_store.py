@@ -63,6 +63,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         pooled_tier_factor: int = 0,
         pooled_tier_budget_mb: int = 6144,
         pooled_refine_iters: int = 3,
+        query_token_dedup: float = 0.98,
     ):
         self.storage = storage
         self.fde_config = fde_config or FDEConfig()
@@ -85,6 +86,7 @@ class TPUMultiVectorStore(BaseVectorStore):
         self.pooled_tier_factor = pooled_tier_factor
         self.pooled_tier_budget_mb = pooled_tier_budget_mb
         self.pooled_refine_iters = pooled_refine_iters
+        self.query_token_dedup = query_token_dedup
         self._indexes: Dict[str, Any] = {}
         self.last_store_metrics: Dict[str, Any] = {}
 
@@ -118,6 +120,7 @@ class TPUMultiVectorStore(BaseVectorStore):
                     pooled_tier_factor=self.pooled_tier_factor,
                     pooled_tier_budget_mb=self.pooled_tier_budget_mb,
                     pooled_refine_iters=self.pooled_refine_iters,
+                    query_token_dedup=self.query_token_dedup,
                 )
         return self._indexes[ns]
 

@@ -168,3 +168,49 @@ def test_get_chunks_by_id():
     got = idx.get_chunks_by_id([("doc2", 0), ("doc9", 0), ("doc2", 7)])
     assert got[0] is not None and got[0].document_id == "doc2"
     assert got[1] is None and got[2] is None
+
+
+def test_query_token_dedup_improves_sparse_query_selection():
+    """Round 4: page-like queries carry hundreds of near-identical
+    'blank' tokens that drown their few discriminative tokens in the
+    FDE query sum. Dedup (selection stages only) must (a) leave dense-
+    query results and SCORES bit-identical to the no-dedup index, and
+    (b) recover a sparse query whose discriminative token the full-sum
+    FDE misses."""
+    rng = np.random.default_rng(21)
+    d = 32
+    blank = rng.standard_normal(d).astype(np.float32)
+    blank /= np.linalg.norm(blank)
+    sigs = rng.standard_normal((40, d)).astype(np.float32)
+    sigs /= np.linalg.norm(sigs, axis=1, keepdims=True)
+    # docs: mostly-blank pages with a few signature tokens
+    mvs = []
+    for i in range(40):
+        toks = [blank + 0.02 * rng.standard_normal(d) for _ in range(20)]
+        toks += [sigs[i] + 0.02 * rng.standard_normal(d) for _ in range(4)]
+        mv = np.stack(toks).astype(np.float32)
+        mvs.append(mv / np.linalg.norm(mv, axis=1, keepdims=True))
+    on = MultiVectorIndex(CFG, query_token_dedup=0.95, prefilter_cap=8)
+    off = MultiVectorIndex(CFG, query_token_dedup=0.0, prefilter_cap=8)
+    _fill(on, mvs)
+    _fill(off, mvs)
+
+    # dense query (few tokens, <= 64): dedup is a no-op — identical output
+    qd = mvs[7][:12]
+    r_on = on.query(qd, k=3)
+    r_off = off.query(qd, k=3)
+    assert [(r.document_id, s) for r, s in r_on] == [(r.document_id, s) for r, s in r_off]
+
+    # sparse query: 800 blank tokens + gold's signature tokens. The
+    # full-sum FDE ranks by blank-similarity (everything ties); with a
+    # pool of 8 of 40 the gold is usually lost without dedup.
+    hits_on = hits_off = 0
+    for t in range(12):
+        toks = [blank + 0.02 * rng.standard_normal(d) for _ in range(800)]
+        toks += [sigs[t] + 0.02 * rng.standard_normal(d) for _ in range(4)]
+        q = np.stack(toks).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        hits_on += on.query(q, k=1)[0][0].document_id == f"doc{t}"
+        hits_off += off.query(q, k=1)[0][0].document_id == f"doc{t}"
+    assert hits_on >= 10, f"dedup index found only {hits_on}/12 sparse golds"
+    assert hits_on > hits_off, (hits_on, hits_off)
