@@ -315,6 +315,8 @@ async def run_eval(args) -> Dict:
         probe_facts = [facts[i] for i in rng.choice(len(facts), min(args.queries, len(facts)), replace=False)]
         by_rung = {}
         t0 = time.time()
+        if args.skip_ladder:
+            rungs = ()
         for rung in rungs:
             ranks = []
             for f in probe_facts:
@@ -394,6 +396,8 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--small", action="store_true",
                     help="CI smoke: tiny corpus + 3-rung ladder")
+    ap.add_argument("--skip-ladder", action="store_true",
+                    help="keyword/text rows only (semantic-row focus runs)")
     ap.add_argument("--geometry", choices=("dev", "3b", "fixture"),
                     default="fixture" if default_fixture.exists() else "dev",
                     help="dev = tiny random tower; 3b = full geometry, random "
