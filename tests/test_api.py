@@ -494,7 +494,7 @@ def test_image_query_retrieval(server):
             img.save(buf, format="PNG")
             r = await c.post("/ingest/file", files={"file": ("iq.png", buf.getvalue(), "image/png")})
             did = r.json()["external_id"]
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{did}/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break
@@ -535,7 +535,7 @@ def test_output_format_text_for_image_chunks(server):
             img.save(buf, format="PNG")
             r = await c.post("/ingest/file", files={"file": ("tf.png", buf.getvalue(), "image/png")})
             did = r.json()["external_id"]
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{did}/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break
@@ -616,7 +616,7 @@ def test_grouped_retrieval_with_padding_route(server):
             r = await c.post("/ingest/file", files={"file": ("g.pdf", pdf, "application/pdf")},
                               data={"metadata": json.dumps({"grouped_test": True})})
             did = r.json()["external_id"]
-            for _ in range(150):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{did}/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break
@@ -653,7 +653,7 @@ def test_ingest_requeue_route(server):
                              files={"file": ("rq.txt", b"requeue target body", "text/plain")},
                              data={"use_colpali": "false"})
             did = r.json()["external_id"]
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{did}/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break
@@ -662,7 +662,7 @@ def test_ingest_requeue_route(server):
             r = await c.post("/ingest/requeue", json={"document_ids": [did, "missing-id"],
                                                        "use_colpali": False})
             assert r.json()["requeued"] == [did]  # unknown ids skipped
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{did}/status")).json()
                 if s["status"] == "completed":
                     break
@@ -711,7 +711,7 @@ def test_upload_preserves_trailing_newlines(server):
                              data={"metadata": "{}", "use_colpali": "false"})
             assert r.status_code == 200, r.text
             doc_id = r.json()["external_id"]
-            for _ in range(200):
+            for _ in range(900):
                 s = await c.get(f"/documents/{doc_id}/status")
                 if s.json()["status"] == "completed":
                     break

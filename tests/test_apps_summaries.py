@@ -164,7 +164,7 @@ def test_on_the_fly_document_query(server):
             out = r.json()
             assert out["document"] is not None
             doc_id = out["document"]["external_id"]
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{doc_id}/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break

@@ -154,7 +154,7 @@ def test_connector_routes_end_to_end(server, tmp_path):
             )
             assert r.status_code == 202, r.text
             doc_id = r.json()["document"]["external_id"]
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get(f"/documents/{doc_id}/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break

@@ -107,7 +107,7 @@ def test_migrate_document_preserves_id(server):
             out = r.json()
             assert out["status"] == "created"
             assert out["document"]["external_id"] == "legacy-doc-42"
-            for _ in range(100):
+            for _ in range(450):
                 s = (await c.get("/documents/legacy-doc-42/status")).json()
                 if s["status"] in ("completed", "failed"):
                     break

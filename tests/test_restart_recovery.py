@@ -55,7 +55,7 @@ def test_queued_job_survives_restart(tmp_path):
     async def second_life():
         services = build_services(_settings(tmp_path))
         await services.initialize()  # starts the worker; resumes the job
-        for _ in range(100):
+        for _ in range(450):
             doc = await services.database.get_document(doc_id, AUTH)
             if doc.system_metadata.get("status") in ("completed", "failed"):
                 break
