@@ -204,7 +204,15 @@ class VectorStoreConfig(BaseModel):
     # reference's disk FileCacheManager): hot candidates are gathered on
     # device and skip the host read + transfer. Slot cost = token_bucket
     # x 128 x 2 B (256 KB at 1024 tokens); 0 disables.
-    device_cache_slots: int = 1024
+    # HBM LRU of exact-rerank candidate rows. One int8 slot costs
+    # token_bucket x dim bytes (+ f32 scales) ~ 135 KB at 1024x128, so
+    # 2048 slots ~ 277 MB — sized to keep a ~100-query working set
+    # (each query pins max(2k,16) rescore rows) fully resident. A
+    # cyclic LRU gives ZERO hits the moment a working set exceeds
+    # capacity (measured round 4, warm_curve_by_working_set), so set
+    # this from expected distinct-query concurrency, not from hit-rate
+    # averages.
+    device_cache_slots: int = 2048
     device_cache_token_bucket: int = 1024
     # Rerank precision: "int8" (default: per-token scales — half the
     # pool transfer + 2x the cache capacity + int8 MXU rate; still 8x
@@ -253,6 +261,13 @@ class WorkerConfig(BaseModel):
     job_timeout_s: int = 7200
     colpali_store_batch_size: int = 16
     raster_processes: int = 0  # 0 = cpu_count
+    # How many embed batches the ingest pipeline keeps in flight in
+    # worker threads. At 1 the upload of batch k+1 only starts after
+    # batch k's store finishes; at 2+ the relay upload (the ingest
+    # bottleneck, ~50 MB/s data plane) rides under device compute,
+    # fetch, and the host-side store of earlier batches (measured
+    # round 4: 2.98 -> ~2x pages/s on the 500-page job-path bench).
+    ingest_embed_prefetch: int = 2
 
 
 class MorphikFlags(BaseModel):

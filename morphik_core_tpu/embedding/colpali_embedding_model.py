@@ -222,14 +222,16 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
     ) -> Tuple[List[np.ndarray], List[Optional[np.ndarray]]]:
         """Synchronous core of the ingest embed (the async wrappers do no
         awaiting — the body is CPU/device-bound). The ingestion service
-        runs THIS in a worker thread so the embed of batch k+1 overlaps
-        the host-side store of batch k (one embed in flight at a time;
-        numpy/PIL/jax release the GIL through the heavy parts)."""
+        runs THIS in worker threads, worker.ingest_embed_prefetch batches
+        in flight at once, so the relay upload of batch k+1 overlaps the
+        device compute / host store of batch k (numpy/PIL/jax release the
+        GIL through the heavy parts; jax dispatch is thread-safe). All
+        results flow through return values — instance state is limited to
+        the informational last_metrics dict (last-writer-wins)."""
         if isinstance(chunks, Chunk):
             chunks = [chunks]
         if not chunks:
             return [], []
-        self.last_metrics = {}
         job_start = time.perf_counter()
 
         image_items: List[Tuple[int, Image.Image]] = []

@@ -17,6 +17,7 @@ stays text; blank pages skipped.
 from __future__ import annotations
 
 import asyncio
+import collections
 import contextlib
 import io
 import logging
@@ -435,19 +436,32 @@ class IngestionService:
             async def _embed(s: int):
                 sub = colpali_chunks[s : s + batch]
                 if embed_sync is not None:
-                    # worker thread: embed of batch k+1 overlaps the
-                    # host-side store of batch k (fused FDE included)
+                    # worker thread: embed batches run concurrently with
+                    # each other and with the host-side store (fused FDE
+                    # included) — jax dispatch is thread-safe, and the
+                    # relay upload of batch k+1 rides under compute/store
+                    # of batch k instead of waiting for it.
                     return await asyncio.to_thread(embed_sync, sub)
                 return await self.colpali_embedding_model.embed_for_ingestion(sub), []
 
-            nxt = asyncio.ensure_future(_embed(starts[0])) if starts else None
+            # Depth-N software pipeline (worker.ingest_embed_prefetch).
+            # Depth 1 reproduces the old embed[k+1] ∥ store[k] overlap;
+            # depth 2+ additionally overlaps uploads across batches —
+            # measured round 4 on the 500-page job-path bench: the
+            # serial path spends ~2.7 s per 16-page batch of which only
+            # ~0.3 s is device compute; the rest is transfer + store that
+            # pipelining hides.
+            depth = max(1, int(getattr(self.settings.worker, "ingest_embed_prefetch", 2)))
+            if embed_sync is None:
+                depth = 1  # remote/API embedder: keep one request in flight
+            inflight = collections.deque(
+                asyncio.ensure_future(_embed(s)) for s in starts[:depth]
+            )
             try:
                 for bi, s in enumerate(starts):
-                    embs, fde = await nxt
-                    nxt = (
-                        asyncio.ensure_future(_embed(starts[bi + 1]))
-                        if bi + 1 < len(starts) else None
-                    )
+                    embs, fde = await inflight.popleft()
+                    if bi + depth < len(starts):
+                        inflight.append(asyncio.ensure_future(_embed(starts[bi + depth])))
                     sub = colpali_chunks[s : s + batch]
                     doc_chunks = [
                         c.to_document_chunk(doc.external_id, s + j, e)
@@ -459,10 +473,12 @@ class IngestionService:
                     )
                     chunk_ids.extend(ids)
             except BaseException:
-                if nxt is not None and not nxt.done():
-                    nxt.cancel()
+                for fut in inflight:
+                    if not fut.done():
+                        fut.cancel()
+                for fut in inflight:
                     with contextlib.suppress(BaseException):
-                        await nxt
+                        await fut
                 raise
         doc.chunk_ids = chunk_ids
 

@@ -100,7 +100,7 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
         kws = [f"{rng.choice(WORDS).upper()}-{rng.integers(1000, 9999)}" for _ in range(pages_per_doc)]
         docs.append(make_pdf([page_text(rng, kw) for kw in kws]))
     print(f"corpus: {n_docs} docs x {pages_per_doc} pages "
-          f"({sum(map(len, docs))/1e6:.1f} MB pdf)", flush=True)
+          f"({sum(map(len, docs))/1e6:.1f} MB pdf)", file=sys.stderr, flush=True)
 
     # ---- services with the production 3B-geometry int8 tower -------------
     root = Path(tempfile.mkdtemp(prefix="bench_ingest_"))
@@ -123,7 +123,7 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
         # originals (~6.6 GB at 3B) — keeping both OOMs the first
         # ingest-embed step alongside FDE/store buffers (observed)
         del params
-        print(f"model init ({settings.model.matmul_precision}): {time.time()-t0:.1f}s", flush=True)
+        print(f"model init ({settings.model.matmul_precision}): {time.time()-t0:.1f}s", file=sys.stderr, flush=True)
 
     services = build_services(settings, colqwen_model=model)
     ing = services.ingestion_service
@@ -157,8 +157,8 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
 
     t_e2e, phase_sums, total_pages = asyncio.run(_phase_a())
     e2e_pages_per_s = total_pages / t_e2e
-    print(f"A. e2e: {total_pages} pages in {t_e2e:.1f}s = {e2e_pages_per_s:.2f} pages/s", flush=True)
-    print(f"   phase sums: { {k: round(v, 1) for k, v in phase_sums.items()} }", flush=True)
+    print(f"A. e2e: {total_pages} pages in {t_e2e:.1f}s = {e2e_pages_per_s:.2f} pages/s", file=sys.stderr, flush=True)
+    print(f"   phase sums: { {k: round(v, 1) for k, v in phase_sums.items()} }", file=sys.stderr, flush=True)
 
     # ---- B: stage isolation ---------------------------------------------
     from PIL import Image
@@ -226,7 +226,7 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
     asyncio.run(store.store_embeddings(chunks, app_id=None))
     stage["fde_store_pages_per_s"] = len(chunks) / (time.perf_counter() - t0)
 
-    print("B. stages:", {k: round(v, 2) for k, v in stage.items()}, flush=True)
+    print("B. stages:", {k: round(v, 2) for k, v in stage.items()}, file=sys.stderr, flush=True)
 
     north_star = 10_000 / 60 / 8  # BASELINE.md: 10k pages/min on v5e-8, per chip
     result = {
@@ -241,7 +241,6 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
         "backend": jax.default_backend(),
         "small": small,
     }
-    print(json.dumps(result), flush=True)
     return result
 
 
@@ -265,9 +264,10 @@ def main() -> int:
         pass
 
     result = run_bench(args.docs, args.pages_per_doc, args.small)
+    print(json.dumps(result), flush=True)
     if not args.small:
         args.out.write_text(json.dumps(result, indent=1))
-        print(f"wrote {args.out}")
+        print(f"wrote {args.out}", file=sys.stderr)
     return 0
 
 

@@ -627,3 +627,71 @@ def test_pipelined_multibatch_colpali_ingest(tmp_path):
         run(go())
     finally:
         run(svc.shutdown())
+
+
+def test_prefetch_pipeline_depth_and_cancellation(services, monkeypatch):
+    """The depth-N prefetch in _embed_and_store: embed batches complete
+    OUT of dispatch order (batch 0 slowest) yet stores land in chunk
+    order; depth larger than the batch count is safe; a store failure
+    cancels every in-flight embed future instead of leaking it."""
+    import threading
+    import time as _time
+
+    from morphik_core_tpu.models.schemas import Chunk, Document
+
+    ing = services.ingestion_service
+    calls = []
+    release = threading.Event()
+
+    class StubEmbed:
+        def embed_for_ingestion_sync(self, sub):
+            order = len(calls)
+            calls.append([c.metadata["i"] for c in sub])
+            if order == 0:  # first batch slowest: later dispatches finish first
+                release.wait(10)
+            else:
+                release.set()
+                _time.sleep(0.01)
+            return [np.ones((3, 8), np.float32) * c.metadata["i"] for c in sub], []
+
+    stored = []
+
+    class StubStore:
+        async def store_embeddings(self, doc_chunks, app_id=None, fde_vectors=None):
+            stored.extend(c.chunk_number for c in doc_chunks)
+            return True, [f"{c.document_id}-{c.chunk_number}" for c in doc_chunks], {}
+
+    monkeypatch.setattr(ing, "colpali_embedding_model", StubEmbed())
+    monkeypatch.setattr(ing, "colpali_vector_store", StubStore())
+    monkeypatch.setattr(ing.settings.worker, "colpali_store_batch_size", 2)
+    monkeypatch.setattr(ing.settings.worker, "ingest_embed_prefetch", 8)  # > n batches
+
+    doc = Document(external_id="pf", content_type="image/png", filename="x.png")
+    chunks = [Chunk(content="", metadata={"is_image": True, "i": i}) for i in range(5)]
+    run(ing._embed_and_store(doc, [], chunks, AUTH, True))
+    assert stored == [0, 1, 2, 3, 4]
+    assert len(doc.chunk_ids) == 5
+    assert sorted(x for call in calls for x in call) == [0, 1, 2, 3, 4]
+
+    # failure mid-store: in-flight embed futures must be awaited/cancelled
+    stored.clear()
+    calls.clear()
+    release.clear()
+
+    class BoomStore(StubStore):
+        async def store_embeddings(self, doc_chunks, app_id=None, fde_vectors=None):
+            raise RuntimeError("disk full")
+
+    monkeypatch.setattr(ing, "colpali_vector_store", BoomStore())
+    release.set()  # don't block the stub embeds
+    doc2 = Document(external_id="pf2", content_type="image/png", filename="y.png")
+    with pytest.raises(RuntimeError, match="disk full"):
+        run(ing._embed_and_store(doc2, [], chunks, AUTH, True))
+    # nothing half-registered and no stray in-flight embed futures (the
+    # fixture's job-queue worker loops are expected long-lived tasks)
+    assert doc2.chunk_ids == []
+    pending = [
+        t for t in asyncio.all_tasks(_LOOP)
+        if not t.done() and "_embed" in repr(t.get_coro())
+    ]
+    assert pending == []
