@@ -341,7 +341,13 @@ def main() -> None:
             _FDECfg(dimension=cfg.embedding_dim), ann_dtype="int8",
             rerank_dtype="int8", rerank_prefilter_pooling=4,
             pooled_tier_factor=tier_factor, pooled_tier_budget_mb=6144,
-            device_cache_slots=256, device_cache_token_bucket=tok,
+            # 2048 int8 slots x (tok x 128 + scales) ~ 277 MB HBM: holds a
+            # 64-query working set (64 x max(2k,16,pool/10)=30 rescore
+            # rows at the pool-300 default) fully resident — the
+            # warm-curve sweep below measures exactly this boundary (256
+            # slots thrashed at W>=16, 1536 at W=64: cyclic LRU gives 0%
+            # hits the moment the cycle exceeds capacity).
+            device_cache_slots=2048, device_cache_token_bucket=tok,
         )
         idx.records = [
             IndexRecord(document_id=f"d{i >> 3}", chunk_number=i & 7, n_tokens=tok)

@@ -206,12 +206,12 @@ class VectorStoreConfig(BaseModel):
     # x 128 x 2 B (256 KB at 1024 tokens); 0 disables.
     # HBM LRU of exact-rerank candidate rows. One int8 slot costs
     # token_bucket x dim bytes (+ f32 scales) ~ 135 KB at 1024x128, so
-    # 2048 slots ~ 277 MB — sized to keep a ~100-query working set
-    # (each query pins max(2k,16) rescore rows) fully resident. A
-    # cyclic LRU gives ZERO hits the moment a working set exceeds
-    # capacity (measured round 4, warm_curve_by_working_set), so set
-    # this from expected distinct-query concurrency, not from hit-rate
-    # averages.
+    # 2048 slots ~ 277 MB — sized to keep a ~68-query working set
+    # (each query pins max(2k, 16, prefilter_cap/10) = 30 rescore rows
+    # at the pool-300 default) fully resident. A cyclic LRU gives ZERO
+    # hits the moment a working set exceeds capacity (measured round 4,
+    # warm_curve_by_working_set), so set this from expected
+    # distinct-query concurrency, not from hit-rate averages.
     device_cache_slots: int = 2048
     device_cache_token_bucket: int = 1024
     # Rerank precision: "int8" (default: per-token scales — half the
