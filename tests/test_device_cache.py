@@ -161,3 +161,38 @@ def test_int8_rerank_matches_bf16_ranking():
 def test_int8_rerank_rejects_bad_dtype():
     with pytest.raises(ValueError):
         MultiVectorIndex(CFG, rerank_dtype="fp4")
+
+
+def test_working_set_residency_boundary():
+    """Cyclic working-set behavior that sizes device_cache_slots in
+    production (round-4 warm-curve measurement): W distinct queries,
+    each pinning a fixed candidate pool, replayed in a cycle. When
+    W x pool_rows <= slots the second pass is all hits; once the cycle
+    exceeds capacity, an LRU gives ZERO hits (every row is evicted
+    before its next use). The config default must be sized from this
+    boundary, not from average hit rates."""
+
+    def run_cycle(slots, n_queries, rows_per_q):
+        cache = DevicePoolCache(slots, token_bucket=8, dim=16)
+        rng = np.random.default_rng(7)
+        rows = {
+            qi: list(range(qi * rows_per_q, (qi + 1) * rows_per_q))
+            for qi in range(n_queries)
+        }
+        mv = {r: rng.standard_normal((8, 16)).astype(np.float32)
+              for r in range(n_queries * rows_per_q)}
+        q = rng.standard_normal((4, 16)).astype(np.float32)
+        for _pass in range(2):
+            for qi in range(n_queries):
+                cache.score(rows[qi], q, fetch_row=lambda r: mv[r],
+                            n_tokens=lambda r: 8, use_pallas=False)
+        return cache
+
+    # 4 queries x 4 rows = 16 rows in 16 slots: pass 2 fully warm
+    fits = run_cycle(slots=16, n_queries=4, rows_per_q=4)
+    assert fits.hits == 16 and fits.misses == 16
+
+    # 5 queries x 4 rows = 20 rows cycling through 16 slots: LRU evicts
+    # every row before its reuse -> zero hits on pass 2
+    thrash = run_cycle(slots=16, n_queries=5, rows_per_q=4)
+    assert thrash.hits == 0 and thrash.misses == 40
