@@ -202,9 +202,8 @@ class VectorStoreConfig(BaseModel):
     compact_min_rows: int = 4096
     # HBM LRU of rerank-candidate multivectors (the TPU analogue of the
     # reference's disk FileCacheManager): hot candidates are gathered on
-    # device and skip the host read + transfer. Slot cost = token_bucket
-    # x 128 x 2 B (256 KB at 1024 tokens); 0 disables.
-    # HBM LRU of exact-rerank candidate rows. One int8 slot costs
+    # device and skip the host read + transfer; 0 disables.
+    # One int8 slot costs
     # token_bucket x dim bytes (+ f32 scales) ~ 135 KB at 1024x128, so
     # 2048 slots ~ 277 MB — sized to keep a ~68-query working set
     # (each query pins max(2k, 16, prefilter_cap/10) = 30 rescore rows

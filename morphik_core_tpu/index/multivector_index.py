@@ -220,9 +220,21 @@ class MultiVectorIndex:
         # program — a cold query uploads NOTHING for the prefilter pass;
         # only the max(2k, 16) exact-rescore survivors pay transfer.
         # Gated by a byte budget (falls back to the upload-per-query
-        # pooled pass above when the corpus outgrows it). Single-device
-        # path only: under a mesh the tier would need row-sharded pooled
-        # blocks — mesh queries use the upload pooled prefilter instead.
+        # pooled pass above when the corpus outgrows it). Under a mesh
+        # the tier is ROW-SHARDED: each chip holds 1/ndev of the pooled
+        # blocks next to its FDE shard and the fused mesh program
+        # (parallel/search.py::make_mesh_block_search_pooled) rescores
+        # its LOCAL ANN candidates against its LOCAL pooled shard — the
+        # gather never crosses ICI; one all-gather of (fde, pooled, id)
+        # triples merges, and the replicated tail reproduces single-chip
+        # pool semantics exactly (parity test test_pooled_tier.py::
+        # test_mesh_pooled_tier_matches_single). The byte budget gates
+        # the PER-CHIP share; the fused mesh program is int8-ANN-only
+        # (float mesh indexes fall back to the upload prefilter). The
+        # HBM rerank LRU below stays single-device either way: exact
+        # rerank runs replicated-input kernels, so under a mesh the LRU
+        # keeps working unchanged (it caches host->device rows, not
+        # shards) — only its capacity is a single chip's HBM.
         self.pooled_tier_factor = int(pooled_tier_factor)
         self.pooled_tier_budget_mb = int(pooled_tier_budget_mb)
         # Pooled-vector fidelity (round 4, measured on a trained

@@ -9,11 +9,13 @@ distributed top-k merge — the production path `dryrun_multichip`
 compiles, here driven through the public API.
 
 Cache-tier semantics under a mesh (documented in ARCHITECTURE.md): the
-HBM rerank LRU and the device pooled tier are single-device structures;
-with a mesh configured the index serves the pooled prefilter through
-the upload path and the exact rerank through the (replicated-input)
-kernel — correctness is unchanged, only the zero-transfer cold-path
-optimization is single-chip.
+device pooled tier is ROW-SHARDED — each chip rescores its local ANN
+candidates against its local pooled shard inside the fused program
+(`make_mesh_block_search_pooled`), then one all-gather merge reproduces
+single-chip pool semantics bit-exactly (test_pooled_tier.py). The HBM
+rerank LRU stays single-device: exact rerank uses replicated-input
+kernels, so the LRU works unchanged under a mesh (capacity = one
+chip's HBM).
 """
 
 import asyncio
