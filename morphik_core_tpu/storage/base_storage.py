@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 from abc import ABC, abstractmethod
-from typing import Optional, Tuple
+from typing import List, Optional, Tuple
 
 
 class BaseStorage(ABC):
@@ -30,3 +30,12 @@ class BaseStorage(ABC):
     @abstractmethod
     async def get_object_size(self, bucket: str, key: str) -> Optional[int]:
         ...
+
+    @abstractmethod
+    async def list_objects(self, bucket: str, prefix: str = "") -> List[Tuple[str, int]]:
+        """Enumerate (key, size_bytes) under `prefix`, sorted by key.
+
+        Powers orphan-payload GC (scripts/check_completeness.py,
+        scripts/purge_app.py) — the reference walks its Turbopuffer
+        namespace / S3 prefix the same way (scripts/delete_namespace.py).
+        """

@@ -151,3 +151,6 @@ class CachedStorage(BaseStorage):
 
     async def get_object_size(self, bucket: str, key: str) -> Optional[int]:
         return await self.inner.get_object_size(bucket, key)
+
+    async def list_objects(self, bucket: str, prefix: str = ""):
+        return await self.inner.list_objects(bucket, prefix)

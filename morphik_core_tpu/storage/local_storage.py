@@ -53,3 +53,20 @@ class LocalStorage(BaseStorage):
     async def get_object_size(self, bucket: str, key: str) -> Optional[int]:
         p = self._path(bucket, key)
         return p.stat().st_size if p.exists() else None
+
+    async def list_objects(self, bucket: str, prefix: str = "") -> list:
+        base = (self.root / bucket) if bucket else self.root
+        base = base.resolve()
+        root = self.root.resolve()
+        if base != root and root not in base.parents:
+            raise ValueError(f"storage bucket escapes root: {bucket}")
+        if not base.exists():
+            return []
+        out = []
+        for p in base.rglob("*"):
+            if not p.is_file():
+                continue
+            key = p.relative_to(base).as_posix()
+            if key.startswith(prefix):
+                out.append((key, p.stat().st_size))
+        return sorted(out)

@@ -96,3 +96,14 @@ class S3Storage(BaseStorage):
             return int(resp["ContentLength"])
         except Exception:  # noqa: BLE001
             return None
+
+    async def list_objects(self, bucket: str, prefix: str = "") -> list:
+        def _list():
+            out = []
+            paginator = self._client.get_paginator("list_objects_v2")
+            for page in paginator.paginate(Bucket=self._bucket(bucket), Prefix=prefix):
+                for obj in page.get("Contents", []):
+                    out.append((obj["Key"], int(obj["Size"])))
+            return sorted(out)
+
+        return await asyncio.to_thread(_list)

@@ -8,10 +8,19 @@ Checks, per namespace (app_id or "default"):
   2. every index row's document exists in the DB and is not failed
   3. every index row's content_key (offloaded payload) exists in storage
 
-Prints one JSON report; exit code 1 when any inconsistency is found.
+Also emits a GC PLAN (`gc_plan` in the report): storage objects no
+longer referenced by anything — per-chunk payloads in the
+multivector-chunks bucket with no alive index row, and raw `ingest/…`
+uploads whose document is gone from the DB (document deletion removes
+index rows + the raw file but per-chunk payloads can orphan; purge_app
+--dry-run shows the same for a whole app). `--gc-apply` deletes exactly
+the planned objects.
+
+Prints one JSON report; exit code 1 when any inconsistency is found
+(orphaned-but-harmless GC candidates do NOT flip the exit code).
 
 Usage:
-    python scripts/check_completeness.py --config morphik_tpu.toml
+    python scripts/check_completeness.py --config morphik_tpu.toml [--gc-apply]
 """
 
 from __future__ import annotations
@@ -59,6 +68,7 @@ async def check(args) -> dict:
         "orphan_index_rows": [],    # index row whose document is gone/failed
         "missing_payloads": [],     # content_key absent from storage
     }
+    alive_payload_keys = set()  # content_keys referenced by ANY alive index row
     ns_dirs = (
         sorted(d for d in index_root.iterdir() if d.is_dir() and not d.name.endswith(".compact"))
         if index_root.exists()
@@ -96,12 +106,43 @@ async def check(args) -> dict:
         for r in range(idx.count_rows):
             if not idx._alive[r] or not idx.records[r].content_key:
                 continue
+            alive_payload_keys.add(idx.records[r].content_key)
             size = await storage.get_object_size(MULTIVECTOR_CHUNKS_BUCKET, idx.records[r].content_key)
             if size is None:
                 report["missing_payloads"].append(
                     {"namespace": ns, "content_key": idx.records[r].content_key}
                 )
     db.close()
+
+    # --- GC plan: storage objects nothing references anymore. Two classes:
+    #   a) per-chunk payloads (multivector-chunks/<ns>/<doc>/<chunk><ext>)
+    #      with no alive index row — document deletion tombstones index
+    #      rows and removes the raw upload but leaves these behind
+    #      (document_service.delete_document), and a crashed purge can too.
+    #   b) raw uploads (ingest/<doc_id>/…) whose document no longer exists
+    #      in the DB at ANY status (failed docs keep theirs for requeue).
+    gc = {"orphan_payload_objects": [], "orphan_raw_objects": [], "reclaim_bytes": 0}
+    for key, size in await storage.list_objects(MULTIVECTOR_CHUNKS_BUCKET):
+        if key not in alive_payload_keys:
+            gc["orphan_payload_objects"].append({"key": key, "bytes": size})
+            gc["reclaim_bytes"] += size
+    known_doc_ids = {doc_id for (_ns, doc_id) in db_docs}
+    for key, size in await storage.list_objects("", prefix="ingest/"):
+        parts = key.split("/")
+        if len(parts) >= 2 and parts[1] not in known_doc_ids:
+            gc["orphan_raw_objects"].append({"key": key, "bytes": size})
+            gc["reclaim_bytes"] += size
+    report["gc_plan"] = gc
+
+    if getattr(args, "gc_apply", False):
+        deleted = 0
+        for obj in gc["orphan_payload_objects"]:
+            if await storage.delete_file(MULTIVECTOR_CHUNKS_BUCKET, obj["key"]):
+                deleted += 1
+        for obj in gc["orphan_raw_objects"]:
+            if await storage.delete_file("", obj["key"]):
+                deleted += 1
+        report["gc_applied"] = deleted
     report["consistent"] = not (
         report["missing_index_rows"] or report["orphan_index_rows"] or report["missing_payloads"]
     )
@@ -111,6 +152,8 @@ async def check(args) -> dict:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--config", default="morphik_tpu.toml")
+    ap.add_argument("--gc-apply", action="store_true",
+                    help="delete the objects the GC plan lists as orphaned")
     args = ap.parse_args(argv)
     report = asyncio.run(check(args))
     print(json.dumps(report, indent=1))
