@@ -103,7 +103,13 @@ class ApiOCR(BaseOCR):
         return (await self.image_to_structured(image))["text"]
 
 
-class TesseractOCR(BaseOCR):  # pragma: no cover - engine not in this image
+class TesseractOCR(BaseOCR):
+    """Local OCR via pytesseract (needs the `tesseract` binary on PATH;
+    neither ships in this image — tests exercise the seam with a fake
+    pytesseract module). Operator setup: `apt install tesseract-ocr`,
+    `pip install pytesseract`, then `[parser] ocr_mode = "tesseract"`
+    (or "auto" to use it whenever the probe succeeds)."""
+
     def __init__(self):
         import pytesseract  # noqa: F401 — availability probe
 
@@ -133,9 +139,13 @@ def get_ocr_engine(settings) -> Optional[BaseOCR]:
     if mode in ("auto", "tesseract"):
         try:
             return TesseractOCR()
-        except Exception:  # noqa: BLE001 — pytesseract not installed
+        except Exception as e:  # noqa: BLE001 — pytesseract not installed
             if mode == "tesseract":
-                logger.warning("ocr_mode=tesseract but pytesseract is unavailable — OCR disabled")
+                logger.warning(
+                    "ocr_mode=tesseract but the pytesseract probe failed (%s) — OCR disabled", e
+                )
+            else:
+                logger.info("ocr_mode=auto: pytesseract probe failed (%s) — no local OCR", e)
             return None
     logger.warning("unknown ocr_mode %r — OCR disabled", mode)
     return None

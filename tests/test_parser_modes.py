@@ -269,6 +269,75 @@ def test_ladder_unsearchable_without_ocr(svc):
     assert out.system_metadata["status"] == "completed"
     assert out.system_metadata.get("unsearchable") is True
 
+
+def test_tesseract_probe_success_with_fake_module(monkeypatch, svc):
+    """The pytesseract seam end-to-end: a fake pytesseract module makes
+    get_ocr_engine(ocr_mode='tesseract') build TesseractOCR, and a
+    scanned PDF ingests searchable through it (the reference's local
+    EasyOCR rung, morphik_parser.py:552-582)."""
+    import sys
+    import types
+
+    from morphik_core_tpu.parser.ocr import TesseractOCR, get_ocr_engine
+
+    fake = types.ModuleType("pytesseract")
+    fake.image_to_string = lambda image: f"TESS {image.size[0]}x{image.size[1]}"
+    monkeypatch.setitem(sys.modules, "pytesseract", fake)
+
+    class S:
+        class parser:
+            ocr_mode = "tesseract"
+
+    engine = get_ocr_engine(S)
+    assert isinstance(engine, TesseractOCR)
+
+    svc.ingestion_service.parser.ocr_engine = engine
+    doc = run(
+        svc.ingestion_service.ingest_file_content(
+            make_blank_pdf(1), "scan3.pdf", {}, AUTH, use_colpali=False
+        )
+    )
+    out = run(svc.ingestion_service.process_ingestion_job(doc.external_id, AUTH, use_colpali=False))
+    assert out.system_metadata["status"] == "completed"
+    assert "unsearchable" not in out.system_metadata
+    stored = run(svc.database.get_document(doc.external_id, AUTH))
+    assert stored.additional_metadata.get("ocr_pages") == 1
+    # the OCR'd text is retrievable
+    res = run(svc.document_service.retrieve_chunks("TESS", AUTH, k=1, use_colpali=False))
+    assert res and "TESS" in res[0].content
+
+
+def test_tesseract_probe_failure_is_logged(monkeypatch, caplog):
+    """Probe failure paths: ocr_mode='tesseract' logs a warning,
+    'auto' logs at info; both return None instead of raising."""
+    import builtins
+    import logging
+
+    real_import = builtins.__import__
+
+    def no_pytesseract(name, *a, **kw):
+        if name == "pytesseract":
+            raise ImportError("No module named 'pytesseract'")
+        return real_import(name, *a, **kw)
+
+    monkeypatch.setattr(builtins, "__import__", no_pytesseract)
+    import sys
+
+    monkeypatch.delitem(sys.modules, "pytesseract", raising=False)
+    from morphik_core_tpu.parser.ocr import get_ocr_engine
+
+    class S:
+        class parser:
+            ocr_mode = "tesseract"
+
+    with caplog.at_level(logging.INFO, logger="morphik_core_tpu.parser.ocr"):
+        assert get_ocr_engine(S) is None
+        S.parser.ocr_mode = "auto"
+        assert get_ocr_engine(S) is None
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("ocr_mode=tesseract" in m and "probe failed" in m for m in msgs)
+    assert any("ocr_mode=auto" in m and "probe failed" in m for m in msgs)
+
 @pytest.fixture(scope="module", autouse=True)
 def _loop_lifecycle():
     """Run pending callbacks (async-generator aclose tasks scheduled at
