@@ -172,6 +172,26 @@ def part_a_ranking_agreement(small: bool) -> dict:
         a_c, b_c = a_s - a_s.mean(), b_s - b_s.mean()
         denom = np.linalg.norm(a_c) * np.linalg.norm(b_c)
         pearsons.append(float(a_c @ b_c / denom) if denom > 0 else 1.0)
+    # RESULT-SET COMPOSITION at the shipped pool-300 config (round-4
+    # verdict item 4: jaccard@10 0.62 passed silently because no gate
+    # threshold looked at the returned SET). Raw overlap punishes
+    # near-tie churn, so the gated metric is MARGIN-AWARE: an int8
+    # top-10 member counts as a real substitution only when its bf16
+    # exact score falls below bf16's 10th-best score by more than
+    # 2x that query's measured quantization noise floor
+    # (median |bf16 - int8| score deviation). Docs inside that margin
+    # are retrieval-equivalent alternatives, not worse answers — the
+    # reference's exact rerank (fast_multivector_store.py:553-557)
+    # would order them by sub-noise score differences too.
+    margin_agreements, recall_vs_bf16 = [], []
+    for qi, (ra, rb) in enumerate(zip(rankings["bf16"], rankings["int8"])):
+        a_s, b_s = score_mats["bf16"][qi], score_mats["int8"][qi]
+        tie_eps = float(np.median(np.abs(a_s - b_s)))
+        thresh10 = float(np.sort(a_s)[-min(10, len(a_s))])
+        int8_rows = [int(doc[1:]) for doc in rb[:10]]  # "p{i}" -> i
+        ok = [1.0 if a_s[r] >= thresh10 - 2.0 * tie_eps else 0.0 for r in int8_rows]
+        margin_agreements.append(sum(ok) / max(len(ok), 1))
+        recall_vs_bf16.append(len(set(ra[:10]) & set(rb[:10])) / max(len(ra[:10]), 1))
     n = max(len(top1), 1)
     results.update(
         geometry="tiny" if small else "3b",
@@ -180,6 +200,8 @@ def part_a_ranking_agreement(small: bool) -> dict:
         jaccard_at_1=sum(j1) / n, jaccard_at_4=sum(j4) / n, jaccard_at_10=sum(j10) / n,
         kendall_tau_top10=sum(taus) / n,
         score_pearson=sum(pearsons) / n,
+        recall_vs_bf16_at_10=sum(recall_vs_bf16) / n,
+        top10_margin_agreement=sum(margin_agreements) / n,
         total_s=round(time.time() - t0, 1),
     )
     return results
@@ -325,14 +347,21 @@ def part_b_fde_recall_at_scale(small: bool) -> dict:
 # Stated acceptance gate for flipping int8 on by default (referenced from
 # morphik_tpu.toml): every criterion must hold on the 3B geometry run.
 # top1_match = the served answer is the same; score_pearson = exact-rerank
-# score fidelity (tie-robust); int8_recall_delta = the int8 INDEX must
-# not lose more than 2 points of pool recall vs the same FDE rows in
-# f32 (absolute FDE recall is a property of the prefilter itself — it
-# applies identically to bf16 serving and is reported/tuned separately
-# via pool_scaling). jaccard/tau are reported as diagnostics (tail
-# ranks of near-tied random-feature corpora churn without fidelity
-# implications).
-GATE = {"top1_match": 0.90, "score_pearson": 0.98, "int8_recall_delta_at_75": -0.02}
+# score fidelity (tie-robust); top10_margin_agreement = result-SET
+# composition at the shipped pool-300 config — every int8 top-10 member
+# must score within 2x the measured quantization noise floor of bf16's
+# 10th-best (counts only genuinely-worse substitutions, not near-tie
+# churn; raw jaccard/recall_vs_bf16 are reported as diagnostics);
+# int8_recall_delta = the int8 INDEX must not lose more than 2 points
+# of pool recall vs the same FDE rows in f32 (absolute FDE recall is a
+# property of the prefilter itself — it applies identically to bf16
+# serving and is reported/tuned separately via pool_scaling).
+GATE = {
+    "top1_match": 0.90,
+    "score_pearson": 0.98,
+    "top10_margin_agreement": 0.90,
+    "int8_recall_delta_at_75": -0.02,
+}
 
 
 def main() -> int:
@@ -367,6 +396,9 @@ def main() -> int:
     gate_ok = bool(a) and (
         a["top1_match"] >= GATE["top1_match"]
         and a["score_pearson"] >= GATE["score_pearson"]
+        # older partial reports (--merge) may predate the composition
+        # metric; the gate only passes when it is present and green
+        and a.get("top10_margin_agreement", -1.0) >= GATE["top10_margin_agreement"]
     )
     if b is not None:
         gate_ok = gate_ok and (
