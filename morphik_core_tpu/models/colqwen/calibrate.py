@@ -1,0 +1,98 @@
+"""Static activation-scale calibration for the int8 vision tower.
+
+The W8A8 serving mode quantizes activations DYNAMICALLY (per-token
+max-abs computed on the fly, layers.quantize_act_int8) — an extra full
+read of every activation tensor per matmul site. The round-4 profile
+attributed 52.9 ms/step to those passes (PROFILE_r04.json
+`derived.dyn_quant_cost_ms`), concentrated in the vision tower, which
+gets only 1.07x from W8A8 vs the text tower's 1.49x.
+
+This module calibrates STATIC per-(layer, site) activation scales on a
+few representative page batches and attaches them to the quantized
+weight leaves as `"as"` — `layers.linear` then skips the max-abs pass
+entirely. Vision-only by design: the int8 vision tower runs UNROLLED
+(AB_SCAN_r04), so each quantized site is a distinct trace point and the
+capture hook sees exactly 4 events per block in deterministic order
+(qkv, attn-proj, gate/up, down); the text tower runs under lax.scan
+where trace-order capture would leak tracers, and its dynamic quant is
+already cheap relative to its matmuls.
+
+Reference precision context: the reference serves ColQwen in bf16
+(core/embedding/colpali_embedding_model.py:37-61); both int8 modes are
+levers beyond it, gated by evaluations/fidelity_eval.py.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from morphik_core_tpu.models.colqwen import layers
+from morphik_core_tpu.models.colqwen.config import VisionConfig
+from morphik_core_tpu.models.colqwen.vision import vision_forward, vision_rotary_cos_sin
+
+#: capture-column -> quantized leaf names sharing that activation
+_SITE_COLUMNS = (("q_w", "k_w", "v_w"), ("proj_w",), ("gate_w", "up_w"), ("down_w",))
+
+
+def capture_vision_act_maxes(
+    params_visual: dict,
+    u8_batches: List[np.ndarray],
+    h_units: int,
+    w_units: int,
+    cfg: VisionConfig,
+) -> np.ndarray:
+    """Run calibration batches through the (already int8-quantized,
+    unrolled) vision tower with dynamic quantization, capturing per-site
+    max|activation|. Returns the element-wise max over batches, shaped
+    (depth, 4) in block order (columns: qkv, proj, gate/up, down)."""
+    if not isinstance(params_visual["blocks"].get("q_w"), dict):
+        raise ValueError("vision params are not int8-quantized — nothing to calibrate")
+    from morphik_core_tpu.models.colqwen.model import expand_patches_u8
+
+    cos, sin = vision_rotary_cos_sin(h_units, w_units, cfg)
+    cos, sin = jnp.asarray(cos), jnp.asarray(sin)
+
+    @jax.jit
+    def fwd(pv, u8, cos, sin):
+        layers._ACT_CAPTURE = cap = []
+        try:
+            vision_forward(pv, expand_patches_u8(u8, jnp.bfloat16), cos, sin,
+                           h_units, w_units, cfg)
+        finally:
+            layers._ACT_CAPTURE = None
+        return jnp.stack(cap)
+
+    overall = None
+    for u8 in u8_batches:
+        maxes = np.asarray(fwd(params_visual, jnp.asarray(u8), cos, sin))
+        overall = maxes if overall is None else np.maximum(overall, maxes)
+    n_sites = len(_SITE_COLUMNS)
+    assert overall.shape[0] == cfg.depth * n_sites, (overall.shape, cfg.depth)
+    return overall.reshape(cfg.depth, n_sites)
+
+
+def attach_vision_act_scales(
+    params_visual: dict, maxes: np.ndarray, margin: float = 1.05
+) -> dict:
+    """Return a params['visual'] copy whose quantized block leaves carry
+    static activation scales: as[l] = margin * max|x|_l / 127 (a (depth,)
+    array; the unrolled per-layer slice hands `linear` a scalar).
+    `margin` absorbs activations slightly outside the calibration set —
+    anything beyond it clips at ±127, which the fidelity gate measures."""
+    out = dict(params_visual)
+    blocks = dict(params_visual["blocks"])
+    for col, names in enumerate(_SITE_COLUMNS):
+        scale = jnp.asarray(
+            np.maximum(maxes[:, col] * margin / 127.0, 1e-8), jnp.float32
+        )
+        for name in names:
+            leaf = dict(blocks[name])
+            leaf["as"] = scale
+            blocks[name] = leaf
+    out["blocks"] = blocks
+    return out

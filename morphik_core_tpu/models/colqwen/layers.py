@@ -18,22 +18,44 @@ def linear(x: jax.Array, w, b=None) -> jax.Array:
     "s": f32 (N,)}) runs the W8A8 path (`q8_matmul`). Lets the same
     tower code serve both precision modes."""
     if isinstance(w, dict):
-        return q8_matmul(x, w["q8"], w["s"], b)
+        return q8_matmul(x, w["q8"], w["s"], b, w.get("as"))
     out = x @ w
     return out if b is None else out + b
 
 
-def quantize_act_int8(x: jax.Array):
-    """Per-token symmetric int8 quantization of activations.
-    Returns (xq int8, xs f32 per-row scale)."""
+# Calibration hook (models/colqwen/calibrate.py): when set to a list,
+# every dynamic activation quantization also appends max|x| — trace-order
+# capture of per-site activation ranges for STATIC scale calibration.
+# Only ever enabled around the UNROLLED int8 vision tower (capturing
+# inside a lax.scan body would leak tracers).
+_ACT_CAPTURE = None
+
+
+def quantize_act_int8(x: jax.Array, a_scale=None):
+    """Symmetric int8 quantization of activations.
+
+    a_scale=None — per-token DYNAMIC scales (max|x| computed on the fly;
+    an extra full read of the activation tensor per site). a_scale set —
+    a calibrated STATIC per-tensor scale: the max-abs pass disappears and
+    the epilogue is a pure clip/round (round-5 verdict item 2; the
+    round-4 profile attributed 52.9 ms/step to the dynamic passes,
+    PROFILE_r04.json). Out-of-range activations clip at ±127 — the
+    calibration margin and the fidelity gate own that risk.
+    Returns (xq int8, xs f32 scale — per-row column vector or scalar)."""
     xf = x.astype(jnp.float32)
+    if _ACT_CAPTURE is not None:
+        _ACT_CAPTURE.append(jnp.max(jnp.abs(xf)))
+    if a_scale is not None:
+        xs = jnp.asarray(a_scale, jnp.float32)
+        xq = jnp.clip(jnp.rint(xf / xs), -127, 127).astype(jnp.int8)
+        return xq, xs
     ax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     xs = jnp.where(ax == 0, 1.0, ax / 127.0)
     xq = jnp.clip(jnp.rint(xf / xs), -127, 127).astype(jnp.int8)
     return xq, xs
 
 
-def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None) -> jax.Array:
+def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None, a_scale=None) -> jax.Array:
     """W8A8 dynamic-quantized matmul.
 
     Weights: symmetric per-output-channel int8 (`wq` (K, N), `ws` (N,)).
@@ -44,7 +66,7 @@ def q8_matmul(x: jax.Array, wq: jax.Array, ws: jax.Array, b=None) -> jax.Array:
     model.matmul_precision = "int8"): validate retrieval quality on real
     checkpoints with evaluations/ before enabling in production.
     """
-    xq, xs = quantize_act_int8(x)
+    xq, xs = quantize_act_int8(x, a_scale)
     acc = jax.lax.dot_general(
         xq, wq, (((x.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
@@ -64,7 +86,9 @@ def linear_multi(x: jax.Array, ws, bs):
     not guaranteed to remove across separate q8_matmul subgraphs.
     Falls back to per-call `linear` in bf16 mode."""
     if all(isinstance(w, dict) for w in ws):
-        xq, xs = quantize_act_int8(x)
+        # the shared input has ONE activation range; the first weight's
+        # calibrated static scale (if any) covers the whole group
+        xq, xs = quantize_act_int8(x, ws[0].get("as"))
         outs = []
         for w, b in zip(ws, bs):
             acc = jax.lax.dot_general(

@@ -127,11 +127,17 @@ def colqwen_image_forward_u8(
     )
 
 
-def save_params_npz(path, params: dict) -> None:
+def save_params_npz(path, params: dict, config: "ColQwenConfig | None" = None) -> None:
     """Flatten a params tree to one compressed npz (slash-joined keys).
     Used for the committed tiny trained FIXTURE checkpoint
     (scripts/train_tiny_fixture.py) — real deployments load HF
-    safetensors via `ColQwenModel.from_checkpoint`."""
+    safetensors via `ColQwenModel.from_checkpoint`. When `config` is
+    given it is embedded as JSON under `__config__` so `from_fixture`
+    can reconstruct non-default geometry (e.g. the 32-dim round-5
+    fixture)."""
+    import dataclasses as _dc
+    import json as _json
+
     flat = {}
 
     def walk(prefix, node):
@@ -142,20 +148,42 @@ def save_params_npz(path, params: dict) -> None:
             flat[prefix] = np.asarray(node)
 
     walk("", params)
+    if config is not None:
+        flat["__config__"] = np.asarray(_json.dumps(_dc.asdict(config)))
     np.savez_compressed(path, **flat)
 
 
 def load_params_npz(path) -> dict:
-    """Inverse of `save_params_npz`."""
+    """Inverse of `save_params_npz` (metadata keys skipped)."""
     out: dict = {}
     with np.load(path) as z:
         for key in z.files:
+            if key.startswith("__"):
+                continue
             node = out
             parts = key.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = jnp.asarray(z[key])
     return out
+
+
+def load_config_npz(path) -> "ColQwenConfig | None":
+    """Read the embedded `__config__` of a fixture npz (None when the
+    file predates config embedding — callers then assume tiny())."""
+    import json as _json
+
+    with np.load(path) as z:
+        if "__config__" not in z.files:
+            return None
+        d = _json.loads(str(z["__config__"]))
+    from morphik_core_tpu.models.colqwen.config import TextConfig, VisionConfig
+
+    vis = dict(d.pop("vision"))
+    vis["fullatt_block_indexes"] = tuple(vis.get("fullatt_block_indexes", ()))
+    txt = dict(d.pop("text"))
+    txt["mrope_section"] = tuple(txt.get("mrope_section", ()))
+    return ColQwenConfig(vision=VisionConfig(**vis), text=TextConfig(**txt), **d)
 
 
 def colqwen_image_forward(
@@ -278,6 +306,37 @@ class ColQwenModel:
             static_argnames=(),
         )
 
+    def calibrate_static_act_scales(
+        self, u8_batches, h_units: int, w_units: int, margin: float = 1.05
+    ) -> None:
+        """Calibrate static per-(layer, site) activation scales for the
+        int8 vision tower on representative page batches and serve with
+        them (models/colqwen/calibrate.py) — the dynamic per-token
+        max-abs passes disappear from the vision step. int8 mode only;
+        invalidates compiled image programs (they bake the quantization
+        structure). The fidelity gate (evaluations/fidelity_eval.py)
+        must stay green with scales attached."""
+        if self.matmul_precision != "int8":
+            raise ValueError("static activation scales require matmul_precision='int8'")
+        from morphik_core_tpu.models.colqwen.calibrate import (
+            attach_vision_act_scales,
+            capture_vision_act_maxes,
+        )
+
+        maxes = capture_vision_act_maxes(
+            self.params["visual"], u8_batches, h_units, w_units, self.cfg.vision
+        )
+        visual = attach_vision_act_scales(self.params["visual"], maxes, margin)
+        if self.mesh is not None:
+            # the vision tower is replicated on the mesh (parallel/mesh.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(self.mesh, P())
+            visual = jax.tree.map(lambda x: jax.device_put(x, repl), visual)
+        self.params = dict(self.params)
+        self.params["visual"] = visual
+        self._image_fn_cache.clear()
+
     # -- construction -----------------------------------------------------
 
     @classmethod
@@ -290,8 +349,12 @@ class ColQwenModel:
         """Load the committed tiny TRAINED fixture (tiny geometry, npz —
         scripts/train_tiny_fixture.py). Gives dev/test deployments and
         the committed eval real (glyph-level) retrieval semantics where
-        random weights measure at chance."""
-        return cls(ColQwenConfig.tiny(), load_params_npz(Path(path)), dtype=jnp.float32, **kw)
+        random weights measure at chance. Geometry comes from the npz's
+        embedded `__config__` when present (round-5 fixtures are 32-dim);
+        older fixtures fall back to tiny()."""
+        path = Path(path)
+        cfg = load_config_npz(path) or ColQwenConfig.tiny()
+        return cls(cfg, load_params_npz(path), dtype=jnp.float32, **kw)
 
     @classmethod
     def from_checkpoint(cls, path: str | Path, dtype=jnp.bfloat16, **kw):

@@ -1,0 +1,119 @@
+"""Static activation-scale calibration for the int8 vision tower
+(models/colqwen/calibrate.py — round-5 verdict item 2): the calibrated
+"as" leaves must (a) capture one activation range per quantized site in
+trace order, (b) replace the dynamic per-token max-abs passes without
+materially moving the embeddings, (c) survive the model-level
+calibrate + re-jit flow end to end.
+
+Reference precision context: the reference serves bf16
+(core/embedding/colpali_embedding_model.py:37-61); int8 is a gated
+lever beyond it."""
+
+import numpy as np
+import pytest
+from PIL import Image, ImageDraw
+
+import jax
+
+from morphik_core_tpu.models.colqwen import ColQwenConfig, ColQwenModel
+from morphik_core_tpu.models.colqwen.calibrate import (
+    _SITE_COLUMNS,
+    attach_vision_act_scales,
+    capture_vision_act_maxes,
+)
+from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
+
+
+def _page(seed: int):
+    rng = np.random.default_rng(seed)
+    img = Image.new("RGB", (448, 336), "white")
+    d = ImageDraw.Draw(img)
+    for _ in range(30):
+        x, y = int(rng.integers(0, 400)), int(rng.integers(0, 320))
+        d.text((x, y), rng.choice(["torque", "flux", "rotor", "KELVIN-1234"]), fill="black")
+    return img
+
+
+@pytest.fixture(scope="module")
+def int8_model():
+    return ColQwenModel.init_random(
+        jax.random.PRNGKey(0), ColQwenConfig.tiny(), matmul_precision="int8"
+    )
+
+
+@pytest.fixture(scope="module")
+def batches():
+    prepped = [preprocess_image_u8(_page(s)) for s in range(4)]
+    grid = prepped[0][1]
+    assert all(g == grid for _, g in prepped)
+    u8 = np.stack([p for p, _ in prepped])
+    return [u8[:2], u8[2:]], grid
+
+
+def test_capture_shape_and_positivity(int8_model, batches):
+    u8_batches, (hu, wu) = batches
+    maxes = capture_vision_act_maxes(
+        int8_model.params["visual"], u8_batches, hu, wu, int8_model.cfg.vision
+    )
+    assert maxes.shape == (int8_model.cfg.vision.depth, len(_SITE_COLUMNS))
+    assert (maxes > 0).all()
+
+
+def test_capture_requires_quantized_params():
+    bf16 = ColQwenModel.init_random(jax.random.PRNGKey(0), ColQwenConfig.tiny())
+    with pytest.raises(ValueError, match="not int8-quantized"):
+        capture_vision_act_maxes(bf16.params["visual"], [], 8, 8, bf16.cfg.vision)
+
+
+def test_attach_and_embedding_parity(int8_model, batches):
+    u8_batches, (hu, wu) = batches
+    maxes = capture_vision_act_maxes(
+        int8_model.params["visual"], u8_batches, hu, wu, int8_model.cfg.vision
+    )
+    visual = attach_vision_act_scales(int8_model.params["visual"], maxes)
+    depth = int8_model.cfg.vision.depth
+    for names in _SITE_COLUMNS:
+        for n in names:
+            assert visual["blocks"][n]["as"].shape == (depth,)
+    # q/k/v share the activation -> identical scales
+    assert np.allclose(visual["blocks"]["q_w"]["as"], visual["blocks"]["k_w"]["as"])
+
+    dyn = int8_model.embed_image_batch(u8_batches[0], hu, wu)
+
+    static_model = ColQwenModel(
+        int8_model.cfg, dict(int8_model.params), matmul_precision="bf16"
+    )
+    # params are already quantized; bypass re-quantization by swapping in
+    # the calibrated visual tree and flipping the precision tag
+    static_model.params["visual"] = visual
+    static_model.matmul_precision = "int8"
+    static_model._image_fn_cache.clear()
+    stat = static_model.embed_image_batch(u8_batches[0], hu, wu)
+
+    # static scales clip only out-of-calibration outliers: on the
+    # calibration batch itself the embeddings must stay aligned
+    for a, b in zip(np.asarray(dyn, np.float32), np.asarray(stat, np.float32)):
+        cos = np.sum(a * b, -1) / (
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9
+        )
+        assert float(np.mean(cos)) > 0.97, float(np.mean(cos))
+
+
+def test_model_level_calibration_flow(batches):
+    u8_batches, (hu, wu) = batches
+    model = ColQwenModel.init_random(
+        jax.random.PRNGKey(1), ColQwenConfig.tiny(), matmul_precision="int8"
+    )
+    before = np.asarray(model.embed_image_batch(u8_batches[0], hu, wu))
+    model.calibrate_static_act_scales(u8_batches, hu, wu)
+    assert model.params["visual"]["blocks"]["q_w"].get("as") is not None
+    after = np.asarray(model.embed_image_batch(u8_batches[0], hu, wu))
+    assert before.shape == after.shape
+    cos = np.sum(before * after, -1) / (
+        np.linalg.norm(before, axis=-1) * np.linalg.norm(after, axis=-1) + 1e-9
+    )
+    assert float(np.mean(cos)) > 0.97
+
+    bf16 = ColQwenModel.init_random(jax.random.PRNGKey(1), ColQwenConfig.tiny())
+    with pytest.raises(ValueError, match="require matmul_precision"):
+        bf16.calibrate_static_act_scales(u8_batches, hu, wu)
