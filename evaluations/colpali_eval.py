@@ -351,8 +351,11 @@ async def run_eval(args) -> Dict:
                 f"UNIT SPEC {kw}\n\nrated torque of {kw}", dpi=150
             )
 
+        # semantic rows use ALL probe facts (n = --queries, default 40):
+        # at the round-4 n=20, recall@1 0.05 was 1 hit — a 2x regression
+        # was statistically invisible (round-5 verdict item 3)
         kw_ranks, kwp_ranks, txt_ranks = [], [], []
-        for f in probe_facts[: max(10, len(probe_facts) // 2)]:
+        for f in probe_facts:
             gold = (name_to_id[f["doc"]], f["page"])
             got = await retrieve_image(render_keyword(f["keyword"]))
             kw_ranks.append(next((i + 1 for i, g in enumerate(got) if g == gold), None))

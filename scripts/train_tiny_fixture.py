@@ -116,28 +116,41 @@ def char_boxes_for_page(text: str, font, measure) -> list:
 
 def render_query_snippet(kw: str, rng):
     """The eval's keyword-image query: small white strip, black text.
-    Returns (image, char boxes in snippet pixels)."""
+    Returns (image, char boxes in snippet pixels).
+
+    Round-5 scale augmentation: half the renders draw on a supersampled
+    canvas (2-3x) and downscale back to 280x40, so glyph stroke
+    width/antialiasing spans the page raster's regime (page glyphs
+    arrive ~3x smaller than strip glyphs after smart_resize — the
+    cross-scale gap behind EVAL_r04's keyword_image 0.0). Position
+    jitter keeps the cell targets from memorizing one layout."""
     from PIL import Image, ImageDraw, ImageFont
 
-    img = Image.new("RGB", (280, 40), "white")
+    W, H = 280, 40
+    ss = int(rng.choice([1, 1, 2, 3]))  # supersample factor
+    img = Image.new("RGB", (W * ss, H * ss), "white")
     draw = ImageDraw.Draw(img)
     font = None
-    if rng.random() < 0.5:
+    if rng.random() < 0.5 or ss > 1:  # supersampled renders need truetype
         try:
-            font = ImageFont.truetype("DejaVuSans.ttf", size=int(rng.integers(10, 15)))
+            font = ImageFont.truetype("DejaVuSans.ttf", size=ss * int(rng.integers(9, 16)))
         except OSError:
             font = None
     text = f"rated torque of {kw}"
-    x0, y0 = 8, 12
+    x0 = ss * int(rng.integers(4, 14))
+    y0 = ss * int(rng.integers(8, 17))
     draw.text((x0, y0), text, fill="black", font=font)
     widths = [0.0]
     for i in range(1, len(text) + 1):
         widths.append(draw.textlength(text[:i], font=font))
+    glyph_h = font.size if font else 11 * ss
     boxes = [
-        (ch, x0 + widths[i], y0, x0 + widths[i + 1], y0 + (font.size if font else 11))
+        (ch, (x0 + widths[i]) / ss, y0 / ss, (x0 + widths[i + 1]) / ss, (y0 + glyph_h) / ss)
         for i, ch in enumerate(text)
         if not ch.isspace()
     ]
+    if ss > 1:
+        img = img.resize((W, H), Image.LANCZOS)
     return img, boxes
 
 
@@ -193,11 +206,15 @@ def text_targets(chars: str, n_ids: int, bucket: int, codebook) -> tuple:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--pool", type=int, default=384, help="pregenerated page pool size")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--dim", type=int, default=32,
+                    help="projection/codebook dim (round-5: 32 — the 16-dim "
+                         "codebook's crosstalk capped cross-scale keyword "
+                         "matching at chance, EVAL_r04)")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--out", type=Path,
                     default=Path(__file__).resolve().parent.parent / "tests/fixtures/tiny_colqwen.npz")
@@ -222,7 +239,9 @@ def main() -> int:
     from morphik_core_tpu.models.colqwen.vision import vision_forward, vision_rotary_cos_sin
     from morphik_core_tpu.parser.pdf import _render_text_page
 
-    cfg = ColQwenConfig.tiny()
+    import dataclasses
+
+    cfg = dataclasses.replace(ColQwenConfig.tiny(), embedding_dim=args.dim)
     D = cfg.embedding_dim
     rng = np.random.default_rng(args.seed)
     model_for_tok = ColQwenModel(cfg, init_colqwen_params(jax.random.PRNGKey(0), cfg))
@@ -280,6 +299,33 @@ def main() -> int:
     snips = np.stack(snips)
     snip_tgts = np.stack(snip_tgts)
     snip_inks = np.stack(snip_inks)
+
+    # keyword-PAGE stream (round 5): the eval's page-geometry keyword
+    # query (colpali_eval.py::render_keyword_page) rendered through the
+    # SAME production raster as gold pages. Shares the page grid, so it
+    # reuses page_const; trains the cross-render match the keyword_page
+    # eval row measures, and anchors the codebook at page glyph scale
+    # for the strip-snippet stream to meet.
+    def kwpage_text(kw: str) -> str:
+        return f"UNIT SPEC {kw}\n\nrated torque of {kw}"
+
+    def build_kwpage(kw):
+        txt = kwpage_text(kw)
+        img = _render_text_page(txt, dpi=DPI)
+        patches, grid = preprocess_image_u8(img)
+        hu, wu = grid
+        sx, sy = (wu * 28) / img.width, (hu * 28) / img.height
+        tg, ink = unit_targets(char_boxes_for_page(txt, font, measure), hu, wu, sx, sy, codebook)
+        return patches, grid, tg, ink
+
+    kwpages, kwp_tgts, kwp_inks = [], [], []
+    for kw in kws:
+        patches, grid, tg, ink = build_kwpage(kw)
+        assert grid == page_grid, "keyword pages must share the page grid bucket"
+        kwpages.append(patches); kwp_tgts.append(tg); kwp_inks.append(ink)
+    kwpages = np.stack(kwpages)
+    kwp_tgts = np.stack(kwp_tgts)
+    kwp_inks = np.stack(kwp_inks)
 
     # text queries (byte tokenizer): position i <-> char i of prefix+query
     T_BUCKET = 64
@@ -351,20 +397,22 @@ def main() -> int:
         return li + 0.3 * lb, li
 
     def loss_fn(tparams, page_u8, ptgt, pink, snip_u8, stgt, sink,
-                tids, tmask, ttgt, tw, tcos, tsin):
+                kwp_u8, ktgt, kink, tids, tmask, ttgt, tw, tcos, tsin):
         params, mu, log_s = tparams
-        s_page, s_snip, s_txt = jnp.exp(log_s)
+        s_page, s_snip, s_kwp, s_txt = jnp.exp(log_s)
         pp = embed_pages(params, page_u8)[:, page_pos, :]
         lp, lip = stream_loss(pp, ptgt, pink, mu, s_page)
         sp = embed_snips(params, snip_u8)[:, snip_pos, :]
         ls, lis = stream_loss(sp, stgt, sink, mu, s_snip)
+        kp = embed_pages(params, kwp_u8)[:, page_pos, :]  # same grid/const as pages
+        lk, lik = stream_loss(kp, ktgt, kink, mu, s_kwp)
         tp = prenorm_text(params, tids, tmask, tcos, tsin)
         terr = tp - mu - s_txt * ttgt
         lt = jnp.sum(jnp.sum(terr * terr, -1) * tw) / jnp.maximum(jnp.sum(tw), 1.0)
-        return lp + ls + lt, (lip, lis, lt)
+        return lp + ls + lk + lt, (lip, lis, lik, lt)
 
     params = init_colqwen_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
-    tparams = (params, jnp.zeros((D,), jnp.float32), jnp.zeros((3,), jnp.float32))
+    tparams = (params, jnp.zeros((D,), jnp.float32), jnp.zeros((4,), jnp.float32))
     opt = optax.chain(
         optax.clip_by_global_norm(1.0),
         optax.adamw(
@@ -388,18 +436,20 @@ def main() -> int:
         tb_ids, tb_mask = txt_ids[idx], txt_mask[idx]
         pos = mrope_position_ids(tb_ids, -1, [None] * B, attention_mask=tb_mask)
         tcos, tsin = mrope_cos_sin(pos, cfg.text)
-        tparams, opt_state, loss, (lip, lis, lt) = train_step(
+        tparams, opt_state, loss, (lip, lis, lik, lt) = train_step(
             tparams, opt_state,
             jnp.asarray(pages[idx]), jnp.asarray(page_tgts[idx]), jnp.asarray(page_inks[idx]),
             jnp.asarray(snips[idx]), jnp.asarray(snip_tgts[idx]), jnp.asarray(snip_inks[idx]),
+            jnp.asarray(kwpages[idx]), jnp.asarray(kwp_tgts[idx]), jnp.asarray(kwp_inks[idx]),
             jnp.asarray(tb_ids), jnp.asarray(tb_mask), jnp.asarray(txt_tgts[idx]),
             jnp.asarray(txt_w[idx]), jnp.asarray(tcos), jnp.asarray(tsin),
         )
         if step % 100 == 0 or step == args.steps - 1:
             s = np.exp(np.asarray(tparams[2]))
             print(f"step {step}: loss {float(loss):.4f} (page-ink {float(lip):.4f} "
-                  f"snip-ink {float(lis):.4f} txt {float(lt):.4f}) "
-                  f"s {s.round(3).tolist()} {time.time()-t0:.0f}s", flush=True)
+                  f"snip-ink {float(lis):.4f} kwpage-ink {float(lik):.4f} "
+                  f"txt {float(lt):.4f}) s {s.round(3).tolist()} {time.time()-t0:.0f}s",
+                  flush=True)
 
     params, mu, _ = tparams
     # fold the learned offset into the projection bias: the production
@@ -435,6 +485,13 @@ def main() -> int:
         return r1, r10
 
     recalls(snip_emb, "keyword-image")
+    ev_kwpages = np.stack([
+        preprocess_image_u8(_render_text_page(kwpage_text(kw), dpi=DPI))[0] for kw in ev_kws
+    ])
+    kwp_emb = np.concatenate([
+        model.embed_image_batch(ev_kwpages[s0:s0 + B], *page_grid) for s0 in range(0, n_ev, B)
+    ])
+    recalls(kwp_emb, "keyword-page")
     q_txt = model.embed_queries([f"What is the rated torque of {kw}?" for kw in ev_kws])
     recalls(np.stack([np.pad(q, ((0, 64 - q.shape[0]), (0, 0))) if q.shape[0] < 64 else q[:64]
                       for q in q_txt]), "keyword-text")
@@ -443,8 +500,8 @@ def main() -> int:
     from morphik_core_tpu.models.colqwen.model import save_params_npz
 
     args.out.parent.mkdir(parents=True, exist_ok=True)
-    save_params_npz(args.out, params)
-    print(f"saved {args.out} ({args.out.stat().st_size/1e6:.1f} MB)")
+    save_params_npz(args.out, params, config=cfg)
+    print(f"saved {args.out} ({args.out.stat().st_size/1e6:.1f} MB, dim={D})")
     return 0
 
 
