@@ -256,7 +256,14 @@ class VectorStoreConfig(BaseModel):
 
 
 class WorkerConfig(BaseModel):
-    max_jobs: int = 1
+    # 2 (vs the reference's arq max_jobs=1 default,
+    # ingestion_worker.py:1835): the embed/store phase is serialized on
+    # the device by IngestionService._embed_lock, so a second in-flight
+    # job contributes exactly its HOST phases — doc k+1 parses and
+    # rasterizes (process pool / executor threads) while doc k occupies
+    # the TPU. That cross-doc overlap is the round-5 ingest pipeline;
+    # max_jobs=1 reproduces the strictly sequential reference behavior.
+    max_jobs: int = 2
     job_timeout_s: int = 7200
     colpali_store_batch_size: int = 16
     raster_processes: int = 0  # 0 = cpu_count

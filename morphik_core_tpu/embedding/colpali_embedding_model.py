@@ -131,12 +131,19 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
         a query must not pay the FDE dispatch+fetch, and results flow
         through return values only (no racy instance state)."""
         prep_start = time.perf_counter()
-        buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray]]] = {}
+        prepped = self.prep_images(images)
+        prep_s = time.perf_counter() - prep_start
+        return self._embed_prepped(prepped, with_fde=with_fde, prep_s=prep_s)
+
+    def prep_images(self, images: List[Image.Image]) -> List[Tuple[np.ndarray, Tuple[int, int]]]:
+        """PIL -> (u8 patches, grid) pairs, thread-pooled (PIL/numpy
+        release the GIL; a single-threaded prep loop can't feed the chip
+        at the 10k pages/min target)."""
         if len(images) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=min(8, len(images))) as pool:
-                prepped = list(
+                return list(
                     pool.map(
                         lambda im: preprocess_image_u8(
                             im, min_pixels=self.min_pixels, max_pixels=self.max_pixels
@@ -144,14 +151,26 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                         images,
                     )
                 )
-        else:
-            prepped = [
-                preprocess_image_u8(im, min_pixels=self.min_pixels, max_pixels=self.max_pixels)
-                for im in images
-            ]
+        return [
+            preprocess_image_u8(im, min_pixels=self.min_pixels, max_pixels=self.max_pixels)
+            for im in images
+        ]
+
+    def _embed_prepped(
+        self,
+        prepped: List[Tuple[np.ndarray, Tuple[int, int]]],
+        with_fde: bool = False,
+        prep_s: float = 0.0,
+    ):
+        """Bucket-group + batched TPU forward over pre-preprocessed
+        (patches, grid) pairs. The ingest fast path feeds this directly
+        with patches computed AT RASTER TIME (chunk metadata `_patches`)
+        — the rendered page never round-trips through its JPEG payload
+        (~70 ms/page of decode+re-preprocess on a 1-core host)."""
+        images = prepped  # length/order contract below
+        buckets: Dict[Tuple[int, int], List[Tuple[int, np.ndarray]]] = {}
         for i, (patches, grid) in enumerate(prepped):
-            buckets.setdefault(grid, []).append((i, patches))
-        prep_s = time.perf_counter() - prep_start
+            buckets.setdefault(tuple(grid), []).append((i, patches))
 
         model_start = time.perf_counter()
         out: List[Optional[np.ndarray]] = [None] * len(images)
@@ -234,25 +253,44 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
             return [], []
         job_start = time.perf_counter()
 
-        image_items: List[Tuple[int, Image.Image]] = []
+        # Ingest fast path: chunks rasterized in-process carry their
+        # (patches, grid) in metadata["_patches"] — computed once from
+        # the in-hand PIL page at raster time; everything else decodes
+        # its payload and preprocesses here.
+        image_prepped: List[Tuple[int, Tuple[np.ndarray, Tuple[int, int]]]] = []
+        image_decode: List[Tuple[int, Chunk]] = []
         text_items: List[Tuple[int, str]] = []
+        prep_start = time.perf_counter()
         for i, chunk in enumerate(chunks):
             if chunk.metadata.get("is_image"):
+                pp = chunk.metadata.pop("_patches", None)
+                if pp is not None:
+                    image_prepped.append((i, (pp[0], tuple(pp[1]))))
+                    chunk.metadata.pop("_image_bytes", None)
+                    continue
+                image_decode.append((i, chunk))
+            else:
+                text_items.append((i, chunk.content))
+        if image_decode:
+            decoded: List[Tuple[int, Image.Image]] = []
+            for i, chunk in image_decode:
                 try:
-                    image_items.append((i, self._decode_image(chunk)))
+                    decoded.append((i, self._decode_image(chunk)))
                 except Exception as e:  # noqa: BLE001
                     logger.error("image chunk %d decode failed (%s); falling back to text", i, e)
                     text_items.append((i, chunk.content))
-            else:
-                text_items.append((i, chunk.content))
+            for (i, _), pp in zip(decoded, self.prep_images([im for _, im in decoded])):
+                image_prepped.append((i, pp))
+        image_prepped.sort(key=lambda t: t[0])
+        prep_s = time.perf_counter() - prep_start
 
         results: List[Optional[np.ndarray]] = [None] * len(chunks)
         fde_out: List[Optional[np.ndarray]] = [None] * len(chunks)
-        if image_items:
-            embs, fdes = self.embed_images(
-                [im for _, im in image_items], with_fde=True
+        if image_prepped:
+            embs, fdes = self._embed_prepped(
+                [pp for _, pp in image_prepped], with_fde=True, prep_s=prep_s
             )
-            for (i, _), e, f in zip(image_items, embs, fdes):
+            for (i, _), e, f in zip(image_prepped, embs, fdes):
                 results[i] = e
                 fde_out[i] = f
         if text_items:

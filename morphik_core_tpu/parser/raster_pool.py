@@ -29,21 +29,65 @@ _MAX_WIDTH = 1024
 _MIN_PAGES_FOR_POOL = 4  # pool overhead isn't worth it below this
 
 
-def _encode(img, max_width: int) -> bytes:
+def is_blank_page(img, dark_fraction: float = 2e-4, std_threshold: float = 1.0) -> bool:
+    """Near-uniform pages are skipped (reference ingestion_service.py:1396-1414).
+    A page counts as blank only if it is both low-variance AND has
+    (almost) no ink — small text on white must survive downsampling."""
+    import numpy as np  # noqa: PLC0415
+
+    small = img.convert("L").resize((128, 128))
+    arr = np.asarray(small, dtype=np.float32)
+    ink = float((arr < 200).mean())
+    return ink < dark_fraction and float(arr.std()) < std_threshold
+
+
+def _resize(img, max_width: int):
     from PIL import Image  # noqa: PLC0415
 
     if img.width > max_width:
         img = img.resize((max_width, int(img.height * max_width / img.width)), Image.LANCZOS)
+    return img
+
+
+def _encode(img, max_width: int) -> bytes:
     buf = io.BytesIO()
-    img.save(buf, format="JPEG", quality=_JPEG_QUALITY)
+    _resize(img, max_width).save(buf, format="JPEG", quality=_JPEG_QUALITY)
     return buf.getvalue()
 
 
-def _raster_range(data: bytes, dpi: int, start: int, end: int, max_width: int) -> List[Tuple[int, bytes]]:
-    """Child-process worker: rasterize pages [start, end) -> JPEG bytes.
-    Same backend ladder as parser.pdf.rasterize_pdf: PyMuPDF when
-    available, else the text-render fallback."""
-    out: List[Tuple[int, bytes]] = []
+def _finish_page(i: int, img, max_width: int, prep):
+    """Render artifact(s) for one page from the in-hand PIL image.
+
+    prep=None -> (i, jpeg) — the classic JPEG-only contract.
+    prep=(min_pixels, max_pixels) -> (i, jpeg, patches, grid, blank):
+    payload JPEG AND preprocessed u8 patches derived from the SAME
+    resized image, plus the blank flag — the ingest fast path then never
+    decodes the JPEG back (on the 1-core bench host that round trip
+    costs ~70 ms/page, the single biggest host tax in the embed phase).
+    preprocess is numpy/PIL-only, safe inside raster worker processes."""
+    img = _resize(img, max_width)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=_JPEG_QUALITY)
+    jpeg = buf.getvalue()
+    if prep is None:
+        return (i, jpeg)
+    blank = is_blank_page(img)
+    if blank:
+        return (i, jpeg, None, None, True)
+    from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8  # noqa: PLC0415
+
+    patches, grid = preprocess_image_u8(img, min_pixels=prep[0], max_pixels=prep[1])
+    return (i, jpeg, patches, grid, False)
+
+
+def _raster_range(
+    data: bytes, dpi: int, start: int, end: int, max_width: int, prep=None
+) -> List[tuple]:
+    """Child-process worker: rasterize pages [start, end) -> per-page
+    artifacts (`_finish_page`). Same backend ladder as
+    parser.pdf.rasterize_pdf: PyMuPDF when available, else the
+    text-render fallback."""
+    out: List[tuple] = []
     try:
         import fitz  # PyMuPDF  # noqa: PLC0415
         from PIL import Image  # noqa: PLC0415
@@ -56,7 +100,7 @@ def _raster_range(data: bytes, dpi: int, start: int, end: int, max_width: int) -
                     img = Image.frombytes("RGB", (pix.width, pix.height), pix.samples)
                 except Exception:  # noqa: BLE001 — per-page failure skips the page
                     continue
-                out.append((i, _encode(img, max_width)))
+                out.append(_finish_page(i, img, max_width, prep))
         return out
     except ImportError:
         pass
@@ -64,7 +108,7 @@ def _raster_range(data: bytes, dpi: int, start: int, end: int, max_width: int) -
 
     texts = extract_pages_text(data)
     for i in range(start, min(end, len(texts))):
-        out.append((i, _encode(_render_text_page(texts[i], dpi), max_width)))
+        out.append(_finish_page(i, _render_text_page(texts[i], dpi), max_width, prep))
     return out
 
 
@@ -115,30 +159,33 @@ class RasterPool:
             self._pool = None
 
     async def rasterize_pdf_jpegs(
-        self, data: bytes, dpi: int = 150, max_width: int = _MAX_WIDTH
-    ) -> "Optional[List[Tuple[int, bytes]]]":
-        """-> ordered (page_index, JPEG bytes) pairs, or None when the
-        pool path doesn't apply (caller falls back to the ladder). Page
-        indices are the TRUE physical pages: a failed/skipped page must
-        not shift every later page's metadata."""
+        self, data: bytes, dpi: int = 150, max_width: int = _MAX_WIDTH, prep=None
+    ) -> "Optional[List[tuple]]":
+        """-> ordered (page_index, JPEG bytes) pairs — or, with
+        prep=(min_pixels, max_pixels), (page, jpeg, patches, grid, blank)
+        tuples (`_finish_page`) so the embed stage starts from
+        ready-made u8 patches. None when the pool path doesn't apply
+        (caller falls back to the ladder). Page indices are the TRUE
+        physical pages: a failed/skipped page must not shift every later
+        page's metadata."""
         n = _page_count(data)
         if n is None:
             return None
         if n < _MIN_PAGES_FOR_POOL or self.processes <= 1:
             loop = asyncio.get_running_loop()
             pages = await loop.run_in_executor(
-                None, _raster_range, data, dpi, 0, n, max_width
+                None, _raster_range, data, dpi, 0, n, max_width, prep
             )
-            return sorted(pages)
+            return sorted(pages, key=lambda t: t[0])
         pool = self._ensure()
         per = max(1, -(-n // self.processes))  # ceil
         loop = asyncio.get_running_loop()
         futs = [
-            loop.run_in_executor(pool, _raster_range, data, dpi, s, s + per, max_width)
+            loop.run_in_executor(pool, _raster_range, data, dpi, s, s + per, max_width, prep)
             for s in range(0, n, per)
         ]
         parts = await asyncio.gather(*futs, return_exceptions=True)
-        pages: List[Tuple[int, bytes]] = []
+        pages: List[tuple] = []
         for p in parts:
             if isinstance(p, Exception):
                 logger.warning("raster worker failed: %s", p)
@@ -146,4 +193,4 @@ class RasterPool:
             pages.extend(p)
         if not pages:
             return None
-        return sorted(pages)
+        return sorted(pages, key=lambda t: t[0])

@@ -54,14 +54,7 @@ def _image_to_data_uri(img: Image.Image, max_width: int, quality: int = 80) -> s
     return bytes_to_data_uri(buf.getvalue(), "image/jpeg")
 
 
-def _is_blank_page(img: Image.Image, dark_fraction: float = 2e-4, std_threshold: float = 1.0) -> bool:
-    """Near-uniform pages are skipped (reference ingestion_service.py:1396-1414).
-    A page counts as blank only if it is both low-variance AND has
-    (almost) no ink — small text on white must survive downsampling."""
-    small = img.convert("L").resize((128, 128))
-    arr = np.asarray(small, dtype=np.float32)
-    ink = float((arr < 200).mean())
-    return ink < dark_fraction and float(arr.std()) < std_threshold
+from morphik_core_tpu.parser.raster_pool import is_blank_page as _is_blank_page  # noqa: E402
 
 
 class IngestionService:
@@ -87,6 +80,16 @@ class IngestionService:
         from morphik_core_tpu.parser.raster_pool import RasterPool
 
         self.raster_pool = RasterPool(self.settings.worker.raster_processes)
+        # Serializes the device-bound embed+store phase across concurrent
+        # ingest jobs (worker.max_jobs=2): job k+1's parse/raster host
+        # phases overlap job k's embed instead of queueing behind it.
+        # Lazily bound to the running loop (asyncio.Lock is loop-affine).
+        self._embed_lock: Optional[asyncio.Lock] = None
+
+    def _get_embed_lock(self) -> asyncio.Lock:
+        if self._embed_lock is None:
+            self._embed_lock = asyncio.Lock()
+        return self._embed_lock
 
     # ----------------------------------------------------------- ingest text
 
@@ -333,28 +336,35 @@ class IngestionService:
             logger.debug("could not write ingestion summary")
 
     async def _rasterize_pdf_pooled(self, data: bytes) -> Optional[List[Chunk]]:
-        """PDF pages -> image chunks via the process pool (keeps the TPU
+        """PDF pages -> image chunks via the raster pool (keeps the TPU
         fed; SURVEY.md §7 host-raster bottleneck). None = fall back to the
-        in-process ladder."""
+        in-process ladder.
+
+        Runs in prep mode: each page's u8 patches are computed at raster
+        time from the in-hand PIL image and travel to the embed stage in
+        chunk metadata `_patches` — the JPEG payload is never decoded
+        back, and blank detection happens in the raster worker (the old
+        flow paid TWO JPEG decodes per page on the embed side)."""
+        prep = (self.settings.model.min_pixels, self.settings.model.max_pixels)
         try:
-            jpegs = await self.raster_pool.rasterize_pdf_jpegs(
-                data, dpi=self.settings.pdf.colpali_pdf_dpi
+            pages = await self.raster_pool.rasterize_pdf_jpegs(
+                data, dpi=self.settings.pdf.colpali_pdf_dpi, prep=prep
             )
         except Exception as e:  # noqa: BLE001
             logger.warning("raster pool failed (%s); falling back inline", e)
             return None
-        if jpegs is None:
+        if pages is None:
             return None
         chunks = []
-        for page, jpeg in jpegs:  # TRUE page indices (skips don't shift)
-            img = Image.open(io.BytesIO(jpeg))
-            if _is_blank_page(img):
+        for page, jpeg, patches, grid, blank in pages:  # TRUE page indices
+            if blank:
                 logger.info("skipping blank page %d", page)
                 continue
             chunks.append(
                 Chunk(
                     content=bytes_to_data_uri(jpeg, "image/jpeg"),
-                    metadata={"is_image": True, "page": page},
+                    metadata={"is_image": True, "page": page,
+                              "_patches": (patches, grid)},
                 )
             )
         return chunks
@@ -426,60 +436,77 @@ class IngestionService:
         # colpali multivector store: image chunks, or text chunks when the
         # file has no visual form (reference embeds text chunks too)
         if use_colpali and self.colpali_vector_store is not None and self.colpali_embedding_model is not None:
-            colpali_chunks = image_chunks if image_chunks else text_chunks
-            batch = self.settings.worker.colpali_store_batch_size
-            embed_sync = getattr(
-                self.colpali_embedding_model, "embed_for_ingestion_sync", None
-            )
-            starts = list(range(0, len(colpali_chunks), batch))
+            async with self._get_embed_lock():
+                await self._embed_and_store_colpali(doc, text_chunks, image_chunks, auth, chunk_ids)
+        doc.chunk_ids = chunk_ids
 
-            async def _embed(s: int):
+    async def _embed_and_store_colpali(
+        self,
+        doc: Document,
+        text_chunks: List[Chunk],
+        image_chunks: List[Chunk],
+        auth: AuthContext,
+        chunk_ids: List[str],
+    ) -> None:
+        """Device-bound half of ingest, serialized across jobs by
+        `_embed_lock` — with worker.max_jobs=2, doc k+1's parse/raster
+        run while doc k sits here."""
+        colpali_chunks = image_chunks if image_chunks else text_chunks
+        batch = self.settings.worker.colpali_store_batch_size
+        embed_sync = getattr(
+            self.colpali_embedding_model, "embed_for_ingestion_sync", None
+        )
+        starts = list(range(0, len(colpali_chunks), batch))
+
+        async def _embed(s: int):
+            sub = colpali_chunks[s : s + batch]
+            if embed_sync is not None:
+                # worker thread: embed batches run concurrently with
+                # each other and with the host-side store (fused FDE
+                # included) — jax dispatch is thread-safe, and the
+                # relay upload of batch k+1 rides under compute/store
+                # of batch k instead of waiting for it.
+                return await asyncio.to_thread(embed_sync, sub)
+            return await self.colpali_embedding_model.embed_for_ingestion(sub), []
+
+        # Depth-N software pipeline (worker.ingest_embed_prefetch).
+        # Depth 1 reproduces the old embed[k+1] ∥ store[k] overlap;
+        # depth 2+ additionally overlaps uploads across batches —
+        # measured round 4 on the 500-page job-path bench: the
+        # serial path spends ~2.7 s per 16-page batch of which only
+        # ~0.3 s is device compute; the rest is transfer + store that
+        # pipelining hides.
+        depth = max(1, int(getattr(self.settings.worker, "ingest_embed_prefetch", 2)))
+        if embed_sync is None:
+            depth = 1  # remote/API embedder: keep one request in flight
+        inflight = collections.deque(
+            asyncio.ensure_future(_embed(s)) for s in starts[:depth]
+        )
+        try:
+            for bi, s in enumerate(starts):
+                embs, fde = await inflight.popleft()
+                if bi + depth < len(starts):
+                    inflight.append(asyncio.ensure_future(_embed(starts[bi + depth])))
                 sub = colpali_chunks[s : s + batch]
-                if embed_sync is not None:
-                    # worker thread: embed batches run concurrently with
-                    # each other and with the host-side store (fused FDE
-                    # included) — jax dispatch is thread-safe, and the
-                    # relay upload of batch k+1 rides under compute/store
-                    # of batch k instead of waiting for it.
-                    return await asyncio.to_thread(embed_sync, sub)
-                return await self.colpali_embedding_model.embed_for_ingestion(sub), []
-
-            # Depth-N software pipeline (worker.ingest_embed_prefetch).
-            # Depth 1 reproduces the old embed[k+1] ∥ store[k] overlap;
-            # depth 2+ additionally overlaps uploads across batches —
-            # measured round 4 on the 500-page job-path bench: the
-            # serial path spends ~2.7 s per 16-page batch of which only
-            # ~0.3 s is device compute; the rest is transfer + store that
-            # pipelining hides.
-            depth = max(1, int(getattr(self.settings.worker, "ingest_embed_prefetch", 2)))
-            if embed_sync is None:
-                depth = 1  # remote/API embedder: keep one request in flight
-            inflight = collections.deque(
-                asyncio.ensure_future(_embed(s)) for s in starts[:depth]
-            )
-            try:
-                for bi, s in enumerate(starts):
-                    embs, fde = await inflight.popleft()
-                    if bi + depth < len(starts):
-                        inflight.append(asyncio.ensure_future(_embed(starts[bi + depth])))
-                    sub = colpali_chunks[s : s + batch]
-                    doc_chunks = [
-                        c.to_document_chunk(doc.external_id, s + j, e)
-                        for j, (c, e) in enumerate(zip(sub, embs))
-                    ]
-                    ok, ids, metrics = await self.colpali_vector_store.store_embeddings(
-                        doc_chunks, app_id=auth.app_id,
-                        fde_vectors=fde if len(fde) == len(doc_chunks) else None,
-                    )
-                    chunk_ids.extend(ids)
-            except BaseException:
-                for fut in inflight:
-                    if not fut.done():
-                        fut.cancel()
-                for fut in inflight:
-                    with contextlib.suppress(BaseException):
-                        await fut
-                raise
+                for c in sub:  # transient raster artifacts never persist
+                    c.metadata.pop("_patches", None)
+                doc_chunks = [
+                    c.to_document_chunk(doc.external_id, s + j, e)
+                    for j, (c, e) in enumerate(zip(sub, embs))
+                ]
+                ok, ids, metrics = await self.colpali_vector_store.store_embeddings(
+                    doc_chunks, app_id=auth.app_id,
+                    fde_vectors=fde if len(fde) == len(doc_chunks) else None,
+                )
+                chunk_ids.extend(ids)
+        except BaseException:
+            for fut in inflight:
+                if not fut.done():
+                    fut.cancel()
+            for fut in inflight:
+                with contextlib.suppress(BaseException):
+                    await fut
+            raise
         doc.chunk_ids = chunk_ids
 
     # -------------------------------------------------------------- update

@@ -132,18 +132,35 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
     auth = AuthContext(entity_type="developer", entity_id="bench", permissions={"read", "write", "admin"})
 
     # ---- A: e2e through the production job path --------------------------
+    # Jobs go through the QUEUE (the production path) with the default
+    # worker.max_jobs=2: doc k+1's parse/raster overlaps doc k's embed
+    # (serialized on the device by IngestionService._embed_lock).
+    # Proof of overlap = sum(phase_times) exceeding wall-clock.
     async def run_all():
         t_start = time.perf_counter()
-        phase_sums: dict[str, float] = {}
-        total_pages = 0
+        doc_ids = []
         for d, pdf in enumerate(docs):
             doc = await ing.ingest_file_content(pdf, f"doc{d}.pdf", {}, auth)
-            done = await ing.process_ingestion_job(doc.external_id, auth)
-            pt = done.system_metadata.get("phase_times", {})
-            for k, v in pt.items():
+            await services.job_queue.enqueue_job(
+                "process_ingestion_job",
+                document_id=doc.external_id,
+                auth=auth.model_dump(mode="json"),
+                use_colpali=True,
+            )
+            doc_ids.append(doc.external_id)
+        ok = await services.job_queue.drain(timeout=3600)
+        wall = time.perf_counter() - t_start
+        assert ok, "queue failed to drain"
+        phase_sums: dict[str, float] = {}
+        total_pages = 0
+        for doc_id in doc_ids:
+            done = await services.database.get_document(doc_id, auth)
+            assert done.system_metadata.get("status") == "completed", (
+                doc_id, done.system_metadata.get("status"), done.system_metadata.get("error"))
+            for k, v in done.system_metadata.get("phase_times", {}).items():
                 phase_sums[k] = phase_sums.get(k, 0.0) + v
             total_pages += done.system_metadata.get("page_count") or 0
-        return time.perf_counter() - t_start, phase_sums, total_pages
+        return wall, phase_sums, total_pages
 
     async def _phase_a():
         await services.initialize()
@@ -157,7 +174,10 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
 
     t_e2e, phase_sums, total_pages = asyncio.run(_phase_a())
     e2e_pages_per_s = total_pages / t_e2e
-    print(f"A. e2e: {total_pages} pages in {t_e2e:.1f}s = {e2e_pages_per_s:.2f} pages/s", file=sys.stderr, flush=True)
+    phase_total = sum(phase_sums.values())
+    print(f"A. e2e: {total_pages} pages in {t_e2e:.1f}s = {e2e_pages_per_s:.2f} pages/s "
+          f"(phase sum {phase_total:.1f}s -> overlap x{phase_total / max(t_e2e, 1e-9):.2f})",
+          file=sys.stderr, flush=True)
     print(f"   phase sums: { {k: round(v, 1) for k, v in phase_sums.items()} }", file=sys.stderr, flush=True)
 
     # ---- B: stage isolation ---------------------------------------------
@@ -214,6 +234,68 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
     embs = emb_model.embed_images(decoded)
     stage["embed_pages_per_s"] = len(decoded) / (time.perf_counter() - t0)
 
+    # ---- embed-stage decomposition (round-5 verdict item 5): where the
+    # gap between the isolated embed rate and the serving headline lives.
+    # One production batch of 8, split into preprocess / host->device
+    # upload / device step+fetch. Upload reps use FRESH bytes each time —
+    # the relay dedups identical uploads (CLAUDE.md), so re-timing the
+    # same buffer reads fictitiously fast.
+    bsz = min(8, len(prepped))
+    arr = np.stack([p for p, _ in prepped[:bsz]])
+    grid = prepped[0][1]
+    up_times = []
+    for r in range(5):
+        a = arr.copy()
+        a[..., r % arr.shape[-1]] ^= np.uint8(r + 1)
+        t0 = time.perf_counter()
+        jax.block_until_ready(jax.device_put(a))
+        up_times.append(time.perf_counter() - t0)
+    upload_s = float(np.median(up_times))
+    tot_times = []
+    for r in range(3):
+        a = arr.copy()
+        a[..., (7 + r) % arr.shape[-1]] ^= np.uint8(17 + r)
+        t0 = time.perf_counter()
+        out_dev, _nv = emb_model.model.embed_image_batch(a, *grid, as_device=True)
+        np.asarray(out_dev)
+        tot_times.append(time.perf_counter() - t0)
+    total_s = float(np.median(tot_times))
+    prep_rate = stage["preprocess_pages_per_s"]
+    attribution = {
+        "batch": bsz,
+        "patch_mb_per_batch": round(arr.nbytes / 1e6, 2),
+        "preprocess_s_per_batch": round(bsz / prep_rate, 3),
+        "upload_s_per_batch": round(upload_s, 3),
+        "upload_mb_per_s": round(arr.nbytes / 1e6 / max(upload_s, 1e-9), 1),
+        "embed_total_s_per_batch": round(total_s, 3),
+        "step_fetch_s_per_batch": round(max(total_s - upload_s, 0.0), 3),
+        "serial_pages_per_s": round(bsz / (total_s + bsz / prep_rate), 2),
+        "pipelined_bound_pages_per_s": round(
+            bsz / max(upload_s, max(total_s - upload_s, 1e-9), bsz / prep_rate), 2
+        ),
+    }
+    print("B2. embed attribution:", attribution, file=sys.stderr, flush=True)
+
+    # ---- raster-pool scaling table (round-5 verdict item 1) ----
+    import os
+
+    from morphik_core_tpu.parser.raster_pool import RasterPool
+
+    scale_doc = make_pdf([page_text(rng, f"SCAL-{i:04d}") for i in range(32)])
+    raster_scaling = {"host_cpus": os.cpu_count(), "pages": 32}
+    for procs in (1, 2, 4, 8):
+        rp = RasterPool(procs)
+
+        async def _rate(rp=rp):
+            t0 = time.perf_counter()
+            pages = await rp.rasterize_pdf_jpegs(scale_doc, dpi=settings.pdf.colpali_pdf_dpi)
+            return len(pages) / (time.perf_counter() - t0)
+
+        asyncio.run(_rate())  # warm: worker spawn + imports
+        raster_scaling[f"procs_{procs}_pages_per_s"] = round(asyncio.run(_rate()), 2)
+        rp.shutdown()
+    print("B3. raster scaling:", raster_scaling, file=sys.stderr, flush=True)
+
     # FDE + store (device FDE encode + WAL append + mmap write)
     from morphik_core_tpu.models.schemas import DocumentChunk
 
@@ -230,14 +312,19 @@ def run_bench(n_docs: int, pages_per_doc: int, small: bool, model=None) -> dict:
 
     north_star = 10_000 / 60 / 8  # BASELINE.md: 10k pages/min on v5e-8, per chip
     result = {
-        "metric": "ingest e2e throughput (production job path, sequential worker)",
+        "metric": "ingest e2e throughput (production queue path, max_jobs=2 overlapped)",
         "value": round(e2e_pages_per_s, 3),
         "unit": "pages/s",
         "vs_chip_north_star": round(e2e_pages_per_s / north_star, 3),
         "pages": total_pages,
         "docs": n_docs,
         "phase_split_s": {k: round(v, 2) for k, v in phase_sums.items()},
+        "phase_sum_s": round(phase_total, 2),
+        "wall_s": round(t_e2e, 2),
+        "overlap_factor": round(phase_total / max(t_e2e, 1e-9), 2),
         "stage_isolation_pages_per_s": {k: round(v, 2) for k, v in stage.items()},
+        "embed_attribution": attribution,
+        "raster_pool_scaling": raster_scaling,
         "backend": jax.default_backend(),
         "small": small,
     }
@@ -249,7 +336,7 @@ def main() -> int:
     ap.add_argument("--docs", type=int, default=25)
     ap.add_argument("--pages-per-doc", type=int, default=20)
     ap.add_argument("--small", action="store_true", help="CPU + tiny model smoke")
-    ap.add_argument("--out", type=Path, default=Path(__file__).resolve().parent.parent / "INGEST_r04.json")
+    ap.add_argument("--out", type=Path, default=Path(__file__).resolve().parent.parent / "INGEST_r05.json")
     args = ap.parse_args()
 
     import jax
