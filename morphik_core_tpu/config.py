@@ -93,6 +93,14 @@ class ModelConfig(BaseModel):
     # attention share 57 ms of 306 ms). Opt-in pending an on-chip A/B +
     # fidelity gate; PV stays bf16 either way.
     attention_precision: Literal["bf16", "int8"] = "bf16"
+    # Calibrated STATIC activation scales for the int8 vision tower
+    # (models/colqwen/calibrate.py): replaces the dynamic per-token
+    # max-abs pass at every quantized vision site with a per-(layer,
+    # site) scale calibrated at startup on deterministic rendered pages
+    # (~one extra vision compile + 2 batches). int8 mode only; the
+    # fidelity gate (evaluations/fidelity_eval.py) exercises the same
+    # startup path, so gate results cover exactly what serving runs.
+    static_act_scales: bool = False
     # Qwen2-VL style image token budget per page.
     min_pixels: int = 4 * 28 * 28
     max_pixels: int = 768 * 28 * 28

@@ -80,6 +80,26 @@ class ColpaliEmbeddingModel(BaseEmbeddingModel):
                 matmul_precision=self.settings.model.matmul_precision,
                 attention_precision=self.settings.model.attention_precision,
             )
+        if (
+            self.settings.model.static_act_scales
+            and getattr(self.model, "matmul_precision", "bf16") == "int8"
+        ):
+            # Startup calibration of static int8 activation scales for
+            # the vision tower (config model.static_act_scales): one
+            # extra capture compile + 2 batches now buys back the
+            # dynamic per-token max-abs pass on every serving step. A
+            # failure degrades to dynamic quantization (numerically the
+            # safer mode), never blocks boot.
+            from morphik_core_tpu.models.colqwen.calibrate import (
+                calibrate_model_from_rendered_pages,
+            )
+
+            t_cal = time.time()
+            try:
+                calibrate_model_from_rendered_pages(self.model)
+                logger.info("static activation scales calibrated in %.1fs", time.time() - t_cal)
+            except Exception:  # noqa: BLE001
+                logger.exception("static act-scale calibration failed; serving dynamic quant")
         self.batch_size = max(1, int(self.settings.tpu.embed_batch_size))
         self.min_pixels = self.settings.model.min_pixels
         self.max_pixels = self.settings.model.max_pixels

@@ -76,6 +76,55 @@ def capture_vision_act_maxes(
     return overall.reshape(cfg.depth, n_sites)
 
 
+def render_calibration_pages(n: int = 16, seed: int = 0, size=(560, 720)) -> list:
+    """Deterministic synthetic text pages for startup calibration —
+    dense mixed-case technical text covers the activation range real
+    document pages hit (white background + black glyphs is the serving
+    distribution; the margin + fidelity gate absorb the rest)."""
+    from PIL import Image, ImageDraw  # noqa: PLC0415
+
+    vocab = (
+        "alpha bridge casing dynamo ember flux gasket helix ion joule kelvin "
+        "lumen motor nacelle orbit piston quartz rotor stator torque valve "
+        "winding yoke zenith SPEC-9174 Nm kW rpm 61400-25 IEC"
+    ).split()
+    pages = []
+    for s in range(n):
+        r = np.random.default_rng(seed * 1000 + s)
+        img = Image.new("RGB", size, "white")
+        d = ImageDraw.Draw(img)
+        y = 8
+        while y < size[1] - 24:
+            d.text(
+                (int(r.integers(6, 80)), y),
+                " ".join(r.choice(vocab, r.integers(3, 10))),
+                fill="black",
+            )
+            y += int(r.integers(14, 24))
+        pages.append(img)
+    return pages
+
+
+def calibrate_model_from_rendered_pages(
+    model, n_pages: int = 16, seed: int = 0, margin: float = 1.05, batch: int = 8
+) -> None:
+    """Startup-path calibration: render deterministic pages, preprocess
+    into the dominant grid bucket, and attach static scales via
+    `model.calibrate_static_act_scales`. Scales are per-(layer, site)
+    activation ranges — they transfer across grid buckets (the range is
+    set by layernorm'd features, not token count), so one bucket's
+    calibration serves every bucket."""
+    from collections import Counter
+
+    from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
+
+    prepped = [preprocess_image_u8(im) for im in render_calibration_pages(n_pages, seed)]
+    grid = Counter(g for _, g in prepped).most_common(1)[0][0]
+    u8 = np.stack([p for p, g in prepped if g == grid])
+    batches = [u8[s : s + batch] for s in range(0, len(u8), batch) if len(u8[s : s + batch])]
+    model.calibrate_static_act_scales(batches, grid[0], grid[1], margin=margin)
+
+
 def attach_vision_act_scales(
     params_visual: dict, maxes: np.ndarray, margin: float = 1.05
 ) -> dict:

@@ -117,3 +117,25 @@ def test_model_level_calibration_flow(batches):
     bf16 = ColQwenModel.init_random(jax.random.PRNGKey(1), ColQwenConfig.tiny())
     with pytest.raises(ValueError, match="require matmul_precision"):
         bf16.calibrate_static_act_scales(u8_batches, hu, wu)
+
+
+def test_serving_startup_calibration_flow():
+    """config model.static_act_scales=true calibrates the embedder's
+    int8 vision tower at startup (the fidelity gate and serving share
+    this exact path)."""
+    from morphik_core_tpu.config import Settings
+    from morphik_core_tpu.embedding.colpali_embedding_model import ColpaliEmbeddingModel
+
+    settings = Settings.model_validate(
+        {"model": {"matmul_precision": "int8", "static_act_scales": True}}
+    )
+    model = ColQwenModel.init_random(
+        jax.random.PRNGKey(2), ColQwenConfig.tiny(), matmul_precision="int8"
+    )
+    emb = ColpaliEmbeddingModel(settings, model=model)
+    assert emb.model.params["visual"]["blocks"]["q_w"].get("as") is not None
+    # bf16 serving ignores the knob
+    settings_bf16 = Settings.model_validate({"model": {"static_act_scales": True}})
+    bf16 = ColQwenModel.init_random(jax.random.PRNGKey(2), ColQwenConfig.tiny())
+    emb2 = ColpaliEmbeddingModel(settings_bf16, model=bf16)
+    assert not isinstance(emb2.model.params["visual"]["blocks"]["q_w"], dict)
