@@ -171,6 +171,39 @@ def main() -> None:
 
     qparams = jax.jit(quantize_colqwen_params)(params)
     jax.block_until_ready(qparams)
+    # Static activation scales (config model.static_act_scales): mirror
+    # the shipped serving path — capture per-site activation maxes on one
+    # batch, attach "as" leaves, and the timed int8 step drops the
+    # dynamic per-token max-abs passes (round-5 A/B, AB_STATIC_r05.json).
+    # Scale VALUES don't affect step time; the structure change does.
+    try:
+        _static_scales = _ls(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "morphik_tpu.toml")
+        ).model.static_act_scales
+    except Exception:  # noqa: BLE001
+        _static_scales = False
+    if _static_scales:
+        from morphik_core_tpu.models.colqwen import layers as _layers
+        from morphik_core_tpu.models.colqwen.calibrate import (
+            _SITE_COLUMNS,
+            attach_vision_act_scales,
+        )
+        from morphik_core_tpu.models.colqwen.vision import vision_forward as _vf
+
+        @jax.jit
+        def _capture(pv, p, cv, sv):
+            _layers._ACT_CAPTURE = cap = []
+            try:
+                _vf(pv, p, cv, sv, h_units, w_units, cfg.vision)
+            finally:
+                _layers._ACT_CAPTURE = None
+            return jnp.stack(cap)
+
+        _maxes = np.asarray(
+            _capture(qparams["visual"], patches, jnp.asarray(cos_v), jnp.asarray(sin_v))
+        ).reshape(cfg.vision.depth, len(_SITE_COLUMNS))
+        qparams = dict(qparams)
+        qparams["visual"] = attach_vision_act_scales(qparams["visual"], _maxes)
     if cfg_int8 is not cfg:
         fwd_q8 = jax.jit(functools.partial(
             colqwen_image_forward, cfg=cfg_int8, h_units=h_units, w_units=w_units
