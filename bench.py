@@ -193,17 +193,20 @@ def main() -> None:
         @jax.jit
         def _capture(pv, p, cv, sv):
             _layers._ACT_CAPTURE = cap = []
+            _layers._QK_CAPTURE = qk_cap = []
             try:
                 _vf(pv, p, cv, sv, h_units, w_units, cfg.vision)
             finally:
                 _layers._ACT_CAPTURE = None
-            return jnp.stack(cap)
+                _layers._QK_CAPTURE = None
+            return jnp.stack(cap), jnp.stack(qk_cap)
 
-        _maxes = np.asarray(
-            _capture(qparams["visual"], patches, jnp.asarray(cos_v), jnp.asarray(sin_v))
-        ).reshape(cfg.vision.depth, len(_SITE_COLUMNS))
+        _m, _qk = _capture(qparams["visual"], patches, jnp.asarray(cos_v), jnp.asarray(sin_v))
+        _maxes = np.asarray(_m).reshape(cfg.vision.depth, len(_SITE_COLUMNS))
         qparams = dict(qparams)
-        qparams["visual"] = attach_vision_act_scales(qparams["visual"], _maxes)
+        qparams["visual"] = attach_vision_act_scales(
+            qparams["visual"], _maxes, qk_maxes=np.asarray(_qk)
+        )
     if cfg_int8 is not cfg:
         fwd_q8 = jax.jit(functools.partial(
             colqwen_image_forward, cfg=cfg_int8, h_units=h_units, w_units=w_units

@@ -45,11 +45,12 @@ def capture_vision_act_maxes(
     h_units: int,
     w_units: int,
     cfg: VisionConfig,
-) -> np.ndarray:
+) -> tuple:
     """Run calibration batches through the (already int8-quantized,
     unrolled) vision tower with dynamic quantization, capturing per-site
-    max|activation|. Returns the element-wise max over batches, shaped
-    (depth, 4) in block order (columns: qkv, proj, gate/up, down)."""
+    max|activation| AND per-attention-site (max|q|, max|k|) post-rotary.
+    Returns the element-wise max over batches as a pair:
+    (act (depth, 4) — columns qkv, proj, gate/up, down; qk (depth, 2))."""
     if not isinstance(params_visual["blocks"].get("q_w"), dict):
         raise ValueError("vision params are not int8-quantized — nothing to calibrate")
     from morphik_core_tpu.models.colqwen.model import expand_patches_u8
@@ -60,20 +61,25 @@ def capture_vision_act_maxes(
     @jax.jit
     def fwd(pv, u8, cos, sin):
         layers._ACT_CAPTURE = cap = []
+        layers._QK_CAPTURE = qk_cap = []
         try:
             vision_forward(pv, expand_patches_u8(u8, jnp.bfloat16), cos, sin,
                            h_units, w_units, cfg)
         finally:
             layers._ACT_CAPTURE = None
-        return jnp.stack(cap)
+            layers._QK_CAPTURE = None
+        return jnp.stack(cap), jnp.stack(qk_cap)
 
-    overall = None
+    overall = overall_qk = None
     for u8 in u8_batches:
-        maxes = np.asarray(fwd(params_visual, jnp.asarray(u8), cos, sin))
+        maxes, qk = fwd(params_visual, jnp.asarray(u8), cos, sin)
+        maxes, qk = np.asarray(maxes), np.asarray(qk)
         overall = maxes if overall is None else np.maximum(overall, maxes)
+        overall_qk = qk if overall_qk is None else np.maximum(overall_qk, qk)
     n_sites = len(_SITE_COLUMNS)
     assert overall.shape[0] == cfg.depth * n_sites, (overall.shape, cfg.depth)
-    return overall.reshape(cfg.depth, n_sites)
+    assert overall_qk.shape == (cfg.depth, 2), overall_qk.shape
+    return overall.reshape(cfg.depth, n_sites), overall_qk
 
 
 def render_calibration_pages(n: int = 16, seed: int = 0, size=(560, 720)) -> list:
@@ -126,13 +132,17 @@ def calibrate_model_from_rendered_pages(
 
 
 def attach_vision_act_scales(
-    params_visual: dict, maxes: np.ndarray, margin: float = 1.05
+    params_visual: dict, maxes: np.ndarray, margin: float = 1.05, qk_maxes=None
 ) -> dict:
     """Return a params['visual'] copy whose quantized block leaves carry
     static activation scales: as[l] = margin * max|x|_l / 127 (a (depth,)
     array; the unrolled per-layer slice hands `linear` a scalar).
     `margin` absorbs activations slightly outside the calibration set —
-    anything beyond it clips at ±127, which the fidelity gate measures."""
+    anything beyond it clips at ±127, which the fidelity gate measures.
+    qk_maxes (depth, 2), when given, additionally attaches static qk
+    attention scales as the `attn_qk_as` block leaf — inert unless
+    cfg.qk_int8 (model.attention_precision='int8') turns the int8 QK^T
+    contraction on."""
     out = dict(params_visual)
     blocks = dict(params_visual["blocks"])
     for col, names in enumerate(_SITE_COLUMNS):
@@ -143,5 +153,9 @@ def attach_vision_act_scales(
             leaf = dict(blocks[name])
             leaf["as"] = scale
             blocks[name] = leaf
+    if qk_maxes is not None:
+        blocks["attn_qk_as"] = jnp.asarray(
+            np.maximum(np.asarray(qk_maxes) * margin / 127.0, 1e-8), jnp.float32
+        )
     out["blocks"] = blocks
     return out

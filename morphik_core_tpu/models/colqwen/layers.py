@@ -30,6 +30,13 @@ def linear(x: jax.Array, w, b=None) -> jax.Array:
 # inside a lax.scan body would leak tracers).
 _ACT_CAPTURE = None
 
+# Same idea for attention q/k ranges (one [max|q|, max|k|] pair per
+# attention site, post-rotary): feeds STATIC qk quantization scales for
+# the int8 QK^T path. Round 4 measured dynamic per-token qk quant as a
+# net loss (AB_ATTN_r04.json — the quant passes cost more than the MXU
+# saves); static scales remove those passes, re-opening the lever.
+_QK_CAPTURE = None
+
 
 def quantize_act_int8(x: jax.Array, a_scale=None):
     """Symmetric int8 quantization of activations.
@@ -174,27 +181,45 @@ def attention(
     scale: Optional[float] = None,
     bias: Optional[jax.Array] = None,
     qk_int8: bool = False,
+    qk_static=None,
 ) -> jax.Array:
     """Plain XLA attention; fp32 softmax.
 
     q: (..., S, Hq, hd); k/v: (..., S, Hkv, hd). GQA via head repeat.
     mask: broadcastable to (..., Hq, Sq, Sk), True = attend.
 
-    qk_int8=True computes the QK^T contraction in int8 (per-token
-    per-head symmetric scales, int32 accumulate on the MXU at 2x the
-    bf16 rate — the W8A8 counterpart for the score matmul; PV stays in
-    the input dtype). Logit error is ~0.5% relative, well inside
-    softmax's tolerance; gate with the fidelity eval before defaulting
-    (round-4 profile: attention is 57 ms of the 306 ms int8 step)."""
+    qk_int8=True computes the QK^T contraction in int8 (int32
+    accumulate on the MXU at 2x the bf16 rate — the W8A8 counterpart
+    for the score matmul; PV stays in the input dtype). qk_static=None
+    uses per-token per-head DYNAMIC scales (two extra max-abs passes —
+    measured round 4 as a net LOSS, AB_ATTN_r04.json); qk_static=
+    (q_scale, k_scale) uses calibrated STATIC scalars: the max-abs
+    passes disappear and the epilogue is one scalar multiply. Logit
+    error stays well inside softmax's tolerance; gate with the fidelity
+    eval before defaulting."""
     hq, hkv = q.shape[-2], k.shape[-2]
     if hq != hkv:
         k = jnp.repeat(k, hq // hkv, axis=-2)
         v = jnp.repeat(v, hq // hkv, axis=-2)
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    if _QK_CAPTURE is not None:
+        _QK_CAPTURE.append(jnp.stack([
+            jnp.max(jnp.abs(q.astype(jnp.float32))),
+            jnp.max(jnp.abs(k.astype(jnp.float32))),
+        ]))
     # Head axis stays where it is — dot_general takes (h) as a batch dim
     # directly, avoiding explicit swapaxes copies of q/k/v/out.
-    if qk_int8:
+    if qk_int8 and qk_static is not None:
+        qs_s = jnp.asarray(qk_static[0], jnp.float32)
+        ks_s = jnp.asarray(qk_static[1], jnp.float32)
+        qq = jnp.clip(jnp.rint(q.astype(jnp.float32) / qs_s), -127, 127).astype(jnp.int8)
+        kq = jnp.clip(jnp.rint(k.astype(jnp.float32) / ks_s), -127, 127).astype(jnp.int8)
+        acc = jnp.einsum(
+            "...qhd,...khd->...hqk", qq, kq, preferred_element_type=jnp.int32
+        )
+        scores = acc.astype(jnp.float32) * (qs_s * ks_s * scale)
+    elif qk_int8:
         qq, qs = _quantize_rows_q8(q)
         kq, ks = _quantize_rows_q8(k)
         acc = jnp.einsum(

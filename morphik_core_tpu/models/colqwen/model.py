@@ -323,10 +323,10 @@ class ColQwenModel:
             capture_vision_act_maxes,
         )
 
-        maxes = capture_vision_act_maxes(
+        maxes, qk_maxes = capture_vision_act_maxes(
             self.params["visual"], u8_batches, h_units, w_units, self.cfg.vision
         )
-        visual = attach_vision_act_scales(self.params["visual"], maxes, margin)
+        visual = attach_vision_act_scales(self.params["visual"], maxes, margin, qk_maxes)
         if self.mesh is not None:
             # the vision tower is replicated on the mesh (parallel/mesh.py)
             from jax.sharding import NamedSharding, PartitionSpec as P

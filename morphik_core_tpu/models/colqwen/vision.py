@@ -177,15 +177,21 @@ def _block(x, layer, is_full, cos, sin, cfg: VisionConfig):
     v = v.reshape(b, s, nh, hd)
     q, k = apply_rotary(q, k, cos[None, :, None, :], sin[None, :, None, :])
 
+    # calibrated static qk scales (models/colqwen/calibrate.py): a (2,)
+    # per-layer leaf attached only on the unrolled int8 tower; absent ->
+    # dynamic per-token scales (or pure bf16 when qk_int8 is off)
+    qk_as = layer.get("attn_qk_as")
+    qk_static = (qk_as[0], qk_as[1]) if qk_as is not None else None
+
     def full_attn(args):
         q, k, v = args
-        return attention(q, k, v, qk_int8=cfg.qk_int8)
+        return attention(q, k, v, qk_int8=cfg.qk_int8, qk_static=qk_static)
 
     def window_attn(args):
         q, k, v = args
         def to_win(t):
             return t.reshape(b * s // win, win, nh, hd)
-        o = attention(to_win(q), to_win(k), to_win(v), qk_int8=cfg.qk_int8)
+        o = attention(to_win(q), to_win(k), to_win(v), qk_int8=cfg.qk_int8, qk_static=qk_static)
         return o.reshape(b, s, nh, hd)
 
     if isinstance(is_full, bool):  # static (unrolled int8 path): no cond HLO

@@ -52,11 +52,13 @@ def batches():
 
 def test_capture_shape_and_positivity(int8_model, batches):
     u8_batches, (hu, wu) = batches
-    maxes = capture_vision_act_maxes(
+    maxes, qk_maxes = capture_vision_act_maxes(
         int8_model.params["visual"], u8_batches, hu, wu, int8_model.cfg.vision
     )
     assert maxes.shape == (int8_model.cfg.vision.depth, len(_SITE_COLUMNS))
     assert (maxes > 0).all()
+    assert qk_maxes.shape == (int8_model.cfg.vision.depth, 2)
+    assert (qk_maxes > 0).all()
 
 
 def test_capture_requires_quantized_params():
@@ -67,7 +69,7 @@ def test_capture_requires_quantized_params():
 
 def test_attach_and_embedding_parity(int8_model, batches):
     u8_batches, (hu, wu) = batches
-    maxes = capture_vision_act_maxes(
+    maxes, _ = capture_vision_act_maxes(
         int8_model.params["visual"], u8_batches, hu, wu, int8_model.cfg.vision
     )
     visual = attach_vision_act_scales(int8_model.params["visual"], maxes)
@@ -117,6 +119,52 @@ def test_model_level_calibration_flow(batches):
     bf16 = ColQwenModel.init_random(jax.random.PRNGKey(1), ColQwenConfig.tiny())
     with pytest.raises(ValueError, match="require matmul_precision"):
         bf16.calibrate_static_act_scales(u8_batches, hu, wu)
+
+
+def test_static_qk_attention_numerics():
+    """int8 QK^T with calibrated static scales must track bf16 attention
+    closely (the scalar-scale epilogue replaces the per-token passes
+    without materially moving the output)."""
+    from morphik_core_tpu.models.colqwen.layers import attention
+
+    rng = np.random.default_rng(0)
+    q = rng.normal(0, 1, (2, 64, 4, 16)).astype(np.float32)
+    k = rng.normal(0, 1, (2, 64, 4, 16)).astype(np.float32)
+    v = rng.normal(0, 1, (2, 64, 4, 16)).astype(np.float32)
+    ref = np.asarray(attention(q, k, v))
+    qs, ks = float(np.abs(q).max()) / 127.0, float(np.abs(k).max()) / 127.0
+    out = np.asarray(attention(q, k, v, qk_int8=True, qk_static=(qs, ks)))
+    cos = np.sum(ref * out, -1) / (
+        np.linalg.norm(ref, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )
+    assert float(np.mean(cos)) > 0.999, float(np.mean(cos))
+
+
+def test_calibrated_qk_scales_ride_the_unrolled_tower(batches):
+    """End-to-end: calibrate with attention_precision=int8 — the
+    attn_qk_as leaf is attached, the unrolled tower consumes it, and
+    embeddings stay aligned with the bf16-attention int8 tower."""
+    u8_batches, (hu, wu) = batches
+    model = ColQwenModel.init_random(
+        jax.random.PRNGKey(3), ColQwenConfig.tiny(), matmul_precision="int8"
+    )
+    base = np.asarray(model.embed_image_batch(u8_batches[0], hu, wu))
+    model.calibrate_static_act_scales(u8_batches, hu, wu)
+    assert model.params["visual"]["blocks"].get("attn_qk_as") is not None
+
+    import dataclasses
+
+    qk_cfg = dataclasses.replace(
+        model.cfg, vision=dataclasses.replace(model.cfg.vision, qk_int8=True)
+    )
+    qk_model = ColQwenModel(qk_cfg, model.params, matmul_precision="bf16")
+    qk_model.matmul_precision = "int8"  # params already quantized+calibrated
+    qk_model._image_fn_cache.clear()
+    out = np.asarray(qk_model.embed_image_batch(u8_batches[0], hu, wu))
+    cos = np.sum(base * out, -1) / (
+        np.linalg.norm(base, axis=-1) * np.linalg.norm(out, axis=-1) + 1e-9
+    )
+    assert float(np.mean(cos)) > 0.97, float(np.mean(cos))
 
 
 def test_serving_startup_calibration_flow():
