@@ -396,6 +396,34 @@ def main() -> int:
         lb = jnp.sum(e2 * (1.0 - ink)) / jnp.maximum(jnp.sum(1.0 - ink), 1.0)
         return li + 0.3 * lb, li
 
+    def maxsim_logits(q_pre, q_ink, d_pre, mu):
+        """In-batch production-semantics MaxSim score matrix: L2-normalized
+        (prenorm - mu) tokens, query tokens ink-weighted (background strip
+        tokens must not vote)."""
+        qn = q_pre - mu
+        qn = qn / (jnp.linalg.norm(qn, axis=-1, keepdims=True) + 1e-6)
+        dn = d_pre - mu
+        dn = dn / (jnp.linalg.norm(dn, axis=-1, keepdims=True) + 1e-6)
+        sim = jnp.einsum("qtd,pkd->qptk", qn, dn)
+        m = sim.max(-1)  # (B, B, Tq)
+        w = q_ink / jnp.maximum(q_ink.sum(-1, keepdims=True), 1e-6)
+        return jnp.einsum("qpt,qt->qp", m, w)
+
+    def align_loss(q_pre, q_ink, d_pre, mu, tau=0.05):
+        """Symmetric InfoNCE over in-batch MaxSim scores. This is the
+        CROSS-SCALE term: unit-cell regression targets are character
+        MIXTURES whose composition depends on glyph scale, so snippet and
+        page renders of the same text regress to different mixtures and
+        never align across scales (round-4/round-5 keyword_image at
+        chance). Directly optimizing the retrieval contrast between the
+        strip render (query) and the page renders (documents) is what the
+        eval measures."""
+        logits = maxsim_logits(q_pre, q_ink, d_pre, mu) / tau
+        lab = jnp.arange(logits.shape[0])
+        l_qd = optax.softmax_cross_entropy_with_integer_labels(logits, lab).mean()
+        l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, lab).mean()
+        return 0.5 * (l_qd + l_dq)
+
     def loss_fn(tparams, page_u8, ptgt, pink, snip_u8, stgt, sink,
                 kwp_u8, ktgt, kink, tids, tmask, ttgt, tw, tcos, tsin):
         params, mu, log_s = tparams
@@ -409,7 +437,10 @@ def main() -> int:
         tp = prenorm_text(params, tids, tmask, tcos, tsin)
         terr = tp - mu - s_txt * ttgt
         lt = jnp.sum(jnp.sum(terr * terr, -1) * tw) / jnp.maximum(jnp.sum(tw), 1.0)
-        return lp + ls + lk + lt, (lip, lis, lik, lt)
+        # cross-scale retrieval contrast: strip snippet -> full spec page
+        # (the eval's keyword_image task) and -> keyword page
+        la = align_loss(sp, sink, pp, mu) + align_loss(sp, sink, kp, mu)
+        return lp + ls + lk + lt + 0.5 * la, (lip, lis, lik, lt, la)
 
     params = init_colqwen_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
     tparams = (params, jnp.zeros((D,), jnp.float32), jnp.zeros((4,), jnp.float32))
@@ -424,8 +455,32 @@ def main() -> int:
     )
     opt_state = opt.init(tparams)
 
+    # The text-side rotary tables only depend on each pool entry's ids —
+    # precompute once for the whole pool so the step gathers them on
+    # device like everything else.
+    pos_all = mrope_position_ids(txt_ids, -1, [None] * args.pool, attention_mask=txt_mask)
+    txt_cos_pool, txt_sin_pool = mrope_cos_sin(pos_all, cfg.text)
+
+    # Upload every training pool ONCE and gather per-step batches ON
+    # DEVICE. Per-step jnp.asarray(pages[idx]) uploads a freshly-stacked
+    # byte pattern every step — through the axon relay the client retains
+    # a mirror of each distinct upload, which leaked host RAM without
+    # bound (the first 4000-step run was OOM-killed at 130 GB RSS after
+    # training finished). ~3 GB of pools sit in HBM instead.
+    pool_d = {
+        "pages": jnp.asarray(pages), "ptgt": jnp.asarray(page_tgts), "pink": jnp.asarray(page_inks),
+        "snips": jnp.asarray(snips), "stgt": jnp.asarray(snip_tgts), "sink": jnp.asarray(snip_inks),
+        "kwp": jnp.asarray(kwpages), "ktgt": jnp.asarray(kwp_tgts), "kink": jnp.asarray(kwp_inks),
+        "tids": jnp.asarray(txt_ids), "tmask": jnp.asarray(txt_mask),
+        "ttgt": jnp.asarray(txt_tgts), "tw": jnp.asarray(txt_w),
+        "tcos": jnp.asarray(txt_cos_pool), "tsin": jnp.asarray(txt_sin_pool),
+    }
+    _BATCH_ORDER = ("pages", "ptgt", "pink", "snips", "stgt", "sink",
+                    "kwp", "ktgt", "kink", "tids", "tmask", "ttgt", "tw", "tcos", "tsin")
+
     @jax.jit
-    def train_step(tparams, opt_state, *batch_args):
+    def train_step(tparams, opt_state, pool, idx):
+        batch_args = [jnp.take(pool[k], idx, axis=0) for k in _BATCH_ORDER]
         (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(tparams, *batch_args)
         updates, opt_state = opt.update(grads, opt_state, tparams)
         return optax.apply_updates(tparams, updates), opt_state, loss, parts
@@ -433,23 +488,15 @@ def main() -> int:
     t0 = time.time()
     for step in range(args.steps):
         idx = rng.choice(args.pool, B, replace=False)
-        tb_ids, tb_mask = txt_ids[idx], txt_mask[idx]
-        pos = mrope_position_ids(tb_ids, -1, [None] * B, attention_mask=tb_mask)
-        tcos, tsin = mrope_cos_sin(pos, cfg.text)
-        tparams, opt_state, loss, (lip, lis, lik, lt) = train_step(
-            tparams, opt_state,
-            jnp.asarray(pages[idx]), jnp.asarray(page_tgts[idx]), jnp.asarray(page_inks[idx]),
-            jnp.asarray(snips[idx]), jnp.asarray(snip_tgts[idx]), jnp.asarray(snip_inks[idx]),
-            jnp.asarray(kwpages[idx]), jnp.asarray(kwp_tgts[idx]), jnp.asarray(kwp_inks[idx]),
-            jnp.asarray(tb_ids), jnp.asarray(tb_mask), jnp.asarray(txt_tgts[idx]),
-            jnp.asarray(txt_w[idx]), jnp.asarray(tcos), jnp.asarray(tsin),
+        tparams, opt_state, loss, (lip, lis, lik, lt, la) = train_step(
+            tparams, opt_state, pool_d, jnp.asarray(idx, jnp.int32)
         )
         if step % 100 == 0 or step == args.steps - 1:
             s = np.exp(np.asarray(tparams[2]))
             print(f"step {step}: loss {float(loss):.4f} (page-ink {float(lip):.4f} "
                   f"snip-ink {float(lis):.4f} kwpage-ink {float(lik):.4f} "
-                  f"txt {float(lt):.4f}) s {s.round(3).tolist()} {time.time()-t0:.0f}s",
-                  flush=True)
+                  f"txt {float(lt):.4f} align {float(la):.4f}) s {s.round(3).tolist()} "
+                  f"{time.time()-t0:.0f}s", flush=True)
 
     params, mu, _ = tparams
     # fold the learned offset into the projection bias: the production
@@ -457,6 +504,15 @@ def main() -> int:
     # centered (model.py:205-210)
     params = dict(params)
     params["proj_b"] = params["proj_b"] - mu
+
+    # ---- save FIRST: the held-out evals below must not be able to lose
+    # a 30-minute training run (the first round-5 run was OOM-killed
+    # mid-eval with the weights unsaved) -------------------------------
+    from morphik_core_tpu.models.colqwen.model import save_params_npz
+
+    args.out.parent.mkdir(parents=True, exist_ok=True)
+    save_params_npz(args.out, params, config=cfg)
+    print(f"saved {args.out} ({args.out.stat().st_size/1e6:.1f} MB, dim={D})", flush=True)
 
     # ---- held-out eval: UNSEEN keywords through the PRODUCTION paths -----
     ev_rng = np.random.default_rng(args.seed + 1000)
@@ -495,13 +551,6 @@ def main() -> int:
     q_txt = model.embed_queries([f"What is the rated torque of {kw}?" for kw in ev_kws])
     recalls(np.stack([np.pad(q, ((0, 64 - q.shape[0]), (0, 0))) if q.shape[0] < 64 else q[:64]
                       for q in q_txt]), "keyword-text")
-
-    # ---- save -------------------------------------------------------------
-    from morphik_core_tpu.models.colqwen.model import save_params_npz
-
-    args.out.parent.mkdir(parents=True, exist_ok=True)
-    save_params_npz(args.out, params, config=cfg)
-    print(f"saved {args.out} ({args.out.stat().st_size/1e6:.1f} MB, dim={D})")
     return 0
 
 
