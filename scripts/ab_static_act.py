@@ -11,6 +11,10 @@ bf16 attention + text int8 scan):
   A. pages/s with dynamic activation quant (shipped round-4 default)
   B. pages/s with calibrated static scales attached (calibration = 4
      rendered page batches, margin 1.05)
+  B2. pages/s with static scales AND int8 QK^T attention using static
+     q/k scales (the round-4 rejected lever re-opened: dynamic per-token
+     qk quant cost more than the MXU saved, AB_ATTN_r04.json — static
+     scalars remove those passes)
   C. embedding drift static-vs-dynamic on held-out pages (cosine +
      production top-1 agreement through a small index) — a cheap
      pre-gate before re-running the full fidelity eval.
@@ -119,11 +123,26 @@ def main() -> int:
     stat_emb = [np.asarray(e, np.float32) for e in model.embed_image_batch(hold, hu, wu)]
     res_stat = measure("static")
 
+    # B2: int8 QK^T with the calibrated static q/k scales (same params —
+    # the attn_qk_as leaf is already attached; only the config flips)
+    import dataclasses
+
+    qk_cfg = dataclasses.replace(cfg, vision=dataclasses.replace(cfg.vision, qk_int8=True))
+    qk_model = ColQwenModel(qk_cfg, model.params, matmul_precision="bf16")
+    qk_model.matmul_precision = "int8"  # params already quantized+calibrated
+    qk_model._image_fn_cache.clear()
+    saved_model, model = model, qk_model
+    qk_emb = [np.asarray(e, np.float32) for e in model.embed_image_batch(hold, hu, wu)]
+    res_qk = measure("static+int8attn")
+    model = saved_model
+
     # C: drift on held-out pages (cosine per token + retrieval agreement)
-    cosines = []
-    for a, b in zip(dyn_emb, stat_emb):
+    cosines, qk_cosines = [], []
+    for a, b, c3 in zip(dyn_emb, stat_emb, qk_emb):
         c = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-9)
         cosines.append(float(np.mean(c)))
+        cq = np.sum(a * c3, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(c3, axis=-1) + 1e-9)
+        qk_cosines.append(float(np.mean(cq)))
     # top-1 agreement: score every holdout page against every other
     def maxsim_mat(qs, ds):
         s = np.zeros((len(qs), len(ds)), np.float32)
@@ -146,9 +165,13 @@ def main() -> int:
         "calibration_s": round(calib_s, 1),
         "dynamic": res_dyn,
         "static": res_stat,
+        "static_int8_attn": res_qk,
         "speedup": round(res_dyn["step_s"] / res_stat["step_s"], 3),
+        "speedup_int8_attn": round(res_dyn["step_s"] / res_qk["step_s"], 3),
         "holdout_token_cosine_mean": round(float(np.mean(cosines)), 4),
         "holdout_token_cosine_min": round(float(np.min(cosines)), 4),
+        "holdout_token_cosine_int8_attn_mean": round(float(np.mean(qk_cosines)), 4),
+        "holdout_token_cosine_int8_attn_min": round(float(np.min(qk_cosines)), 4),
         "holdout_self_top1_agreement": agree,
         "backend": jax.default_backend(),
         "small": args.small,
