@@ -211,6 +211,10 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--align-weight", type=float, default=0.1,
+                    help="peak weight of the cross-scale contrastive term "
+                         "(ramped in over 500 steps from steps/3; 0.5 "
+                         "from step 0 wrecked the regression fit)")
     ap.add_argument("--dim", type=int, default=32,
                     help="projection/codebook dim (round-5: 32 — the 16-dim "
                          "codebook's crosstalk capped cross-scale keyword "
@@ -424,7 +428,7 @@ def main() -> int:
         l_dq = optax.softmax_cross_entropy_with_integer_labels(logits.T, lab).mean()
         return 0.5 * (l_qd + l_dq)
 
-    def loss_fn(tparams, page_u8, ptgt, pink, snip_u8, stgt, sink,
+    def loss_fn(tparams, aw, page_u8, ptgt, pink, snip_u8, stgt, sink,
                 kwp_u8, ktgt, kink, tids, tmask, ttgt, tw, tcos, tsin):
         params, mu, log_s = tparams
         s_page, s_snip, s_kwp, s_txt = jnp.exp(log_s)
@@ -438,9 +442,14 @@ def main() -> int:
         terr = tp - mu - s_txt * ttgt
         lt = jnp.sum(jnp.sum(terr * terr, -1) * tw) / jnp.maximum(jnp.sum(tw), 1.0)
         # cross-scale retrieval contrast: strip snippet -> full spec page
-        # (the eval's keyword_image task) and -> keyword page
+        # (the eval's keyword_image task) and -> keyword page. `aw` ramps
+        # 0 -> 0.1 after the regression streams settle: at weight 0.5
+        # from step 0 the contrast degraded the page regression 8x
+        # (page-ink 0.0032 -> 0.0257) and the eval's perturbation ladder
+        # collapsed with it — the regression fit IS the retrieval
+        # backbone; the contrast may only fine-tune it.
         la = align_loss(sp, sink, pp, mu) + align_loss(sp, sink, kp, mu)
-        return lp + ls + lk + lt + 0.5 * la, (lip, lis, lik, lt, la)
+        return lp + ls + lk + lt + aw * la, (lip, lis, lik, lt, la)
 
     params = init_colqwen_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
     tparams = (params, jnp.zeros((D,), jnp.float32), jnp.zeros((4,), jnp.float32))
@@ -479,17 +488,21 @@ def main() -> int:
                     "kwp", "ktgt", "kink", "tids", "tmask", "ttgt", "tw", "tcos", "tsin")
 
     @jax.jit
-    def train_step(tparams, opt_state, pool, idx):
+    def train_step(tparams, opt_state, aw, pool, idx):
         batch_args = [jnp.take(pool[k], idx, axis=0) for k in _BATCH_ORDER]
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(tparams, *batch_args)
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            tparams, aw, *batch_args
+        )
         updates, opt_state = opt.update(grads, opt_state, tparams)
         return optax.apply_updates(tparams, updates), opt_state, loss, parts
 
+    ramp_start = args.steps // 3
     t0 = time.time()
     for step in range(args.steps):
         idx = rng.choice(args.pool, B, replace=False)
+        aw = args.align_weight * min(1.0, max(0.0, (step - ramp_start) / 500.0))
         tparams, opt_state, loss, (lip, lis, lik, lt, la) = train_step(
-            tparams, opt_state, pool_d, jnp.asarray(idx, jnp.int32)
+            tparams, opt_state, jnp.float32(aw), pool_d, jnp.asarray(idx, jnp.int32)
         )
         if step % 100 == 0 or step == args.steps - 1:
             s = np.exp(np.asarray(tparams[2]))
