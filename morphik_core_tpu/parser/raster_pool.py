@@ -60,23 +60,31 @@ def _finish_page(i: int, img, max_width: int, prep):
 
     prep=None -> (i, jpeg) — the classic JPEG-only contract.
     prep=(min_pixels, max_pixels) -> (i, jpeg, patches, grid, blank):
-    payload JPEG AND preprocessed u8 patches derived from the SAME
-    resized image, plus the blank flag — the ingest fast path then never
-    decodes the JPEG back (on the 1-core bench host that round trip
-    costs ~70 ms/page, the single biggest host tax in the embed phase).
+    payload JPEG AND preprocessed u8 patches, plus the blank flag — the
+    ingest fast path then skips the embed-side decode+preprocess (on the
+    1-core bench host that round trip costs ~70 ms/page, the single
+    biggest host tax in the embed phase). The patches are computed from
+    the DECODED JPEG, not the pre-encode pixels: stored embeddings must
+    match what a query embedded from the stored payload sees — the
+    ~5e-4/token pre-vs-post-JPEG drift, summed over ~750 tokens, is the
+    same order as the exact-MaxSim margin between near-duplicate pages
+    and flipped identity top-1 in the round-5 eval (0.525 vs 1.0).
     preprocess is numpy/PIL-only, safe inside raster worker processes."""
+    from PIL import Image  # noqa: PLC0415
+
     img = _resize(img, max_width)
     buf = io.BytesIO()
     img.save(buf, format="JPEG", quality=_JPEG_QUALITY)
     jpeg = buf.getvalue()
     if prep is None:
         return (i, jpeg)
-    blank = is_blank_page(img)
+    stored = Image.open(io.BytesIO(jpeg)).convert("RGB")
+    blank = is_blank_page(stored)
     if blank:
         return (i, jpeg, None, None, True)
     from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8  # noqa: PLC0415
 
-    patches, grid = preprocess_image_u8(img, min_pixels=prep[0], max_pixels=prep[1])
+    patches, grid = preprocess_image_u8(stored, min_pixels=prep[0], max_pixels=prep[1])
     return (i, jpeg, patches, grid, False)
 
 

@@ -64,6 +64,37 @@ def test_non_pdf_returns_none():
     assert run(pool.rasterize_pdf_jpegs(b"not a pdf at all")) is None
 
 
+def test_prep_patches_match_stored_payload():
+    """Embed-what-you-store: the prep-mode patches must equal a fresh
+    preprocess of the DECODED stored JPEG. Round-5 regression: patches
+    computed from pre-encode pixels drifted ~5e-4/token from what a
+    query embedded from the payload sees — summed over ~750 tokens
+    that's the exact-MaxSim margin between near-duplicate pages, and
+    identity top-1 through the production stack fell 1.0 -> 0.525."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    import numpy as np
+
+    from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
+
+    pool = RasterPool(processes=0)
+    try:
+        prep = (4 * 28 * 28, 768 * 28 * 28)
+        pages = run(pool.rasterize_pdf_jpegs(_pdf(5), dpi=72, prep=prep))
+        assert pages is not None and len(pages) == 5
+        non_blank = [t for t in pages if not t[4]]
+        assert non_blank, "expected at least one non-blank page"
+        for page, jpeg, patches, grid, blank in non_blank:
+            img = Image.open(BytesIO(jpeg)).convert("RGB")
+            expect, egrid = preprocess_image_u8(img, min_pixels=prep[0], max_pixels=prep[1])
+            assert tuple(grid) == tuple(egrid)
+            assert np.array_equal(patches, expect)
+    finally:
+        pool.shutdown()
+
+
 def test_ingestion_uses_pool_for_pdf(tmp_path):
     from morphik_core_tpu.config import Settings
     from morphik_core_tpu.models.schemas import AuthContext, EntityType
