@@ -81,6 +81,29 @@ def _page_font():
         return ImageFont.load_default()
 
 
+def production_chain(img):
+    """The ingest STORAGE chain for a rasterized page
+    (parser/raster_pool.py::_finish_page): resize to max_width 1024
+    (LANCZOS) -> JPEG q70 -> decode. Stored-page patches are computed
+    from the decoded JPEG (embed-what-you-store, commit 9c5c398), so
+    document embeddings live on THIS distribution — round-5 probe:
+    training on raw renders gave brute-force f32 keyword recall ~0
+    through the production stack while the trainer's raw-render held-out
+    read 0.8, entirely a train->serve distribution gap (the ~1.25x scale
+    shift + JPEG artifacts of this chain). Queries (eval PNG strips /
+    keyword pages) skip it — document_service feeds them straight to
+    preprocess."""
+    import io
+
+    from PIL import Image
+
+    if img.width > 1024:
+        img = img.resize((1024, int(img.height * 1024 / img.width)), Image.LANCZOS)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=70)
+    return Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+
+
 def page_text(kw: str, val: int, rng) -> str:
     lines = [f"UNIT SPEC {kw}", ""]
     for _ in range(int(rng.integers(8, 16))):
@@ -267,9 +290,13 @@ def main() -> int:
     def build_page(kw, prng):
         txt = page_text(kw, int(prng.integers(10, 990)), prng)
         img = _render_text_page(txt, dpi=DPI)
+        orig_w, orig_h = img.width, img.height
+        img = production_chain(img)  # documents live on the storage chain
         patches, grid = preprocess_image_u8(img)
         hu, wu = grid
-        sx, sy = (wu * 28) / img.width, (hu * 28) / img.height
+        # boxes are in ORIGINAL page pixels; resize-1024 and smart_resize
+        # are both aspect-preserving, so one scale pair maps to the grid
+        sx, sy = (wu * 28) / orig_w, (hu * 28) / orig_h
         tg, ink = unit_targets(char_boxes_for_page(txt, font, measure), hu, wu, sx, sy, codebook)
         return patches, grid, tg, ink
 
@@ -305,11 +332,12 @@ def main() -> int:
     snip_inks = np.stack(snip_inks)
 
     # keyword-PAGE stream (round 5): the eval's page-geometry keyword
-    # query (colpali_eval.py::render_keyword_page) rendered through the
-    # SAME production raster as gold pages. Shares the page grid, so it
-    # reuses page_const; trains the cross-render match the keyword_page
-    # eval row measures, and anchors the codebook at page glyph scale
-    # for the strip-snippet stream to meet.
+    # query (colpali_eval.py::render_keyword_page) — a RAW render, since
+    # the eval feeds the query image straight to preprocess with no
+    # storage chain. Its grid therefore DIFFERS from the (1024/JPEG)
+    # document pages': this stream gets its own const, and the alignment
+    # term below trains exactly the query-chain -> storage-chain match
+    # the keyword_page eval row measures.
     def kwpage_text(kw: str) -> str:
         return f"UNIT SPEC {kw}\n\nrated torque of {kw}"
 
@@ -322,10 +350,12 @@ def main() -> int:
         tg, ink = unit_targets(char_boxes_for_page(txt, font, measure), hu, wu, sx, sy, codebook)
         return patches, grid, tg, ink
 
-    kwpages, kwp_tgts, kwp_inks = [], [], []
+    kwpages, kwp_tgts, kwp_inks, kwp_grid = [], [], [], None
     for kw in kws:
         patches, grid, tg, ink = build_kwpage(kw)
-        assert grid == page_grid, "keyword pages must share the page grid bucket"
+        if kwp_grid is None:
+            kwp_grid = grid
+        assert grid == kwp_grid, "all keyword pages must share one grid bucket"
         kwpages.append(patches); kwp_tgts.append(tg); kwp_inks.append(ink)
     kwpages = np.stack(kwpages)
     kwp_tgts = np.stack(kwp_tgts)
@@ -366,6 +396,7 @@ def main() -> int:
     B = args.batch
     page_const, page_pos = image_args(page_grid, B)
     snip_const, snip_pos = image_args(snip_grid, B)
+    kwp_const, kwp_pos = image_args(kwp_grid, B)
 
     def prenorm_image(params, u8, const):
         """Mirror of model.colqwen_image_forward (model.py:161-189) minus
@@ -392,6 +423,7 @@ def main() -> int:
     # dominate HBM in the backward pass (batch 16 OOM'd at 26.8/15.75 GB)
     embed_pages = jax.checkpoint(lambda p, u8: prenorm_image(p, u8, page_const))
     embed_snips = jax.checkpoint(lambda p, u8: prenorm_image(p, u8, snip_const))
+    embed_kwps = jax.checkpoint(lambda p, u8: prenorm_image(p, u8, kwp_const))
 
     def stream_loss(pre, tgt, ink, mu, s):
         err = pre - mu - s * tgt
@@ -436,19 +468,22 @@ def main() -> int:
         lp, lip = stream_loss(pp, ptgt, pink, mu, s_page)
         sp = embed_snips(params, snip_u8)[:, snip_pos, :]
         ls, lis = stream_loss(sp, stgt, sink, mu, s_snip)
-        kp = embed_pages(params, kwp_u8)[:, page_pos, :]  # same grid/const as pages
+        kp = embed_kwps(params, kwp_u8)[:, kwp_pos, :]  # query-chain grid
         lk, lik = stream_loss(kp, ktgt, kink, mu, s_kwp)
         tp = prenorm_text(params, tids, tmask, tcos, tsin)
         terr = tp - mu - s_txt * ttgt
         lt = jnp.sum(jnp.sum(terr * terr, -1) * tw) / jnp.maximum(jnp.sum(tw), 1.0)
-        # cross-scale retrieval contrast: strip snippet -> full spec page
-        # (the eval's keyword_image task) and -> keyword page. `aw` ramps
-        # 0 -> 0.1 after the regression streams settle: at weight 0.5
-        # from step 0 the contrast degraded the page regression 8x
-        # (page-ink 0.0032 -> 0.0257) and the eval's perturbation ladder
-        # collapsed with it — the regression fit IS the retrieval
-        # backbone; the contrast may only fine-tune it.
-        la = align_loss(sp, sink, pp, mu) + align_loss(sp, sink, kp, mu)
+        # cross-chain retrieval contrast, matching the eval rows exactly:
+        # strip snippet -> storage-chain page (keyword_image), raw keyword
+        # page -> storage-chain page (keyword_page), and snippet ->
+        # keyword page (ties the two query renders to one scale anchor).
+        # `aw` ramps 0 -> 0.1 after the regression streams settle: at
+        # weight 0.5 from step 0 the contrast degraded the page
+        # regression 8x (page-ink 0.0032 -> 0.0257) and the eval's
+        # perturbation ladder collapsed with it — the regression fit IS
+        # the retrieval backbone; the contrast may only fine-tune it.
+        la = (align_loss(sp, sink, pp, mu) + align_loss(kp, kink, pp, mu)
+              + align_loss(sp, sink, kp, mu))
         return lp + ls + lk + lt + aw * la, (lip, lis, lik, lt, la)
 
     params = init_colqwen_params(jax.random.PRNGKey(args.seed), cfg, dtype=jnp.float32)
@@ -534,7 +569,8 @@ def main() -> int:
     model = ColQwenModel(cfg, params)
     page_emb, snip_emb = [], []
     ev_pages = np.stack([
-        preprocess_image_u8(_render_text_page(page_text(kw, int(ev_rng.integers(10, 990)), ev_rng), dpi=DPI))[0]
+        preprocess_image_u8(production_chain(
+            _render_text_page(page_text(kw, int(ev_rng.integers(10, 990)), ev_rng), dpi=DPI)))[0]
         for kw in ev_kws
     ])
     ev_snips = np.stack([preprocess_image_u8(render_query_snippet(kw, ev_rng)[0])[0] for kw in ev_kws])
@@ -558,7 +594,7 @@ def main() -> int:
         preprocess_image_u8(_render_text_page(kwpage_text(kw), dpi=DPI))[0] for kw in ev_kws
     ])
     kwp_emb = np.concatenate([
-        model.embed_image_batch(ev_kwpages[s0:s0 + B], *page_grid) for s0 in range(0, n_ev, B)
+        model.embed_image_batch(ev_kwpages[s0:s0 + B], *kwp_grid) for s0 in range(0, n_ev, B)
     ])
     recalls(kwp_emb, "keyword-page")
     q_txt = model.embed_queries([f"What is the rated torque of {kw}?" for kw in ev_kws])
