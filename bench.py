@@ -611,6 +611,11 @@ def main() -> None:
         "ingest_phase_split_s": ingest["phase_split_s"],
         "ingest_stage_isolation_pages_per_s": ingest["stage_isolation_pages_per_s"],
         "ingest_pages": ingest["pages"],
+        # round-5 verdict item 5: the 11-vs-27 pages/s ingest-embed gap,
+        # decomposed (host preprocess / patch upload / device step+fetch
+        # per batch, with the pipelined bound the prefetch can reach)
+        "ingest_embed_attribution": ingest.get("embed_attribution"),
+        "ingest_raster_pool_scaling": ingest.get("raster_pool_scaling"),
     }
 
     target_pages_per_s_per_chip = 10_000 / 60 / 8  # BASELINE.json north star
