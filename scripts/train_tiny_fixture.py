@@ -112,6 +112,25 @@ def page_text(kw: str, val: int, rng) -> str:
     return "\n".join(lines)
 
 
+def make_template(rng) -> tuple:
+    """A shared page layout, mirroring colpali_eval.py::gen_corpus's
+    template mode: fixed filler lines + a fixed fact-slot position.
+    Pages instantiated from one template differ ONLY in the keyword and
+    value glyphs — the eval corpus (8 templates x 20 pages) is built this
+    way, so in-batch negatives drawn from one template are exactly the
+    near-duplicate distractors the keyword_image row fails on."""
+    filler = [" ".join(rng.choice(VOCAB, rng.integers(3, 9)).tolist())
+              for _ in range(int(rng.integers(10, 16)))]
+    return filler, int(rng.integers(2, len(filler)))
+
+
+def page_text_from_template(tmpl: tuple, kw: str, val: int) -> str:
+    filler, slot = tmpl
+    lines = [f"UNIT SPEC {kw}", ""] + list(filler)
+    lines.insert(slot, f"rated torque of {kw} is {val} Nm")
+    return "\n".join(lines)
+
+
 def char_boxes_for_page(text: str, font, measure) -> list:
     """Replicates _render_text_page's layout loop; returns
     (char, x0, y0, x1, y1) boxes in original page pixels."""
@@ -234,6 +253,10 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--hard-frac", type=float, default=0.5,
+                    help="fraction of steps whose batch is drawn from ONE "
+                         "template (near-duplicate hard negatives for the "
+                         "align term; the eval corpus is template-heavy)")
     ap.add_argument("--align-weight", type=float, default=0.1,
                     help="peak weight of the cross-scale contrastive term "
                          "(ramped in over 500 steps from steps/3; 0.5 "
@@ -284,11 +307,21 @@ def main() -> int:
         return _measure_img.textlength(s, font=f)
 
     # ---- pregenerate the page pool (host) --------------------------------
+    # TEMPLATE-STRUCTURED (round 5): consecutive groups of `batch` pool
+    # entries share one gen_corpus-style template, so a batch drawn from
+    # one group contains only near-duplicate pages differing in keyword
+    # glyphs — the align term then contrasts exactly the eval's hard
+    # negatives. (Random-body pools trained a model whose held-out read
+    # 3.3x chance while brute-force f32 over the template-heavy eval
+    # corpus read 0/24 — the negatives were too easy.)
     t0 = time.time()
     kws = [f"{rng.choice(VOCAB).upper()}-{rng.integers(1000, 9999)}" for _ in range(args.pool)]
+    assert args.pool % args.batch == 0
+    n_tmpl = args.pool // args.batch
+    templates = [make_template(rng) for _ in range(n_tmpl)]
 
-    def build_page(kw, prng):
-        txt = page_text(kw, int(prng.integers(10, 990)), prng)
+    def build_page(kw, prng, tmpl):
+        txt = page_text_from_template(tmpl, kw, int(prng.integers(10, 990)))
         img = _render_text_page(txt, dpi=DPI)
         orig_w, orig_h = img.width, img.height
         img = production_chain(img)  # documents live on the storage chain
@@ -301,8 +334,8 @@ def main() -> int:
         return patches, grid, tg, ink
 
     pages, page_tgts, page_inks, page_grid = [], [], [], None
-    for kw in kws:
-        patches, grid, tg, ink = build_page(kw, rng)
+    for i, kw in enumerate(kws):
+        patches, grid, tg, ink = build_page(kw, rng, templates[i // args.batch])
         if page_grid is None:
             page_grid = grid
         assert grid == page_grid, "all pages must share one grid bucket"
@@ -534,7 +567,13 @@ def main() -> int:
     ramp_start = args.steps // 3
     t0 = time.time()
     for step in range(args.steps):
-        idx = rng.choice(args.pool, B, replace=False)
+        if rng.random() < args.hard_frac:
+            # hard batch: all B pages instantiate ONE template — in-batch
+            # align negatives are near-duplicates (keyword glyphs only)
+            t = int(rng.integers(n_tmpl))
+            idx = t * B + rng.permutation(B)
+        else:
+            idx = rng.choice(args.pool, B, replace=False)
         aw = args.align_weight * min(1.0, max(0.0, (step - ramp_start) / 500.0))
         tparams, opt_state, loss, (lip, lis, lik, lt, la) = train_step(
             tparams, opt_state, jnp.float32(aw), pool_d, jnp.asarray(idx, jnp.int32)
@@ -562,16 +601,22 @@ def main() -> int:
     save_params_npz(args.out, params, config=cfg)
     print(f"saved {args.out} ({args.out.stat().st_size/1e6:.1f} MB, dim={D})", flush=True)
 
-    # ---- held-out eval: UNSEEN keywords through the PRODUCTION paths -----
+    # ---- held-out eval: UNSEEN keywords AND UNSEEN templates through the
+    # PRODUCTION paths, template-structured like the eval corpus (8
+    # held-out templates x 8 keywords) so every gold page competes with 7
+    # near-duplicate siblings — the random-body held-out overstated
+    # transfer (3.3x chance there, 0/24 on the template-heavy eval). ----
     ev_rng = np.random.default_rng(args.seed + 1000)
     n_ev = 64
     ev_kws = [f"{ev_rng.choice(VOCAB).upper()}-{ev_rng.integers(1000, 9999)}" for _ in range(n_ev)]
+    ev_templates = [make_template(ev_rng) for _ in range(n_ev // 8)]
     model = ColQwenModel(cfg, params)
     page_emb, snip_emb = [], []
     ev_pages = np.stack([
         preprocess_image_u8(production_chain(
-            _render_text_page(page_text(kw, int(ev_rng.integers(10, 990)), ev_rng), dpi=DPI)))[0]
-        for kw in ev_kws
+            _render_text_page(page_text_from_template(
+                ev_templates[i // 8], kw, int(ev_rng.integers(10, 990))), dpi=DPI)))[0]
+        for i, kw in enumerate(ev_kws)
     ])
     ev_snips = np.stack([preprocess_image_u8(render_query_snippet(kw, ev_rng)[0])[0] for kw in ev_kws])
     for s0 in range(0, n_ev, B):
@@ -585,8 +630,17 @@ def main() -> int:
         ranks = (-scores).argsort(1)
         r1 = float((ranks[:, 0] == np.arange(n_ev)).mean())
         r10 = float(np.mean([np.where(ranks[i] == i)[0][0] < 10 for i in range(n_ev)]))
-        print(f"held-out {name} ({n_ev} unseen keywords): recall@1 {r1:.3f} "
-              f"recall@10 {r10:.3f} (chance@10 {10/n_ev:.3f})", flush=True)
+        # within-template: gold vs its 7 near-duplicate siblings only —
+        # the pure keyword-glyph discrimination the eval row hinges on
+        # (chance 1/8)
+        wt = []
+        for i in range(n_ev):
+            sib = [j for j in range(8 * (i // 8), 8 * (i // 8) + 8) if j != i]
+            wt.append(float(all(scores[i, i] > scores[i, j] for j in sib)))
+        wt1 = float(np.mean(wt))
+        print(f"held-out {name} ({n_ev} unseen kws, template-structured): "
+              f"recall@1 {r1:.3f} recall@10 {r10:.3f} (chance@10 {10/n_ev:.3f}) "
+              f"within-template top1 {wt1:.3f} (chance 0.125)", flush=True)
         return r1, r10
 
     recalls(snip_emb, "keyword-image")
