@@ -66,6 +66,30 @@ BLANK_ROW = len(CB_CHARS)
 # max_chars. Kept in sync so char boxes match the production raster.
 DPI = 150
 PAGE_W, PAGE_H = int(8.5 * DPI), int(11 * DPI)
+
+# Serving preprocess bounds (config.ModelConfig.min/max_pixels — what
+# colpali_embedding_model passes for BOTH stored pages and query
+# images). preprocess_image_u8's library defaults are the qwen2-vl
+# 1..60x112^2 window budget (752,640 max px) while serving embeds at
+# 4..768x28^2 (602,112 max px): a stored 1024-wide page lands at 0.666x
+# scale under serving vs 0.745x under the library default. Training on
+# the default bounds put every document 12% off the serving scale —
+# round-5 stack probe: exact-f32 text recall@10 read 0.225 on
+# trainer-chain embeddings but 0.025 on the embeddings the service
+# actually stores. Every trainer/held-out preprocess call MUST use
+# these bounds.
+SERVE_MIN_PIXELS = 4 * 28 * 28
+SERVE_MAX_PIXELS = 768 * 28 * 28
+
+
+def serve_preprocess_u8(img):
+    from morphik_core_tpu.models.colqwen.preprocess import preprocess_image_u8
+
+    return preprocess_image_u8(
+        img, min_pixels=SERVE_MIN_PIXELS, max_pixels=SERVE_MAX_PIXELS
+    )
+
+
 MARGIN = DPI // 2
 LINE_H = max(12, DPI // 6)
 MAX_CHARS = max(20, (PAGE_W - 2 * MARGIN) // max(6, DPI // 14))
@@ -247,6 +271,13 @@ def text_targets(chars: str, n_ids: int, bucket: int, codebook) -> tuple:
 
 
 def main() -> int:
+    from morphik_core_tpu.config import ModelConfig
+
+    _mc = ModelConfig()
+    assert (SERVE_MIN_PIXELS, SERVE_MAX_PIXELS) == (_mc.min_pixels, _mc.max_pixels), (
+        "trainer preprocess bounds drifted from serving defaults — "
+        "retrained fixtures would embed at the wrong scale"
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--pool", type=int, default=384, help="pregenerated page pool size")
@@ -325,7 +356,7 @@ def main() -> int:
         img = _render_text_page(txt, dpi=DPI)
         orig_w, orig_h = img.width, img.height
         img = production_chain(img)  # documents live on the storage chain
-        patches, grid = preprocess_image_u8(img)
+        patches, grid = serve_preprocess_u8(img)
         hu, wu = grid
         # boxes are in ORIGINAL page pixels; resize-1024 and smart_resize
         # are both aspect-preserving, so one scale pair maps to the grid
@@ -347,7 +378,7 @@ def main() -> int:
 
     def build_snip(kw, prng):
         img, boxes = render_query_snippet(kw, prng)
-        patches, grid = preprocess_image_u8(img)
+        patches, grid = serve_preprocess_u8(img)
         hu, wu = grid
         sx, sy = (wu * 28) / img.width, (hu * 28) / img.height
         tg, ink = unit_targets(boxes, hu, wu, sx, sy, codebook)
@@ -377,7 +408,7 @@ def main() -> int:
     def build_kwpage(kw):
         txt = kwpage_text(kw)
         img = _render_text_page(txt, dpi=DPI)
-        patches, grid = preprocess_image_u8(img)
+        patches, grid = serve_preprocess_u8(img)
         hu, wu = grid
         sx, sy = (wu * 28) / img.width, (hu * 28) / img.height
         tg, ink = unit_targets(char_boxes_for_page(txt, font, measure), hu, wu, sx, sy, codebook)
@@ -613,12 +644,12 @@ def main() -> int:
     model = ColQwenModel(cfg, params)
     page_emb, snip_emb = [], []
     ev_pages = np.stack([
-        preprocess_image_u8(production_chain(
+        serve_preprocess_u8(production_chain(
             _render_text_page(page_text_from_template(
                 ev_templates[i // 8], kw, int(ev_rng.integers(10, 990))), dpi=DPI)))[0]
         for i, kw in enumerate(ev_kws)
     ])
-    ev_snips = np.stack([preprocess_image_u8(render_query_snippet(kw, ev_rng)[0])[0] for kw in ev_kws])
+    ev_snips = np.stack([serve_preprocess_u8(render_query_snippet(kw, ev_rng)[0])[0] for kw in ev_kws])
     for s0 in range(0, n_ev, B):
         page_emb.append(model.embed_image_batch(ev_pages[s0:s0 + B], *page_grid))
         snip_emb.append(model.embed_image_batch(ev_snips[s0:s0 + B], *snip_grid))
@@ -645,7 +676,7 @@ def main() -> int:
 
     recalls(snip_emb, "keyword-image")
     ev_kwpages = np.stack([
-        preprocess_image_u8(_render_text_page(kwpage_text(kw), dpi=DPI))[0] for kw in ev_kws
+        serve_preprocess_u8(_render_text_page(kwpage_text(kw), dpi=DPI))[0] for kw in ev_kws
     ])
     kwp_emb = np.concatenate([
         model.embed_image_batch(ev_kwpages[s0:s0 + B], *kwp_grid) for s0 in range(0, n_ev, B)
